@@ -1,0 +1,129 @@
+"""Shared column expressions (SURVEY.md §2.5 C1-C7 + hashing primitives).
+
+Everything here is a *pure Column expression* — JVM-side, whole-stage
+codegen-eligible, no Python in the hot path. The hashing primitives are
+deliberately built on ``md5`` (not ``xxhash64``) so the exact same value is
+computable in ANSI SQL by the DuckDB correctness oracle; swap
+``portable_hash64`` for ``F.xxhash64`` in production if oracle parity is
+not needed (xxhash64 is ~3x faster, same distribution properties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def likeness_score(positive: Column, negative: Column) -> Column:
+    """``positive / (negative if negative > 0 else 1)`` cast to double —
+    the reference's conditional ratio (data_transformer.py:118-124, C1).
+    """
+    return (
+        positive / F.when(negative > 0, negative).otherwise(F.lit(1))
+    ).cast("double")
+
+
+def with_minmax_normalized(
+    df: DataFrame, col: str, out: str, *, scalable: bool = True
+) -> DataFrame:
+    """Min-max normalize ``col`` over the whole frame; constant column → 0.0
+    (reference tools.py:67-94, C2 + A5 with the min==max guard at 85-87).
+
+    Scale note: the naive form is ``min/max OVER ()`` — an empty-partition
+    window that funnels every row through ONE task. The scalable form used
+    here is a 2-row aggregate cross-joined back with a broadcast: the agg
+    is a map-side-combined tree reduction and the join adds no shuffle.
+    """
+    x = F.col(col)
+    if scalable:
+        stats = df.agg(
+            F.min(x).alias("__mn"), F.max(x).alias("__mx")
+        )
+        normalized = F.when(F.col("__mx") == F.col("__mn"), F.lit(0.0)).otherwise(
+            (x - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(out, normalized)
+            .drop("__mn", "__mx")
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    mn, mx = F.min(x).over(w), F.max(x).over(w)
+    return df.withColumn(
+        out,
+        F.when(mx == mn, F.lit(0.0)).otherwise((x - mn) / (mx - mn)),
+    )
+
+
+def portable_hash64(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic 60-bit hash of a string column, reproducible in ANSI
+    SQL: ``int(md5(x || '#seed')[0:15], 16)``. Uniform (md5 prefix), fits
+    a signed 64-bit int (16^15 == 2^60).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(c, F.lit(f"#{seed}")) if seed else c
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+    """The DuckDB-SQL twin of :func:`portable_hash64` (for oracles)."""
+    salted = f"({expr} || '#{seed}')" if seed else expr
+    return f"('0x' || substring(md5({salted}), 1, 15))::BIGINT"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``.
+
+    Trim first so leading/trailing whitespace doesn't create empty tokens
+    (same contract as DuckDB ``string_split_regex(trim(x), '\\s+')``).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> — pure JVM expression.
+
+    ``transform(sequence(0, n-k), i -> concat_ws(' ', slice(toks, i+1, k)))``
+    No explode: the shingle set stays one array cell per row, so shingling
+    adds zero shuffle and the downstream minhash is a per-row map.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<long>, one ``min(hash(s, seed_j))`` per
+    seed — the standard shingle→minhash construction (Broder '97), computed
+    entirely with built-in collection expressions (no UDF, no explode, no
+    shuffle): signature[j] = array_min(transform(shingles, h_j)).
+
+    Empty shingle sets get NULL entries (caller decides policy).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, j=j: portable_hash64(s, seed=j + 1))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array<string> columns (distinct
+    semantics), as double; empty-union pairs → 0.0.
+    """
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )

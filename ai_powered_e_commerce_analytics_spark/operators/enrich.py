@@ -1,0 +1,391 @@
+"""LLM enrichment operators (SURVEY.md §2.10 F1-F8, §2.2 P3-P4).
+
+The reference's defining operator family is a batch-async LLM map: slice
+rows into 25-row batches, build a prompt per batch, POST to an
+OpenAI-compatible server with a strict JSON-schema response format, 4
+requests in flight, validate cardinality, null-fill failed batches, retry
+residuals (tools.py:30-48, data_transformer.py:27-110, enricher.go:39-163).
+
+Spark-first shape: ONE ``mapInPandas`` operator carries the whole family.
+
+- **No shuffle for batching** (F1): batches are consecutive slices, so we
+  re-chunk each Arrow batch *locally inside the task* instead of grouping
+  by a batch id (which would hash-shuffle 100 TB to form 25-row groups).
+- **Concurrency** (F4): an asyncio semaphore inside each task bounds
+  in-flight requests; cluster-wide pressure on the model server =
+  ``num_partitions x concurrency`` — size partitions to server capacity
+  (the reference pins 4 to llama.cpp ``--parallel 4``).
+- **Validation + fallback** (F5-F6): strict per-batch cardinality check;
+  a failed batch emits null-sentiment rows carrying the batch's ACTUAL
+  item_ids (the reference fabricates ids ``i*25+c*25+j`` which can
+  mismatch — survey §7 deviation 6).
+- **Retry** (F7): in-task attempt loop, then an optional driver-level
+  anti-join pass re-enriches residual ids (P8/J4).
+
+Correctness runs use the deterministic stub client (FIXTURES.md §7); the
+real async client is config-swapped behind the same interface.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import REVIEWS, SENTIMENTS
+from ..session import LLM_BATCH_SIZE
+
+# ---------------------------------------------------------------------------
+# Clients — stub (deterministic, offline) and OpenAI-compatible (async)
+# ---------------------------------------------------------------------------
+
+#: Positive tokens used by the deterministic stub sentiment rule
+#: (FIXTURES.md §7: "sentiment = presence of positive token in review").
+POSITIVE_TOKENS = ("great", "excellent", "love", "amazing", "good", "perfect")
+
+
+@dataclass
+class StubLLMClient:
+    """Deterministic offline stand-in for the llama.cpp server.
+
+    ``fail_batches``: 0-based indices of batches (per task) that raise, to
+    exercise the null-fill fallback path (F6) in tests.
+    """
+
+    fail_batches: frozenset[int] = frozenset()
+
+    def classify_sentiments(
+        self, batch: list[dict], batch_index: int
+    ) -> list[dict]:
+        if batch_index in self.fail_batches:
+            raise RuntimeError(f"injected failure for batch {batch_index}")
+        out = []
+        for row in batch:
+            review = (row.get("review") or "").lower()
+            out.append(
+                {
+                    "item_id": row["item_id"],
+                    "sentiment": any(t in review for t in POSITIVE_TOKENS),
+                }
+            )
+        return out
+
+    def generate_reviews(self, batch: list[dict], batch_index: int) -> list[dict]:
+        if batch_index in self.fail_batches:
+            raise RuntimeError(f"injected failure for batch {batch_index}")
+        out = []
+        for row in batch:
+            desc = row.get("description") or ""
+            category = row.get("category") or "general"
+            polarity = "great" if len(desc) % 2 == 0 else "disappointing"
+            out.append(
+                {
+                    "item_id": row["item_id"],
+                    "classification": category.lower(),
+                    "review": f"A {polarity} {category.lower()} item: {desc[:64]}",
+                }
+            )
+        return out
+
+
+class OpenAICompatClient:
+    """Async OpenAI-compatible chat client with strict JSON-schema output
+    (reference data_transformer.py:27-54, enricher.go:73-121).
+
+    Gated behind import-try: the serving stack isn't present in the test
+    container, so construction raises unless ``httpx`` is importable and a
+    base_url is supplied. The interface matches StubLLMClient so the
+    operator is client-agnostic.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        *,
+        timeout_s: float = 60.0,       # reference data_transformer.py:50
+        temperature: float = 0.9,      # reference docker-compose.yml:40
+        api_key: str = "not-needed",
+    ):
+        try:
+            import httpx  # noqa: F401
+        except ImportError as e:  # pragma: no cover - prod-only path
+            raise NotImplementedError(
+                "OpenAICompatClient requires httpx; use StubLLMClient for "
+                "offline/correctness runs"
+            ) from e
+        self.base_url = base_url
+        self.model = model
+        self.timeout_s = timeout_s
+        self.temperature = temperature
+        self.api_key = api_key
+
+    def classify_sentiments(
+        self, batch: list[dict], batch_index: int
+    ) -> list[dict]:  # pragma: no cover - prod-only path
+        import asyncio
+
+        return asyncio.run(self._chat_json(batch, kind="sentiments"))
+
+    def generate_reviews(
+        self, batch: list[dict], batch_index: int
+    ) -> list[dict]:  # pragma: no cover - prod-only path
+        import asyncio
+
+        return asyncio.run(self._chat_json(batch, kind="reviews"))
+
+    async def _chat_json(self, batch, kind):  # pragma: no cover
+        import httpx
+
+        prompt = "\n".join(
+            f"id : {r['item_id']} , review : {r.get('review', r.get('description', ''))}"
+            for r in batch
+        )
+        schema = {
+            "type": "object",
+            "properties": {
+                kind: {
+                    "type": "array",
+                    "minItems": len(batch),
+                    "maxItems": len(batch),
+                    "items": {"type": "object"},
+                }
+            },
+            "required": [kind],
+        }
+        async with httpx.AsyncClient(timeout=self.timeout_s) as client:
+            resp = await client.post(
+                f"{self.base_url}/v1/chat/completions",
+                headers={"Authorization": f"Bearer {self.api_key}"},
+                json={
+                    "model": self.model,
+                    "temperature": self.temperature,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "response_format": {
+                        "type": "json_schema",
+                        "json_schema": {
+                            "name": kind,
+                            "strict": True,
+                            "schema": schema,
+                        },
+                    },
+                },
+            )
+            resp.raise_for_status()
+            import json
+
+            content = resp.json()["choices"][0]["message"]["content"]
+            return json.loads(content)[kind]
+
+
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
+
+
+def _validate_batch(result: list[dict], batch: list[dict], fields: list[str]) -> list[dict]:
+    """F5: strict cardinality + id-set validation (the pydantic
+    ``minItems=25,maxItems=25`` contract, models_schema.py:16-22)."""
+    want = [r["item_id"] for r in batch]
+    got = {r["item_id"]: r for r in result}
+    if len(result) != len(batch) or set(got) != set(want):
+        raise ValueError(
+            f"batch cardinality/id mismatch: want {len(want)} ids, got {len(result)}"
+        )
+    return [{f: got[i].get(f) for f in fields} for i in want]
+
+
+def _enrich_map(
+    client_factory: Callable[[], object],
+    method: str,
+    out_fields: list[str],
+    null_fields: list[str],
+    batch_size: int,
+    max_attempts: int,
+    retry_wait_s: float,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the mapInPandas function. Must be a top-level closure over
+    plain picklable values — the client is constructed INSIDE the task
+    (connection objects don't survive pickling to executors).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        call = getattr(client, method)
+        batch_index = 0
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):  # F1: local re-chunk
+                chunk = pdf.iloc[start : start + batch_size]
+                batch = chunk.to_dict("records")
+                result = None
+                for attempt in range(max_attempts):  # F7: in-task retry
+                    try:
+                        result = _validate_batch(
+                            call(batch, batch_index), batch, out_fields
+                        )
+                        break
+                    except Exception:
+                        if attempt + 1 < max_attempts and retry_wait_s:
+                            time.sleep(retry_wait_s)
+                if result is None:
+                    # F6: null-fill fallback with the batch's ACTUAL ids.
+                    result = [
+                        {
+                            "item_id": r["item_id"],
+                            **{f: None for f in null_fields},
+                        }
+                        for r in batch
+                    ]
+                else:
+                    for r, src in zip(result, batch):
+                        r["item_id"] = src["item_id"]
+                batch_index += 1
+                yield pd.DataFrame(result, columns=["item_id"] + null_fields)
+
+    return fn
+
+
+def enrich_sentiments(
+    items: DataFrame,
+    client_factory: Callable[[], object] = StubLLMClient,
+    *,
+    batch_size: int = LLM_BATCH_SIZE,
+    max_attempts: int = 3,          # reference enricher.go:16-21
+    retry_wait_s: float = 0.0,      # 3.0 in prod; 0 for tests
+) -> DataFrame:
+    """items(item_id, review) → sentiments(item_id, sentiment bool?).
+
+    Project BEFORE the UDF barrier: Python UDF barriers block Catalyst
+    column pruning through them (survey §4.1), so the explicit
+    ``select`` keeps the Arrow exchange at 2 columns.
+    """
+    fn = _enrich_map(
+        client_factory,
+        "classify_sentiments",
+        ["sentiment"],
+        ["sentiment"],
+        batch_size,
+        max_attempts,
+        retry_wait_s,
+    )
+    return items.select("item_id", "review").mapInPandas(fn, SENTIMENTS)
+
+
+def enrich_reviews(
+    items: DataFrame,
+    client_factory: Callable[[], object] = StubLLMClient,
+    *,
+    batch_size: int = LLM_BATCH_SIZE,
+    max_attempts: int = 3,
+    retry_wait_s: float = 0.0,
+) -> DataFrame:
+    """items(item_id, description, category?) → reviews(item_id,
+    classification, review) — the Go review-generation pipeline's LLM stage
+    (enricher.go:140-163)."""
+    cols = [c for c in ("item_id", "description", "category") if c in items.columns]
+    fn = _enrich_map(
+        client_factory,
+        "generate_reviews",
+        ["classification", "review"],
+        ["classification", "review"],
+        batch_size,
+        max_attempts,
+        retry_wait_s,
+    )
+    return items.select(*cols).mapInPandas(fn, REVIEWS)
+
+
+def retry_residuals(
+    items: DataFrame,
+    enriched: DataFrame,
+    enrich_fn: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """P8/J4: driver-level retry pass — anti-join finds items whose ids
+    didn't come back (ollama_client.py:87-95), re-enriches them once, and
+    unions. Left-anti is a broadcast-able join when residuals are rare.
+    """
+    ok = enriched.where(F.col(enriched.columns[-1]).isNotNull())
+    residual = items.join(ok.select("item_id"), "item_id", "left_anti")
+    return ok.unionByName(enrich_fn(residual))
+
+
+# ---------------------------------------------------------------------------
+# Id + pool assignment (P3, P4)
+# ---------------------------------------------------------------------------
+
+
+def assign_item_ids(
+    df: DataFrame, order_by: list[str] | None = None
+) -> DataFrame:
+    """P3: global contiguous 1-based ``item_id`` (reference
+    extractor.go:107-110, ollama_client.py:19-21).
+
+    - ``order_by`` given → ``row_number() OVER (ORDER BY ...)``:
+      deterministic, but a global sort barrier (range exchange). Fine when
+      a stable key exists; this is the oracle-checkable form.
+    - ``order_by=None`` → two-pass zipWithIndex: pass 1 counts rows per
+      partition (tiny), pass 2 adds the per-partition offset. No sort, no
+      single-partition funnel — the 100 TB path (survey §7 decision 2).
+    """
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn("item_id", F.row_number().over(w).cast("long"))
+    rdd = df.rdd.zipWithIndex().map(
+        lambda pair: (*pair[0], pair[1] + 1)
+    )
+    schema = df.schema.add("item_id", "long", False)
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def assign_from_pool(
+    df: DataFrame,
+    pool: list[str],
+    out: str,
+    *,
+    order_by: list[str],
+    seed: int,
+) -> DataFrame:
+    """P4: modulo pool assignment (collector.py:41-86): row i gets
+    ``pool[(i-1) % len(pool)]`` after a seeded permutation of the pool.
+
+    The permutation is applied to the POOL (5k/10k entries, driver-side,
+    seeded ``random.Random`` — deterministic across runs), never to the
+    data; the data side is a pure ``pmod`` on a row number, joined against
+    the broadcast pool table. Survey §7 decision 3: we reproduce the
+    contract (fixed pool, deterministic, ~uniform), not Polars' exact
+    permutation.
+    """
+    import random
+
+    rng = random.Random(seed)
+    permuted = list(pool)
+    rng.shuffle(permuted)
+    spark = df.sparkSession
+    pool_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(permuted)], f"__pool_idx long, {out} string"
+    )
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    with_idx = df.withColumn(
+        "__pool_idx",
+        F.pmod(F.row_number().over(w) - 1, F.lit(len(pool))).cast("long"),
+    )
+    return with_idx.join(F.broadcast(pool_df), "__pool_idx").drop("__pool_idx")
+
+
+def make_user_pool(n: int = 5000, seed: int = 42) -> list[str]:
+    """5,000 deterministic UUID4 user ids (collector.py:22)."""
+    import random
+    import uuid
+
+    rng = random.Random(seed)
+    return [str(uuid.UUID(int=rng.getrandbits(128), version=4)) for _ in range(n)]
+
+
+def make_shop_pool(n: int = 10000) -> list[str]:
+    """10,000 ``shop_{i}`` ids (collector.py:23)."""
+    return [f"shop_{i}" for i in range(n)]

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-conscious defaults.
+
+Defaults are tuned for the test harness (local[N], small SF parquet) but
+every knob is chosen to be the right *shape* for a 1000-executor cluster:
+AQE on (runtime shuffle-partition coalescing + skew-join splitting),
+broadcast threshold explicit, Arrow batching pinned for the enrichment
+operator's 25-row LLM contract (SURVEY.md §2.10 F1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: The reference pins 25-row batches end-to-end into the LLM
+#: (reference config.yaml:22, models_schema.py:19-21, extractor.go:13).
+LLM_BATCH_SIZE = 25
+
+
+def get_spark(
+    app_name: str = "ai-powered-e-commerce-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Respects ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness controls the core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- Adaptive execution: runtime coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- Shuffle sizing: starting point; AQE coalesces down at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Broadcast joins for small dims (region/nation/supplier/pools).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- Arrow for every Python<->JVM exchange (mapInPandas et al.).
+        # NOTE: the 25-row LLM batch contract is enforced by explicit
+        # batch-id grouping inside operators/enrich.py, NOT by shrinking
+        # the global Arrow batch size (which would slow every other
+        # vectorized UDF by 400x).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- Scan sizing: keep file-split partitions memory-friendly.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # -- Timestamps: parquet testdata uses TIMESTAMP_MICROS.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # -- Keep driver logs quiet in tests/bench.
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
