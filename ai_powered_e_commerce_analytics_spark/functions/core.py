@@ -108,11 +108,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
     Empty shingle sets get NULL entries (caller decides policy).
     """
+    # NB: Spark HOF lambdas are arity-sensitive — a default-arg second
+    # param would be treated as a 2-arg lambda — so bind the seed via a
+    # closure factory.
+    def hasher(seed):
+        return lambda s: portable_hash64(s, seed=seed)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, j=j: portable_hash64(s, seed=j + 1))
-            )
+            F.array_min(F.transform(shingles, hasher(j + 1)))
             for j in range(num_hashes)
         ]
     )

@@ -1,0 +1,25 @@
+"""Assembled correctness-query registry (driver contract surface)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .relational import RELATIONAL_SPECS
+from .simsearch import SIMSEARCH_SPECS
+from .spec import QuerySpec
+from .textops import TEXTOPS_SPECS
+
+QUERIES: list[QuerySpec] = RELATIONAL_SPECS + TEXTOPS_SPECS + SIMSEARCH_SPECS
+
+_names = [q.name for q in QUERIES]
+assert len(_names) == len(set(_names)), "duplicate query names in registry"
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark for q in QUERIES}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

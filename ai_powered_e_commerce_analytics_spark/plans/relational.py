@@ -1,0 +1,684 @@
+"""Relational query battery: reference-parity KPIs + general operators.
+
+The reference's domain tables don't exist in the driver testdata, so the
+KPI queries run on the FIXTURES.md §6 mapping: ``orders``/``lineitem`` are
+the priced rows, ``customer``→users, ``supplier``→shops, and the nullable
+LLM ``sentiment`` is derived with a deterministic CASE rule (priority /
+returnflag), exercising the exact same operator graph as the reference's
+sentiment pipeline (avg + null-skipping boolean sums + conditional ratio +
+global min-max normalize; SURVEY.md §2.4-2.5).
+
+All money aggregation uses the exact-cents policy (see spec.py): sums are
+exact long arithmetic, averages are deterministic IEEE divisions of exact
+integers — bit-identical to the DuckDB oracle with no rounding anywhere.
+
+Scale notes are on each query; the common ones:
+- every KPI is ONE groupBy().agg() -> one hash shuffle, map-side combine;
+- global min/max is a 2-row agg broadcast back (no 1-partition window);
+- small dimension sides of joins are broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import likeness_score, with_minmax_normalized
+from .spec import QuerySpec, cents, cents_sql, t
+
+# Deterministic nullable-sentiment rules (stand-ins for LLM output; the
+# null branch mirrors failed LLM batches, data_transformer.py:100).
+# Column objects can't be built at import time (need an active session),
+# so these are thunks.
+def _order_sentiment():
+    return F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(True)
+    ).when(
+        F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), F.lit(False)
+    )
+
+
+def _line_sentiment():
+    return F.when(F.col("l_returnflag") == "N", F.lit(True)).when(
+        F.col("l_returnflag") == "R", F.lit(False)
+    )
+
+
+_ORDER_SENTIMENT_SQL = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN TRUE "
+    "WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN FALSE "
+    "ELSE NULL END"
+)
+_LINE_SENTIMENT_SQL = (
+    "CASE WHEN l_returnflag = 'N' THEN TRUE "
+    "WHEN l_returnflag = 'R' THEN FALSE ELSE NULL END"
+)
+
+
+def _review_kpis_exact(gold: DataFrame, key: str, avg_alias: str) -> DataFrame:
+    """The reference KPI fold (A1/A2+A4+C1+C2) with exact-cents averaging.
+
+    One groupBy().agg() per table (the reference runs two passes + a join,
+    data_transformer.py:113-128 — survey §4.1 flags the missed fusion).
+    """
+    s = F.col("sentiment")
+    agg = gold.groupBy(key).agg(
+        (
+            (F.sum("price_cents").cast("double") / F.count("*")) / 100.0
+        ).alias(avg_alias),
+        F.sum(F.when(s, 1).otherwise(0)).alias("positive_reviews"),
+        F.sum(F.when(~s, 1).otherwise(0)).alias("negative_reviews"),
+    )
+    agg = agg.withColumn(
+        "likeness_score",
+        likeness_score(F.col("positive_reviews"), F.col("negative_reviews")),
+    )
+    return with_minmax_normalized(
+        agg, "likeness_score", "normalized_likeness_score"
+    )
+
+
+_KPI_TAIL_SQL = """
+likeness AS (
+    SELECT *,
+           (positive_reviews / (CASE WHEN negative_reviews > 0
+                                     THEN negative_reviews ELSE 1 END))::DOUBLE
+               AS likeness_score
+    FROM agg
+),
+normed AS (
+    SELECT *,
+           min(likeness_score) OVER () AS mn,
+           max(likeness_score) OVER () AS mx
+    FROM likeness
+)
+"""
+
+_KPI_SELECT_SQL = """
+SELECT {key}, {avg_alias},
+       positive_reviews, negative_reviews,
+       likeness_score,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE (likeness_score - mn) / (mx - mn) END
+           AS normalized_likeness_score
+FROM normed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference KPI parity (A1-A5, C1-C5, J1-J2)
+# ---------------------------------------------------------------------------
+
+
+def user_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"),
+        cents("o_totalprice").alias("price_cents"),
+        _order_sentiment().alias("sentiment"),
+    )
+    return _review_kpis_exact(gold, "id", "average_spent")
+
+
+USER_KPIS_SQL = f"""
+WITH gold AS (
+    SELECT o_custkey AS id, {cents_sql("o_totalprice")} AS price_cents,
+           {_ORDER_SENTIMENT_SQL} AS sentiment
+    FROM orders
+),
+agg AS (
+    SELECT id,
+           (sum(price_cents)::DOUBLE / count(*)) / 100.0 AS average_spent,
+           sum(CASE WHEN sentiment THEN 1 ELSE 0 END)::BIGINT AS positive_reviews,
+           sum(CASE WHEN NOT sentiment THEN 1 ELSE 0 END)::BIGINT AS negative_reviews
+    FROM gold GROUP BY id
+),
+{_KPI_TAIL_SQL}
+{_KPI_SELECT_SQL.format(key="id", avg_alias="average_spent")}
+"""
+
+
+def shop_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("shop_id"),
+        cents("l_extendedprice").alias("price_cents"),
+        _line_sentiment().alias("sentiment"),
+    )
+    return _review_kpis_exact(gold, "shop_id", "average_profit")
+
+
+SHOP_KPIS_SQL = f"""
+WITH gold AS (
+    SELECT l_suppkey AS shop_id, {cents_sql("l_extendedprice")} AS price_cents,
+           {_LINE_SENTIMENT_SQL} AS sentiment
+    FROM lineitem
+),
+agg AS (
+    SELECT shop_id,
+           (sum(price_cents)::DOUBLE / count(*)) / 100.0 AS average_profit,
+           sum(CASE WHEN sentiment THEN 1 ELSE 0 END)::BIGINT AS positive_reviews,
+           sum(CASE WHEN NOT sentiment THEN 1 ELSE 0 END)::BIGINT AS negative_reviews
+    FROM gold GROUP BY shop_id
+),
+{_KPI_TAIL_SQL}
+{_KPI_SELECT_SQL.format(key="shop_id", avg_alias="average_profit")}
+"""
+
+
+def date_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date kept as a STRING group key — reference parity (§2.5 C7).
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"))
+        .agg(
+            (
+                (F.sum(cents("o_totalprice")).cast("double") / F.count("*"))
+                / 100.0
+            ).alias("average_profit_per_day")
+        )
+    )
+
+
+DATE_KPIS_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+       (sum({cents_sql("o_totalprice")})::DOUBLE / count(*)) / 100.0
+           AS average_profit_per_day
+FROM orders GROUP BY 1
+"""
+
+
+def gold_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1: fact LEFT JOIN broadcast(sentiments) — at 100 TB the narrow
+    # 2-column sentiment side broadcasts; the fact side never shuffles.
+    orders = t(spark, sf_dir, "orders")
+    sentiments = orders.select(
+        F.col("o_orderkey").alias("item_id"), _order_sentiment().alias("sentiment")
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("item_id"),
+        "o_custkey",
+        F.col("o_totalprice").alias("price"),
+    ).join(F.broadcast(sentiments), "item_id", "left")
+
+
+GOLD_ENRICHMENT_JOIN_SQL = f"""
+SELECT o.o_orderkey AS item_id, o.o_custkey,
+       o.o_totalprice AS price, s.sentiment
+FROM orders o
+LEFT JOIN (SELECT o_orderkey, {_ORDER_SENTIMENT_SQL} AS sentiment
+           FROM orders) s
+  ON o.o_orderkey = s.o_orderkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8/J4: left-anti residue (retry set difference, ollama_client.py:91).
+    customer, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def acctbal_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C2+A5 standalone: scalable min-max normalize (broadcast agg, §7.9).
+    # min/max are selections of stored doubles and the ratio is one IEEE
+    # expression on identical operands -> raw emit, no rounding.
+    df = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return with_minmax_normalized(df, "c_acctbal", "normalized")
+
+
+ACCTBAL_MINMAX_NORMALIZED_SQL = """
+WITH m AS (SELECT c_custkey, c_acctbal,
+                  min(c_acctbal) OVER () mn, max(c_acctbal) OVER () mx
+           FROM customer)
+SELECT c_custkey, c_acctbal,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE (c_acctbal - mn) / (mx - mn) END AS normalized
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-id / batching / pools (P3, P4, F1 prep)
+# ---------------------------------------------------------------------------
+
+
+def item_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 oracle-checkable form: row_number over a stable key. (The no-sort
+    # zipWithIndex path is operators.enrich.assign_item_ids(order_by=None).)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.row_number()
+        .over(Window.orderBy("o_orderkey"))
+        .cast("long")
+        .alias("item_id"),
+    )
+
+
+ITEM_ID_ASSIGNMENT_SQL = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderkey) AS item_id
+FROM orders
+"""
+
+
+def batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1: the 25-row batch contract as a checkable plan: batch_id =
+    # (rn-1) div 25, then per-batch cardinality (tail batch < 25).
+    rn = F.row_number().over(Window.orderBy("o_orderkey")).cast("long")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", ((rn - 1) / 25).cast("long").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("batch_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
+
+
+BATCH_ASSIGNMENT_SQL = """
+WITH ids AS (
+    SELECT o_orderkey,
+           (row_number() OVER (ORDER BY o_orderkey) - 1) // 25 AS batch_id
+    FROM orders
+)
+SELECT batch_id, count(*)::BIGINT AS batch_rows,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+FROM ids GROUP BY batch_id
+"""
+
+
+def pool_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 modulo pool index (collector.py:41-86); the seeded-pool VALUE
+    # lookup is engine-side (operators.enrich.assign_from_pool) — the
+    # oracle checks the deterministic index contract.
+    rn = F.row_number().over(Window.orderBy("o_orderkey")).cast("long")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(rn - 1, F.lit(5000)).cast("long").alias("user_pool_idx"),
+        F.pmod(rn - 1, F.lit(10000)).cast("long").alias("shop_pool_idx"),
+    )
+
+
+POOL_ASSIGNMENT_SQL = """
+SELECT o_orderkey,
+       (row_number() OVER (ORDER BY o_orderkey) - 1) % 5000 AS user_pool_idx,
+       (row_number() OVER (ORDER BY o_orderkey) - 1) % 10000 AS shop_pool_idx
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops / limits / windows (U1, L2, §2.8 extension)
+# ---------------------------------------------------------------------------
+
+
+def union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1 vertical union — duplicates preserved (reference extend/append).
+    orders = t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F")
+    b = orders.where(F.col("o_totalprice") > 200000)
+    return a.unionByName(b).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+
+
+UNION_ALL_ORDERS_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2/top-k. Stored doubles are bit-identical in both engines, so raw
+    # ordering + unique-key tiebreak is deterministic. Spark compiles
+    # orderBy+limit to TakeOrderedAndProject (per-partition heap + merge,
+    # no global sort).
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+TOP100_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice AS price
+FROM orders ORDER BY price DESC, o_orderkey LIMIT 100
+"""
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking window (beyond-reference §2.8): top-3 orders per customer.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+    )
+
+
+TOP3_ORDERS_PER_CUSTOMER_SQL = """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice AS price,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (scan/agg/join muscle; bench headliners)
+# ---------------------------------------------------------------------------
+# Exact-cents decomposition: l_extendedprice/l_discount/l_tax are
+# 2-decimal, so price*(1-disc) is an exact 4-decimal integer and
+# price*(1-disc)*(1+tax) an exact 6-decimal integer — long sums are exact
+# (q1 charge at sf0.1: ~6e16 << 2^63) and the final divisions are
+# deterministic. No float accumulation anywhere.
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")          # discount in hundredths (0..100)
+    tc = cents("l_tax")
+    qty = F.round("l_quantity").cast("long")  # quantities are integers
+    n = F.count("*")
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        pc.alias("pc"),
+        (pc * (100 - dc)).alias("disc_e4"),
+        (pc * (100 - dc) * (100 + tc)).alias("charge_e6"),
+        dc.alias("dc"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        (F.sum("pc").cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum("disc_e4").cast("double") / 1e4).alias("sum_disc_price"),
+        (F.sum("charge_e6").cast("double") / 1e6).alias("sum_charge"),
+        (F.sum("qty").cast("double") / n).alias("avg_qty"),
+        ((F.sum("pc").cast("double") / n) / 100.0).alias("avg_price"),
+        ((F.sum("dc").cast("double") / n) / 100.0).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+TPCH_Q1_SQL = f"""
+WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           round(l_quantity)::BIGINT AS qty,
+           {cents_sql("l_extendedprice")} AS pc,
+           {cents_sql("l_discount")} AS dc,
+           {cents_sql("l_tax")} AS tc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty)::BIGINT AS sum_qty,
+       sum(pc)::DOUBLE / 100.0 AS sum_base_price,
+       sum(pc * (100 - dc))::DOUBLE / 1e4 AS sum_disc_price,
+       sum(pc * (100 - dc) * (100 + tc))::DOUBLE / 1e6 AS sum_charge,
+       sum(qty)::DOUBLE / count(*) AS avg_qty,
+       (sum(pc)::DOUBLE / count(*)) / 100.0 AS avg_price,
+       (sum(dc)::DOUBLE / count(*)) / 100.0 AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer (small, broadcast) ⋈ orders ⋈ lineitem; one shuffle on
+    # o_orderkey for the join+agg; top-10 via TakeOrdered.
+    customer = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    disc_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum(disc_e4).cast("double") / 1e4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       sum({cents_sql("l_extendedprice")} * (100 - {cents_sql("l_discount")}))::DOUBLE / 1e4
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-table join; all dims broadcast (region/nation/customer/supplier
+    # are tiny), so lineitem⋈orders is the only shuffle join.
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    disc_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(disc_e4).cast("double") / 1e4).alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name,
+       sum({cents_sql("l_extendedprice")} * (100 - {cents_sql("l_discount")}))::DOUBLE / 1e4
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (streaming-flavored semantics as batch-checkable queries)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST4 extension: tumbling 1h window as a batch groupBy — the streaming
+    # twin (streaming/jobs.py) uses window()+watermark; same fold.
+    # ts arrives as long ns (see spec.t); DIV 1000 → exact µs.
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+            (
+                (F.sum(cents("value")).cast("double") / F.count("*")) / 100.0
+            ).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_ROLLUP_SQL = f"""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*)::BIGINT AS n_events,
+       sum({cents_sql("value")})::DOUBLE / 100.0 AS sum_value,
+       (sum({cents_sql("value")})::DOUBLE / count(*)) / 100.0 AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sessionization via gap rule (30 min): lag + conditional count.
+    # Gap arithmetic in exact integer MICROSECONDS on both engines — no
+    # float near the threshold. The stateful-streaming twin is in
+    # streaming/jobs.py; this is the deterministic batch formulation.
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    )
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+EVENTS_USER_SESSIONS_SQL = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+    FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT
+           AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON path extraction from the props column (semi-structured scan).
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
+        )
+    )
+
+
+EVENTS_PROPS_EXTRACT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END)::BIGINT AS n_big_k
+FROM events GROUP BY event_type
+"""
+
+
+RELATIONAL_SPECS = [
+    QuerySpec("user_kpis", user_kpis, USER_KPIS_SQL, ("A2", "A4", "C1", "C2", "A5")),
+    QuerySpec("shop_kpis", shop_kpis, SHOP_KPIS_SQL, ("A1", "A4", "C1", "C2")),
+    QuerySpec("date_kpis", date_kpis, DATE_KPIS_SQL, ("A3", "C7")),
+    QuerySpec(
+        "gold_enrichment_join",
+        gold_enrichment_join,
+        GOLD_ENRICHMENT_JOIN_SQL,
+        ("J1", "F8"),
+    ),
+    QuerySpec(
+        "customers_without_orders",
+        customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+        ("J4", "P8"),
+    ),
+    QuerySpec(
+        "acctbal_minmax_normalized",
+        acctbal_minmax_normalized,
+        ACCTBAL_MINMAX_NORMALIZED_SQL,
+        ("C2", "A5"),
+    ),
+    QuerySpec("item_id_assignment", item_id_assignment, ITEM_ID_ASSIGNMENT_SQL, ("P3",)),
+    QuerySpec("batch_assignment", batch_assignment, BATCH_ASSIGNMENT_SQL, ("F1",)),
+    QuerySpec("pool_assignment", pool_assignment, POOL_ASSIGNMENT_SQL, ("P4",)),
+    QuerySpec("union_all_orders", union_all_orders, UNION_ALL_ORDERS_SQL, ("U1",)),
+    QuerySpec("top100_orders", top100_orders, TOP100_ORDERS_SQL, ("L2",)),
+    QuerySpec(
+        "top3_orders_per_customer",
+        top3_orders_per_customer,
+        TOP3_ORDERS_PER_CUSTOMER_SQL,
+        ("window-rank",),
+    ),
+    QuerySpec("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_SQL, ("A1-A5",)),
+    QuerySpec("tpch_q3_shipping_priority", tpch_q3_shipping_priority, TPCH_Q3_SQL, ("J1", "L2")),
+    QuerySpec("tpch_q5_local_supplier_volume", tpch_q5_local_supplier_volume, TPCH_Q5_SQL, ("J1",)),
+    QuerySpec("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ROLLUP_SQL, ("ST4",)),
+    QuerySpec("events_user_sessions", events_user_sessions, EVENTS_USER_SESSIONS_SQL, ("ST4", "window")),
+    QuerySpec("events_props_extract", events_props_extract, EVENTS_PROPS_EXTRACT_SQL, ("semi-structured",)),
+]

@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table (beyond-reference).
+
+Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
+bucketing is the scale path (bucket-join ANN). All arithmetic is cast to
+double on BOTH engines before any dot product — the raw column is
+float32, and float-precision products would make 6-decimal rounding
+unstable across engines.
+
+Scale design:
+- norms are precomputed per row (one map) and carried through the join,
+  never recomputed per pair;
+- the query side of top-k is broadcast (k queries vs N corpus rows →
+  corpus never shuffles);
+- LSH bucket assignment is a per-row map against literal plane vectors
+  (generated deterministically driver-side and inlined into both the
+  Spark plan and the oracle SQL); the bucket self-join shuffles only
+  (bucket, vec_id, emb) — the ANN answer set without the N² pair blowup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .spec import QuerySpec, t
+
+EMBED_DIM = 64
+KNN_QUERIES = 10       # vec_id < 10 are the query vectors
+KNN_K = 5
+COSINE_DUP_THRESHOLD = 0.4   # yields a stable near-dup set at sf0.01
+LSH_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    df = t(spark, sf_dir, "embeddings").select("vec_id", "label", emb)
+    return df.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+_EMB_SQL = "SELECT vec_id, label, embedding::DOUBLE[] AS emb, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings"
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random planes from md5 — identical constants
+    are inlined into the Spark plan and the oracle SQL."""
+    planes = []
+    for j in range(LSH_PLANES):
+        row = []
+        for d in range(EMBED_DIM):
+            h = int(hashlib.md5(f"p{j}_{d}".encode()).hexdigest()[:15], 16)
+            row.append(h % 1000 / 1000.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _bucket_col(emb: Column) -> Column:
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(
+            _dot(emb, plane_lit) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def _bucket_sql(emb_expr: str) -> str:
+    planes = _hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb_expr}, {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", "label", F.round("norm", 6).alias("l2_norm")
+    )
+
+
+EMBEDDING_NORMS_SQL = f"""
+SELECT vec_id, label, round(norm, 6) AS l2_norm FROM ({_EMB_SQL})
+"""
+
+
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact top-k: broadcast the k query rows against the corpus; rank on
+    # ROUNDED cosine + vec_id tiebreak for cross-engine determinism.
+    base = _emb(spark, sf_dir)
+    q = base.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+    )
+
+
+EMBEDDING_KNN_SQL = f"""
+WITH e AS ({_EMB_SQL}),
+p AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.emb, n.emb) / (q.norm * n.norm), 6) AS cosine
+    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < {KNN_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine,
+       rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM p
+) WHERE rank <= {KNN_K}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup pairs (all-pairs exact form — the LSH
+    # bucket join below is the candidate-pruned scale path).
+    base = _emb(spark, sf_dir)
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS ({_EMB_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", _bucket_col(F.col("emb")).alias("bucket")
+    )
+
+
+EMBEDDING_LSH_BUCKETS_SQL = f"""
+SELECT vec_id, {_bucket_sql("emb")} AS bucket FROM ({_EMB_SQL})
+"""
+
+
+def simsearch_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN via bucket co-membership: candidate pairs share an LSH bucket;
+    # exact cosine is computed only for bucket-mates (~N²/2^planes work).
+    base = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("emb")))
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cos.alias("cosine"),
+        )
+    )
+
+
+SIMSEARCH_LSH_BUCKET_JOIN_SQL = f"""
+WITH e AS ({_EMB_SQL}),
+eb AS (SELECT *, {_bucket_sql("emb")} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+SIMSEARCH_SPECS = [
+    QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
+    QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, ("dedup-embedding",)),
+    QuerySpec("embedding_lsh_buckets", embedding_lsh_buckets, EMBEDDING_LSH_BUCKETS_SQL, ("ann-lsh",)),
+    QuerySpec("simsearch_lsh_bucket_join", simsearch_lsh_bucket_join, SIMSEARCH_LSH_BUCKET_JOIN_SQL, ("ann-lsh-join",)),
+]

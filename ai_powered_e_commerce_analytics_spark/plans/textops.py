@@ -1,0 +1,415 @@
+"""Text-analysis + deduplication battery over the ``documents`` table.
+
+Beyond-reference training-data-pipeline operators (BASELINE.json north
+star): exact dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram
+Jaccard, language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Everything is pure Column expressions (whole-stage
+codegen; zero Python in the hot path) built on the portable md5-based
+hash so DuckDB oracles can replay the exact values.
+
+Scale design:
+- Shingling/minhash/simhash are per-row maps over an array column — no
+  explode, no shuffle; 100 TB of documents costs one scan.
+- Near-dup candidate generation is LSH band-bucketing: shuffle keyed on
+  (band, signature) touches ~rows x bands narrow rows, then exact
+  verification runs only on bucket-mates. The all-pairs Jaccard query
+  exists as the small-data oracle/verifier; LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import jaccard, portable_hash64, tokens, word_shingles
+from ..functions.core import portable_hash64_sql
+from .spec import QuerySpec, t
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.1   # yields the planted near-dup pairs at sf0.01
+MINHASH_HASHES = 12
+LSH_BANDS = 3             # 12 hashes -> 3 bands x 4 rows
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(len({_TOKS_SQL}) - {SHINGLE_K - 1}), "
+    "i -> "
+    + " || ' ' || ".join(f"{_TOKS_SQL}[i + {k + 1}]" for k in range(SHINGLE_K))
+    + "))"
+)
+
+
+def _doc_shingles(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.array_distinct(word_shingles("text", SHINGLE_K)).alias("sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+    stop_ratio = stop_hits.cast("double") / n
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n.alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+            ).cast("double")
+            / n
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        # exact-integer-derived doubles multiply bit-identically -> raw emit
+        (F.least(F.lit(1.0), n / F.lit(100.0)) * (1 - stop_ratio)).alias(
+            "quality_score"
+        ),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH s AS (SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, n_chars::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+       list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+           AS avg_token_len,
+       len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks)
+           AS stopword_ratio,
+       least(1.0, len(toks) / 100.0)
+             * (1 - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
+           AS quality_score
+FROM s
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stopword-vote language ID. The synthetic corpus shares one
+    # vocabulary across langs, so this is operator plumbing (deterministic
+    # scoring + argmax), not a real classifier — swap marker lists for
+    # real per-language stopword tables in production.
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    en_ratio = F.size(F.filter(toks, lambda x: x.isin("the", "a"))) / n
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        en_ratio.alias("en_score"),
+        F.when(en_ratio > 0.02, F.lit("en")).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+        (
+            F.when(en_ratio > 0.02, F.lit("en")).otherwise(F.lit("und"))
+            == F.col("lang")
+        ).alias("is_match"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           len(list_filter({_TOKS_SQL}, x -> x IN ('the','a')))::DOUBLE
+               / len({_TOKS_SQL}) AS en_ratio
+    FROM documents
+)
+SELECT doc_id, lang, en_ratio AS en_score,
+       CASE WHEN en_ratio > 0.02 THEN 'en' ELSE 'und' END AS predicted_lang,
+       (CASE WHEN en_ratio > 0.02 THEN 'en' ELSE 'und' END) = lang AS is_match
+FROM s
+"""
+
+
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.size(tokens("text")).cast("long")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            (F.sum("n").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len({_TOKS_SQL}))::BIGINT AS total_tokens,
+       sum(len({_TOKS_SQL}))::DOUBLE / count(*) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical fingerprint: md5 of whitespace-normalized lowercase text,
+    # plus a 64-bit prefix hash (first-SHINGLE_K-tokens rolling key).
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    prefix = F.concat_ws(" ", F.slice(tokens("text"), 1, SHINGLE_K))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        portable_hash64(prefix).alias("prefix_hash"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       {portable_hash64_sql(f"array_to_string(list_slice({_TOKS_SQL}, 1, {SHINGLE_K}), ' ')")}
+           AS prefix_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup = hash-groupBy on the canonical fingerprint; keep the
+    # min doc_id as representative. One shuffle on a 32-byte key.
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS representative_doc_id,
+       count(*)::BIGINT AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All-pairs n-gram Jaccard >= tau. Quadratic — this is the exact
+    # verifier / small-data path; dedup_minhash_lsh is the scale path
+    # whose candidates are a superset of these pairs w.h.p.
+    sh = _doc_shingles(t(spark, sf_dir, "documents"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(a.sh || b.sh)) END AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, j AS jaccard
+FROM p WHERE j >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding (shingle→minhash→band→bucket-join→verify).
+
+    Plan shape (the 100 TB path):
+      1. per-row: shingles + MINHASH_HASHES minhashes (map only),
+      2. explode to LSH_BANDS narrow (band, sig, doc_id) rows,
+      3. self-join on (band, sig) — the ONLY shuffle, keyed on buckets,
+      4. exact-Jaccard verify on the (rare) bucket-mates, dedup pairs.
+    """
+    docs = _doc_shingles(t(spark, sf_dir, "documents")).where(F.size("sh") > 0)
+    rows_per_band = MINHASH_HASHES // LSH_BANDS
+    def hasher(seed):
+        return lambda s: portable_hash64(s, seed=seed)
+
+    sig = docs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.array_min(
+                        F.transform(F.col("sh"), hasher(b * rows_per_band + r + 1))
+                    )
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"band{b}")
+            for b in range(LSH_BANDS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
+            "band", "band_sig"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _minhash_sql(col: str, j: int) -> str:
+    return (
+        f"list_min(list_transform({col}, s -> "
+        + portable_hash64_sql("s", seed=j + 1)
+        + "))"
+    )
+
+
+_ROWS_PER_BAND = MINHASH_HASHES // LSH_BANDS
+_BAND_SIGS_SQL = ", ".join(
+    "("
+    + " || '_' || ".join(
+        _minhash_sql("sh", b * _ROWS_PER_BAND + r) for r in range(_ROWS_PER_BAND)
+    )
+    + f") AS band{b}"
+    for b in range(LSH_BANDS)
+)
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+sig AS (SELECT doc_id, sh, {_BAND_SIGS_SQL} FROM sh),
+bands AS (
+    SELECT doc_id, sh, u.band,
+           CASE u.band {" ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS))} END AS band_sig
+    FROM sig CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) u
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+                ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / len(list_distinct(sa.sh || sb.sh)) END AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_col():
+    # The bit loop is unrolled in Python (shift amounts must be literal
+    # ints for shiftright/shiftleft) — still one pure Column expression.
+    hashes = F.transform(
+        F.array_distinct(tokens("text")), lambda x: portable_hash64(x)
+    )
+    def vote(j):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_votes = [
+        F.when(
+            F.aggregate(hashes, F.lit(0).cast("long"), vote(j)) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    ]
+    total = bit_votes[0]
+    for v in bit_votes[1:]:
+        total = total + v
+    return total.cast("long")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signature from token-hash bit votes
+    (Charikar '02), pairs at Hamming distance <= 3 via XOR+popcount.
+
+    Per-row signature is a pure map; the pair stage here is all-pairs
+    (fine at sf); at 100 TB candidates come from banding the signature
+    bits exactly like the MinHash LSH above.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _simhash_col().alias("simhash")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+_SIMHASH_SQL_COL = (
+    "list_sum(list_transform(range("
+    + str(SIMHASH_BITS)
+    + "), j -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
+    "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH hs0 AS (
+    SELECT doc_id,
+           list_transform(list_distinct({_TOKS_SQL}), x -> {portable_hash64_sql("x")}) AS hs
+    FROM documents
+),
+sig AS (SELECT doc_id, {_SIMHASH_SQL_COL} AS simhash FROM hs0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+TEXTOPS_SPECS = [
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
+    QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
+    QuerySpec("token_stats_by_source", token_stats_by_source, TOKEN_STATS_SQL, ("token-count",)),
+    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, ("fingerprint",)),
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, ("dedup-exact",)),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("dedup-simhash",)),
+]

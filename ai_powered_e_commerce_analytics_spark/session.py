@@ -54,7 +54,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- Scan sizing: keep file-split partitions memory-friendly.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # -- Timestamps: parquet testdata uses TIMESTAMP_MICROS.
+        # -- Timestamps: events.parquet uses TIMESTAMP(NANOS), which Spark
+        # refuses by default; read as raw long ns (values are µs-precision,
+        # so ts DIV 1000 is lossless — see plans/relational.py events ops).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # -- Keep driver logs quiet in tests/bench.
