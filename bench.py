@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion through the ``noop`` sink — unlike
+``count()``, which lets Catalyst prune every projection column and would
+measure map-only queries as a bare scan — and timed wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
+# KPI fold (user/shop/date), window (sessions, top3), text map+LSH join
+# (minhash), hash dedup, ANN (knn brute force + LSH bucket join).
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "user_kpis",
+    "shop_kpis",
+    "date_kpis",
+    "events_hourly_rollup",
+    "events_user_sessions",
+    "top3_orders_per_customer",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_knn_bruteforce",
+    "simsearch_lsh_bucket_join",
+]
+
+
+def main() -> None:
+    from ai_powered_e_commerce_analytics_spark.plans import query_map
+    from ai_powered_e_commerce_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = query_map()
+
+    def run(name: str) -> None:
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch JIT/IO noise.
+    run("tpch_q1_pricing_summary")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        run(name)
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
