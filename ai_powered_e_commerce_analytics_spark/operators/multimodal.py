@@ -1,0 +1,141 @@
+"""Multimodal column operators (beyond-reference; BASELINE.json north star).
+
+Media payloads are opaque ``binary`` columns with typed metadata
+(schemas.MEDIA_ASSET). The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, UDF signatures — is real and tested; the actual codec
+work is STUBBED because the container ships no image/audio libraries:
+
+- ``decode= "strict"``  -> NotImplementedError surfaces per-row (the
+  production path would call PIL/torchaudio/PyAV here),
+- ``decode= "fake"``    -> deterministic bytes-derived features, so the
+  distributed plumbing is testable end-to-end offline.
+
+Scale notes: media rows are wide (MBs of binary); operators use
+``mapInPandas`` with small Arrow batches to bound executor memory, never
+collect, and keep metadata-only projections binary-free so Parquet column
+pruning skips the payload entirely for metadata queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Keep Arrow batches small: rows carry megabyte-scale payloads.
+MEDIA_BATCH_ROWS = 32
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), nullable=False),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), nullable=False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic bytes→vector stand-in for a real encoder."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(assets: DataFrame, *, decode: str = "fake") -> DataFrame:
+    """media(binary) → feature vectors via Arrow-batched mapInPandas.
+
+    Projection keeps only (asset_id, media_type, content) so column
+    pruning drops unused metadata before the Python exchange.
+    """
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real media decoding requires PIL/torchaudio/PyAV; "
+                    "not available in this environment (use decode='fake')"
+                )
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": [
+                        _fake_feature(c) for c in pdf["content"].tolist()
+                    ],
+                    "n_bytes": [
+                        len(c) if c is not None else 0
+                        for c in pdf["content"].tolist()
+                    ],
+                }
+            )
+            yield out
+
+    slim = assets.select("asset_id", "media_type", "content")
+    return slim.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, *, every_ms: int = 1000, decode: str = "fake"
+) -> DataFrame:
+    """video(binary) → sampled frames (UDTF shape: 1 row → N rows).
+
+    The fake decoder emits one deterministic pseudo-frame per sampled
+    timestamp, sliced from the payload — exercising the real fan-out
+    schema (duration-driven row explosion) without a codec.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real frame decoding requires PyAV; use decode='fake'"
+                )
+            rows = []
+            for asset_id, content, duration in zip(
+                pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                duration = int(duration or 0)
+                payload = content or b""
+                for i, ms in enumerate(range(0, duration, every_ms)):
+                    lo = (i * 16) % max(len(payload), 1)
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": i,
+                            "frame_ms": ms,
+                            "frame": payload[lo : lo + 16],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_ms", "frame"]
+            )
+
+    slim = assets.select("asset_id", "content", "duration_ms")
+    return slim.mapInPandas(fn, FRAMES_SCHEMA)
+
+
+def media_metadata_stats(assets: DataFrame) -> DataFrame:
+    """Metadata-only rollup — stays binary-free end-to-end: the content
+    column never leaves the Parquet scan (check ReadSchema in explain)."""
+    return assets.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+    )

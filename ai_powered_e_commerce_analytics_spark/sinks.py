@@ -1,0 +1,167 @@
+"""Sinks (SURVEY.md §2.1 S6-S10).
+
+The reference's sinks are HTTP uploads to Supabase storage (JSON files)
+and PostgREST keyed upserts. Spark-first equivalents:
+
+- S6 gold snapshot  -> timestamped JSON dir write
+- S7 silver chunks  -> ``maxRecordsPerFile`` (replaces the hand-rolled
+  50,000-row chunker + upload waves, loader.go:65-113)
+- S8 KPI upsert     -> keyed MERGE. Delta Lake isn't available in this
+  container, so the upsert is a parquet-backed read-union-dedupe-rewrite
+  with last-writer-wins per key — the same observable semantics as the
+  reference's ``on_conflict`` upsert (data_loader.py:54-60). The module
+  is structured so a Delta ``MERGE INTO`` drops in behind the same
+  function signature when delta-spark is on the classpath.
+- S10 bronze append -> plain JSON append with timestamped subdirs.
+
+Scale notes: the upsert rewrite is partitioned by key-hash bucket so a
+100 TB table only rewrites buckets that received updates; Delta/Iceberg
+MERGE is the production path and noted inline.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def write_gold_snapshot(df: DataFrame, gold_dir: str, *, fmt: str = "json") -> str:
+    """S6: gold snapshot as ``gold/final_data_{ts}`` (data_loader.py:22-35).
+
+    The reference serializes the whole frame to ONE json file; we keep a
+    timestamped directory and let Spark write one file per partition —
+    coalesce(1) would funnel 100 TB through one task. Parity on naming,
+    not on single-file-ness (recorded deviation).
+    """
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    path = f"{gold_dir}/final_data_{ts}"
+    df.write.mode("error").format(fmt).save(path)
+    return path
+
+
+def write_silver_chunks(
+    df: DataFrame, silver_dir: str, *, max_records_per_file: int = 50_000
+) -> str:
+    """S7: chunked silver write — ``maxRecordsPerFile`` is the declarative
+    twin of the Go 50k-row chunker (loader.go:111) with upload waves
+    (loader.go:92-106); Spark writes files concurrently per task."""
+    path = f"{silver_dir}/processed_data_{int(time.time())}"
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )
+    return path
+
+
+def write_bronze_batch(df: DataFrame, bronze_new_dir: str) -> str:
+    """S10: collector upload ``bronze/new/{iso-ts}_{uuid}.json``
+    (collector.py:89-99) — one timestamped subdir per batch."""
+    ts = time.strftime("%Y-%m-%dT%H-%M-%S")
+    path = f"{bronze_new_dir}/{ts}_{uuid.uuid4()}"
+    df.write.mode("error").json(path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# S8: keyed upsert (MERGE)
+# ---------------------------------------------------------------------------
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    key: str,
+    *,
+    num_buckets: int = 64,
+) -> None:
+    """Keyed upsert into a parquet table: last-writer-wins per ``key``
+    (reference PostgREST ``upsert(records, on_conflict=key)``,
+    data_loader.py:54-60).
+
+    Implementation: hash-bucket the table by key so only buckets touched
+    by this batch are rewritten; within a touched bucket, new rows win
+    over existing rows on the same key.
+
+    100 TB note: this is the no-dependency fallback. With delta-spark on
+    the classpath the body becomes::
+
+        DeltaTable.forPath(spark, table_path).alias("t")
+          .merge(updates.alias("u"), f"t.{key} = u.{key}")
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+    which gets file-level skipping + ACID for free. The bucket layout
+    below bounds the rewrite to (touched buckets / num_buckets) of the
+    table, which is the same asymptotic behavior.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+    updates = updates.withColumn("__bucket", bucket)
+
+    try:
+        existing = spark.read.parquet(table_path)
+        have_existing = True
+    except Exception:
+        have_existing = False
+
+    if not have_existing:
+        (
+            updates.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(table_path)
+        )
+        return
+
+    touched = [r[0] for r in updates.select("__bucket").distinct().collect()]
+    old = spark.read.parquet(table_path).where(F.col("__bucket").isin(touched))
+    # Last-writer-wins: updates rank before existing rows per key.
+    merged = (
+        updates.withColumn("__rank", F.lit(0))
+        .unionByName(old.withColumn("__rank", F.lit(1)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy("__rank")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rank", "__rn")
+    )
+    # Rewrite only the touched buckets (dynamic partition overwrite).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read back an upsert table, dropping the bucket bookkeeping column."""
+    return spark.read.parquet(table_path).drop("__bucket")
+
+
+def upsert_kpi_tables(
+    spark: SparkSession,
+    kpis: dict[str, DataFrame],
+    base_dir: str,
+    keys: dict[str, str] | None = None,
+) -> None:
+    """M2: the reference upserts the three KPI tables concurrently
+    (data_loader.py:63-65); Spark jobs already parallelize internally, so
+    these run sequentially driver-side — table/key triples from
+    main.py:53-55."""
+    keys = keys or {"user_kpis": "id", "shop_kpis": "shop_id", "date_kpis": "date"}
+    for name, df in kpis.items():
+        upsert_parquet(spark, df, f"{base_dir}/{name}", keys[name])

@@ -1,0 +1,299 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 ST1-ST4).
+
+The reference is batch-with-polling: the collector accumulates API pulls
+and flushes JSON files (ST1), downstream stages poll bucket folders in
+created_at order, decrement per-file row budgets as LLM batches complete,
+and move consumed files to a processed folder with retry-on-failure
+(ST2/ST3 — ~90 lines of bookkeeping across data_transformer.py:77-96,
+data_loader.py:38-51, extractor.go:22-60, loader.go:116-154).
+
+On Spark ALL of that bookkeeping is the streaming file source: checkpoint
+tracking gives exactly-once file consumption (ST2), restart-safe progress
+(ST3), and ``cleanSource=archive`` replaces the manual move. Each job
+supports ``trigger(availableNow=True)`` for batch-parity runs (process
+everything pending, then stop).
+
+ST4: the reference has no event-time semantics (per-date KPIs are string
+keys upserted per run, late rows silently rewrite the date's row). Parity
+is the foreachBatch+upsert path; ``events_hourly_stream`` is the
+documented extension with real watermarks, and ``sessionize_stream`` the
+custom stateful operator (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.enrich import (
+    StubLLMClient,
+    assign_item_ids,
+    enrich_reviews,
+    enrich_sentiments,
+)
+from ..operators.kpis import all_kpis, gold_join
+from ..schemas import BRONZE_PRODUCTS, GOLD_FINAL, SILVER_REVIEWS
+from ..sinks import upsert_kpi_tables, write_silver_chunks
+
+
+def _file_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    *,
+    archive_dir: str | None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """FIFO file-queue source (ST2) with archival commit (ST3).
+
+    ``latestFirst=false`` (default) preserves the reference's
+    created_at-ascending consumption order (data_extractor.py:33-37);
+    ``cleanSource=archive`` is the exactly-once replacement for the
+    manual move-with-retry (data_loader.py:38-51).
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.json")  # drops .emptyFolderPlaceholder
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    return reader.json(src_dir)
+
+
+def bronze_to_silver_stream(
+    spark: SparkSession,
+    bronze_new_dir: str,
+    silver_dir: str,
+    checkpoint_dir: str,
+    *,
+    archive_dir: str | None = None,
+    client_factory: Callable[[], object] = StubLLMClient,
+    available_now: bool = True,
+):
+    """The Go review-generation pipeline (survey §3.2) as one streaming
+    job: bronze JSON files → item_id assignment → LLM review generation →
+    merge → 50k-chunked silver JSON (loader.go:109-113).
+    """
+    bronze = _file_stream(
+        spark, bronze_new_dir, BRONZE_PRODUCTS, archive_dir=archive_dir
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # P5 empty-guard (main.py:37-50)
+            return
+        # Per-micro-batch 1-based ids — the reference's ids are per-run
+        # (extractor.go:107-110); one micro-batch == one reference run.
+        items = assign_item_ids(batch, order_by=["date", "product_name", "price"])
+        reviews = enrich_reviews(items, client_factory)
+        silver = items.join(reviews, "item_id")  # J3 (inner, loader.go:30-62)
+        write_silver_chunks(silver, silver_dir)
+
+    writer = bronze.writeStream.option("checkpointLocation", checkpoint_dir)
+    writer = writer.foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def silver_to_gold_stream(
+    spark: SparkSession,
+    silver_dir: str,
+    gold_dir: str,
+    kpi_dir: str,
+    checkpoint_dir: str,
+    *,
+    archive_dir: str | None = None,
+    client_factory: Callable[[], object] = StubLLMClient,
+    available_now: bool = True,
+):
+    """The Python ETL pipeline (survey §3.1) as one streaming job:
+    silver files → sentiment LLM → gold left join → 3 KPI upserts + gold
+    snapshot. Idempotent keyed MERGE makes replays safe (ST3/ST4 parity:
+    late rows rewrite their key's row, exactly like the reference's
+    on_conflict upsert)."""
+    silver = _file_stream(
+        spark, silver_dir, SILVER_REVIEWS, archive_dir=archive_dir
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sentiments = enrich_sentiments(batch, client_factory)
+        gold = gold_join(batch, sentiments).cache()
+        try:
+            upsert_kpi_tables(spark, all_kpis(gold), kpi_dir)
+            gold.write.mode("append").json(f"{gold_dir}/batch_{batch_id}")
+        finally:
+            gold.unpersist()
+
+    writer = silver.writeStream.option("checkpointLocation", checkpoint_dir)
+    writer = writer.foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def events_hourly_stream(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST4 extension: tumbling 1-hour event-time window with a watermark
+    (late-data policy the reference lacks). ``events`` must carry a
+    timestamp column ``ts_utc``; batch twin: plans/relational.py
+    events_hourly_rollup."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("last_seen_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches the batch query
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: gap-based session windows per user.
+
+    The deterministic batch twin is plans/relational.py
+    events_user_sessions; this is the streaming form with explicit state
+    (survey §2.9 note: applyInPandasWithState for custom stateful ops).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start_us": start,
+                    "session_end_us": last,
+                    "n_events": n,
+                }
+            ]
+        )
+        return
+
+    ts = sorted(
+        int(v) for pdf in pdfs for v in pdf["ts_us"].tolist()
+    )
+    closed = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    for v in ts:
+        if last is not None and v - last > SESSION_GAP_US:
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "session_start_us": start,
+                    "session_end_us": last,
+                    "n_events": n,
+                }
+            )
+            start, n = v, 0
+        if start is None:
+            start = v
+        last = v
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions after 1h
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization over a stream of (user_id, ts_us) rows —
+    ``applyInPandasWithState`` custom stateful operator."""
+    return (
+        events.select("user_id", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def collector_stream(
+    spark: SparkSession,
+    fetch_batch: Callable[[int], list[dict]],
+    bronze_new_dir: str,
+    checkpoint_dir: str,
+    *,
+    rows_per_second: int = 10,
+    pulls_per_file: int = 10,
+    available_now: bool = False,
+):
+    """ST1: the collector loop (collector.py:110-128) as a streaming job.
+
+    The reference polls an HTTP API; here a rate source drives the
+    cadence and ``fetch_batch(n)`` performs the pull (driver-side, like
+    the reference), with pool enrichment applied in the batch body and
+    one bronze file per ``pulls_per_file`` accumulated pulls.
+    """
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        n = batch.count()
+        if n == 0:
+            return
+        rows = fetch_batch(n)
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, BRONZE_PRODUCTS)
+        df.write.mode("append").json(f"{bronze_new_dir}/pull_{batch_id}")
+
+    writer = (
+        rate.writeStream.option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{pulls_per_file} seconds")
+        .foreachBatch(process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

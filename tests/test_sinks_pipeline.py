@@ -1,0 +1,158 @@
+"""Sinks (S6-S10), batch pipelines (M1-M3), multimodal plumbing."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_powered_e_commerce_analytics_spark.pipeline import (
+    EngineConfig,
+    run_collector,
+    run_etl_pipeline,
+    run_review_pipeline,
+)
+from ai_powered_e_commerce_analytics_spark.schemas import GOLD_FINAL, SILVER_REVIEWS
+from ai_powered_e_commerce_analytics_spark.sinks import (
+    read_upsert_table,
+    upsert_parquet,
+    write_silver_chunks,
+)
+
+
+def _bronze_rows(n, date_prefix="2026-07"):
+    return [
+        {
+            "product_name": f"Product_{i % 40}",
+            "price": round(1.0 + (i * 7.3) % 499, 2),
+            "quantity": 1 + i % 20,
+            "category": ["Electronics", "Food", "Clothing"][i % 3],
+            "description": f"A useful item number {i}",
+            "availability": i % 10 != 0,
+            "discount_percentage": float(i % 50),
+            "date": f"{date_prefix}-{1 + i % 28:02d}",
+            "id": f"user_{i % 11}",
+            "shop_id": f"shop_{i % 7}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "kpi")
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    upsert_parquet(spark, df1, path, "id")
+    df2 = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id long, v double")
+    upsert_parquet(spark, df2, path, "id")
+    got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_upsert_idempotent_replay(spark, tmp_path):
+    # ST3 parity: replaying the same batch must not change the table.
+    path = str(tmp_path / "kpi2")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    upsert_parquet(spark, df, path, "id")
+    upsert_parquet(spark, df, path, "id")
+    got = sorted((r.id, r.v) for r in read_upsert_table(spark, path).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_silver_chunking(spark, tmp_path):
+    df = spark.range(0, 500).select(F.col("id").alias("item_id"))
+    out = write_silver_chunks(df.coalesce(1), str(tmp_path / "silver"), max_records_per_file=100)
+    files = [f for f in glob.glob(f"{out}/*.json")]
+    assert len(files) >= 5  # 500 rows / 100 per file
+    total = sum(1 for f in files for _ in open(f))
+    assert total == 500
+
+
+def test_review_pipeline_end_to_end(spark, tmp_path):
+    bronze_dir = str(tmp_path / "bronze_new")
+    silver_dir = str(tmp_path / "silver")
+    archive_dir = str(tmp_path / "bronze_old")
+    rows = _bronze_rows(137)
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").json(bronze_dir)
+
+    res = run_review_pipeline(spark, bronze_dir, silver_dir, archive_dir)
+    assert res["rows"] == 137
+
+    out = spark.read.schema(SILVER_REVIEWS).json(f"{silver_dir}/processed_data_*")
+    assert out.count() == 137
+    got = out.select("item_id", "classification", "review").collect()
+    assert sorted(r.item_id for r in got) == list(range(1, 138))
+    assert all(r.review for r in got)
+    # consumed bronze files archived (S9)
+    assert not glob.glob(f"{bronze_dir}/*.json")
+    assert glob.glob(f"{archive_dir}/*.json")
+
+
+def test_etl_pipeline_end_to_end(spark, tmp_path):
+    bronze_dir = str(tmp_path / "b")
+    silver_dir = str(tmp_path / "s")
+    gold_dir = str(tmp_path / "g")
+    kpi_dir = str(tmp_path / "k")
+    spark.createDataFrame(_bronze_rows(150)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(bronze_dir)
+    run_review_pipeline(spark, bronze_dir, silver_dir)
+
+    res = run_etl_pipeline(spark, f"{silver_dir}/processed_data_*", gold_dir, kpi_dir)
+    assert res["rows"] == 150
+
+    user = read_upsert_table(spark, f"{kpi_dir}/user_kpis")
+    assert set(user.columns) == {
+        "id", "average_spent", "positive_reviews", "negative_reviews",
+        "likeness_score", "normalized_likeness_score",
+    }
+    assert user.count() > 0
+    date = read_upsert_table(spark, f"{kpi_dir}/date_kpis")
+    assert date.count() <= 28  # keyed by date string
+    gold_files = glob.glob(f"{gold_dir}/final_data_*/*.json")
+    assert gold_files
+
+    # second run with overlapping keys UPDATES rows, doesn't append (S8)
+    spark.createDataFrame(_bronze_rows(80)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(bronze_dir)
+    run_review_pipeline(spark, bronze_dir, str(tmp_path / "s2"))
+    run_etl_pipeline(spark, f"{tmp_path}/s2/processed_data_*", gold_dir, kpi_dir)
+    date2 = read_upsert_table(spark, f"{kpi_dir}/date_kpis")
+    assert date2.count() == date2.select("date").distinct().count()
+
+
+def test_etl_pipeline_empty_guard(spark, tmp_path):
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty, exist_ok=True)
+    res = run_etl_pipeline(spark, empty, str(tmp_path / "g"), str(tmp_path / "k"))
+    assert res == {"rows": 0}
+
+
+def test_collector_run(spark, tmp_path):
+    bronze_dir = str(tmp_path / "bronze")
+    calls = iter(range(100))
+    base = _bronze_rows(30)
+
+    def fetch():
+        i = next(calls)
+        chunk = [dict(r) for r in base[i * 3 : i * 3 + 3]]
+        for r in chunk:
+            r.pop("id"), r.pop("shop_id")
+        return chunk
+
+    res = run_collector(spark, fetch, bronze_dir, pulls=10)
+    assert res["rows"] == 30
+    out = spark.read.json(f"{bronze_dir}/*")
+    assert out.count() == 30
+    rows = out.select("id", "shop_id").collect()
+    assert all(r.id and r.shop_id.startswith("shop_") for r in rows)
+
+
+def test_engine_config_defaults():
+    cfg = EngineConfig()
+    assert (cfg.batch_size, cfg.silver_chunk_rows) == (25, 50_000)
+    assert (cfg.user_pool_size, cfg.shop_pool_size) == (5000, 10000)

@@ -1,0 +1,154 @@
+"""Structured Streaming jobs (ST1-ST4): exactly-once file consumption,
+archival, crash-resume, stateful sessionization."""
+
+from __future__ import annotations
+
+import glob
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_powered_e_commerce_analytics_spark.schemas import SILVER_REVIEWS
+from ai_powered_e_commerce_analytics_spark.sinks import read_upsert_table
+from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+    bronze_to_silver_stream,
+    events_hourly_stream,
+    sessionize_stream,
+    silver_to_gold_stream,
+)
+from tests.test_sinks_pipeline import _bronze_rows
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+def test_bronze_to_silver_stream(spark, tmp_path):
+    bronze = str(tmp_path / "bronze_new")
+    silver = str(tmp_path / "silver")
+    archive = str(tmp_path / "bronze_old")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_bronze_rows(60)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(bronze)
+
+    q = bronze_to_silver_stream(spark, bronze, silver, ckpt, archive_dir=archive)
+    _await(q)
+    out = spark.read.schema(SILVER_REVIEWS).json(f"{silver}/processed_data_*")
+    assert out.count() == 60
+    assert sorted(r.item_id for r in out.select("item_id").collect()) == list(
+        range(1, 61)
+    )
+
+
+def test_stream_exactly_once_resume(spark, tmp_path):
+    # Restarting from the same checkpoint must NOT reprocess consumed
+    # files; new files are picked up (ST2/ST3).
+    bronze = str(tmp_path / "bronze_new")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_bronze_rows(30)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(bronze)
+    _await(bronze_to_silver_stream(spark, bronze, silver, ckpt))
+    n1 = spark.read.schema(SILVER_REVIEWS).json(f"{silver}/processed_data_*").count()
+    assert n1 == 30
+
+    # restart with no new files -> nothing new written
+    _await(bronze_to_silver_stream(spark, bronze, silver, ckpt))
+    n2 = spark.read.schema(SILVER_REVIEWS).json(f"{silver}/processed_data_*").count()
+    assert n2 == 30
+
+    # add a new file -> only it is processed
+    spark.createDataFrame(_bronze_rows(10, date_prefix="2026-08")).coalesce(
+        1
+    ).write.mode("append").json(bronze)
+    _await(bronze_to_silver_stream(spark, bronze, silver, ckpt))
+    n3 = spark.read.schema(SILVER_REVIEWS).json(f"{silver}/processed_data_*").count()
+    assert n3 == 40
+
+
+def test_silver_to_gold_stream(spark, tmp_path):
+    bronze = str(tmp_path / "b")
+    silver = str(tmp_path / "s")
+    gold = str(tmp_path / "g")
+    kpis = str(tmp_path / "k")
+    spark.createDataFrame(_bronze_rows(75)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(bronze)
+    _await(bronze_to_silver_stream(spark, bronze, silver, str(tmp_path / "c1")))
+
+    q = silver_to_gold_stream(
+        spark, f"{silver}/processed_data_*", gold, kpis, str(tmp_path / "c2")
+    )
+    _await(q)
+    user = read_upsert_table(spark, f"{kpis}/user_kpis")
+    assert user.count() > 0
+    assert glob.glob(f"{gold}/batch_*/*.json")
+
+
+def test_events_hourly_stream_watermark(spark, tmp_path):
+    # availableNow over a file source; watermark closes all windows.
+    src = str(tmp_path / "events")
+    rows = [
+        (i, f"2024-01-01 0{i % 3}:15:00", "click", 1.0 * i) for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, event_type string, value double")
+        .json(src)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+    agg = events_hourly_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.hour.strftime("%H"), r.n_events)
+        for r in spark.table("hourly").collect()
+    }
+    assert got == {("00", 10), ("01", 10), ("02", 10)}
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    # applyInPandasWithState: sessions close when a later event arrives
+    # beyond the gap (same 30-min rule as the batch query).
+    src = str(tmp_path / "sess")
+    hour_us = 3600 * 1_000_000
+    rows = [
+        # user 7: 3 events tight, then a 2h gap, then 2 events
+        (7, 0), (7, 60_000_000), (7, 120_000_000),
+        (7, 2 * hour_us), (7, 2 * hour_us + 1),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts_us long").coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("user_id long, ts_us long").json(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    closed = spark.table("sessions").collect()
+    # the first session (3 events) closes when the post-gap event arrives
+    assert len(closed) == 1
+    assert (closed[0].n_events, closed[0].session_start_us, closed[0].session_end_us) == (
+        3, 0, 120_000_000,
+    )
