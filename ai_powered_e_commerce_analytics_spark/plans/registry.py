@@ -6,12 +6,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .multimodal import MULTIMODAL_SPECS
 from .relational import RELATIONAL_SPECS
 from .simsearch import SIMSEARCH_SPECS
 from .spec import QuerySpec
 from .textops import TEXTOPS_SPECS
 
-QUERIES: list[QuerySpec] = RELATIONAL_SPECS + TEXTOPS_SPECS + SIMSEARCH_SPECS
+QUERIES: list[QuerySpec] = (
+    RELATIONAL_SPECS + TEXTOPS_SPECS + SIMSEARCH_SPECS + MULTIMODAL_SPECS
+)
 
 _names = [q.name for q in QUERIES]
 assert len(_names) == len(set(_names)), "duplicate query names in registry"

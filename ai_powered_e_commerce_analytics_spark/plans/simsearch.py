@@ -215,10 +215,121 @@ FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
+CENT_STEP = 31   # coarse centroids = every 31st vector (~N/31 lists)
+IVF_NPROBE = 2
+
+
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every CENT_STEP-th
+    vector) partitions the corpus into inverted lists; queries probe only
+    their IVF_NPROBE nearest lists, so exact cosine runs on ~nprobe/nlist
+    of the corpus instead of all of it.
+
+    Scale shape: the centroid table is tiny and broadcast twice (assignment
+    + probe) — the corpus is scored against it map-side, then reduced to
+    one (vec_id, cid) assignment with a map-side-combinable ``max_by``; the
+    only corpus-wide exchange is that single groupBy. At 100 TB the
+    assignment is computed once and persisted alongside the embeddings
+    (bucketed by cid), making every subsequent query shuffle-free.
+    """
+    base = _emb(spark, sf_dir)
+    cent = base.where(F.col("vec_id") % CENT_STEP == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    c_cos = F.round(
+        _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")), 6
+    )
+    # Rounded cosine + lowest-cid tiebreak == the oracle's ORDER BY.
+    assign = (
+        base.join(F.broadcast(cent))
+        .select("vec_id", "emb", "norm", "cid", c_cos.alias("c_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg"))
+            ).alias("cid"),
+            F.first("emb").alias("emb"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    q_cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), "cid")
+    probe = (
+        base.where(F.col("vec_id") < KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        .join(F.broadcast(cent))
+        .select("query_id", "q_emb", "q_norm", "cid", q_cos.alias("p_cos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "q_norm", "cid")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+    )
+
+
+SIMSEARCH_IVF_SQL = f"""
+WITH e AS ({_EMB_SQL}),
+c AS (SELECT vec_id AS cid, emb AS c_emb, norm AS c_norm FROM e
+      WHERE vec_id % {CENT_STEP} = 0),
+scored AS (
+    SELECT e.vec_id, e.emb, e.norm, c.cid,
+           round(list_dot_product(e.emb, c.c_emb) / (e.norm * c.c_norm), 6)
+               AS c_cos
+    FROM e CROSS JOIN c),
+assign AS (
+    SELECT vec_id, emb, norm, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+probe AS (
+    SELECT query_id, q_emb, q_norm, cid FROM (
+        SELECT e.vec_id AS query_id, e.emb AS q_emb, e.norm AS q_norm, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.emb, c.c_emb)
+                                  / (e.norm * c.c_norm), 6) DESC, c.cid) AS rn
+        FROM e CROSS JOIN c WHERE e.vec_id < {KNN_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm), 6)
+               AS cosine
+    FROM probe p JOIN assign a USING (cid)
+    WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM cand) WHERE rank <= {KNN_K}
+"""
+
+
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, ("dedup-embedding",)),
     QuerySpec("embedding_lsh_buckets", embedding_lsh_buckets, EMBEDDING_LSH_BUCKETS_SQL, ("ann-lsh",)),
     QuerySpec("simsearch_lsh_bucket_join", simsearch_lsh_bucket_join, SIMSEARCH_LSH_BUCKET_JOIN_SQL, ("ann-lsh-join",)),
+    QuerySpec("simsearch_ivf_topk", simsearch_ivf_topk, SIMSEARCH_IVF_SQL, ("ann-ivf",)),
 ]

@@ -46,8 +46,13 @@ def read_json_dir(
     (extractor.go:63-101). ``pathGlobFilter`` drops the
     ``.emptyFolderPlaceholder`` artifact by *filtering*, not list.remove
     (deviation #10 in SURVEY.md §7 — the reference throws if absent).
+
+    ``recursiveFileLookup`` descends into the timestamped per-batch
+    subdirs the sinks produce (``bronze/new/{ts}_{uuid}/part-*.json``,
+    sinks.py write_bronze_batch / write_silver_chunks) — the flat-bucket
+    twin of the reference's folder listing.
     """
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(schema).option("recursiveFileLookup", "true")
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     return reader.json(path)

@@ -60,6 +60,9 @@ def _file_stream(
     reader = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.json")  # drops .emptyFolderPlaceholder
+        # Descend into the per-batch subdirs the sinks write
+        # (write_bronze_batch / write_silver_chunks / collector_stream).
+        .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
