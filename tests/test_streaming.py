@@ -90,6 +90,30 @@ def test_silver_to_gold_stream(spark, tmp_path):
     assert glob.glob(f"{gold}/batch_*/*.json")
 
 
+def test_full_medallion_chain_nested_dirs(spark, tmp_path):
+    # Regression: sinks write timestamped per-batch SUBDIRS
+    # (bronze/new/{ts}_{uuid}/part-*.json), so every downstream reader
+    # must recurse — a chained collector -> review -> etl run previously
+    # read 0 rows. Top-level dirs here on purpose; no globs.
+    from ai_powered_e_commerce_analytics_spark.pipeline import run_collector
+
+    bronze = str(tmp_path / "bronze_new")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    kpis = str(tmp_path / "kpis")
+    rows = [r.asDict() for r in spark.createDataFrame(_bronze_rows(25)).collect()]
+    for r in rows:
+        del r["id"], r["shop_id"]  # collector assigns these from pools
+    assert run_collector(spark, lambda: rows, bronze, pulls=1) == {"rows": 25}
+
+    _await(bronze_to_silver_stream(spark, bronze, silver, str(tmp_path / "c1")))
+    _await(silver_to_gold_stream(spark, silver, gold, kpis, str(tmp_path / "c2")))
+
+    user = read_upsert_table(spark, f"{kpis}/user_kpis")
+    date = read_upsert_table(spark, f"{kpis}/date_kpis")
+    assert user.count() > 0 and date.count() > 0
+
+
 def test_events_hourly_stream_watermark(spark, tmp_path):
     # availableNow over a file source; watermark closes all windows.
     src = str(tmp_path / "events")
