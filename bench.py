@@ -21,7 +21,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
 # KPI fold (user/shop/date), window (sessions, top3), text map+LSH join
-# (minhash), hash dedup, ANN (knn brute force + LSH bucket join).
+# (minhash), simhash dedup, hash dedup, ANN (knn brute force / LSH bucket
+# join / IVF), multimodal mapInPandas (feature extract).
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -35,8 +36,11 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_knn_bruteforce",
     "simsearch_lsh_bucket_join",
+    "simsearch_ivf_topk",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Column functions + skew helpers: equivalence and property tests.
+
+The property tests batch every hypothesis example list into ONE
+DataFrame per case (a Spark round-trip per generated row would be
+minutes per property), and check the Spark column expressions against
+independent pure-Python references — and, for the portable hash, against
+the DuckDB oracle twin, since cross-engine agreement is what the
+correctness harness depends on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ai_powered_e_commerce_analytics_spark.functions import (
+    jaccard,
+    portable_hash64,
+    salted_collect_set,
+    salted_join,
+    word_shingles,
+)
+from ai_powered_e_commerce_analytics_spark.functions.core import (
+    portable_hash64_sql,
+)
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Printable-ish text without NUL (parquet/duckdb-safe), incl. whitespace.
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=60,
+)
+
+
+# ---------------------------------------------------------------------------
+# skew helpers: equivalence with the plain forms on skewed data
+# ---------------------------------------------------------------------------
+
+
+def _skewed_frames(spark):
+    # 'hot' carries 90% of left rows; right has matched + unmatched keys.
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(900)]
+        + [(f"k{i % 7}", i) for i in range(100)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k3", "B"), ("absent", "Z")],
+        "k string, payload string",
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    left, right = _skewed_frames(spark)
+    want = sorted(
+        map(tuple, left.join(right, "k", how).collect())
+    )
+    got = sorted(
+        map(tuple, salted_join(left, right, "k", buckets=8, how=how).collect())
+    )
+    assert got == want
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    left, right = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right")
+
+
+def test_salted_collect_set_matches_plain(spark):
+    left, _ = _skewed_frames(spark)
+    want = {
+        r.k: sorted(r.s)
+        for r in left.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    got = {
+        r.k: sorted(r.v_set)
+        for r in salted_collect_set(left, "k", "v", buckets=8).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property tests: Spark expressions vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+# tokens() contract = Spark `split(trim(x), '\s+')` ≡ DuckDB
+# `string_split_regex(trim(x), '\s+')`: trim strips ONLY 0x20 spaces, and
+# Java/DuckDB `\s` is exactly [ \t\n\x0b\f\r] — unlike Python's
+# str.split(), which also splits on \x1c-\x1f, NBSP, etc. (a real
+# difference this property test caught when its reference used .split()).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(s: str) -> list[str]:
+    return _JAVA_WS.split(s.strip(" "))
+
+
+def _py_shingles(s: str, k: int = 3) -> list[str]:
+    t = _py_tokens(s)
+    return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+
+
+@given(st.lists(texts, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_word_shingles_matches_python(spark, docs):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], "i long, t string")
+    got = {
+        r.i: list(r.sh)
+        for r in df.select("i", word_shingles("t", 3).alias("sh")).collect()
+    }
+    assert got == {i: _py_shingles(s) for i, s in enumerate(docs)}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(texts, max_size=8), st.lists(texts, max_size=8)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_matches_python_sets(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<string>, b array<string>",
+    )
+    got = {
+        r.i: r.j
+        for r in df.select(
+            "i", jaccard(F.col("a"), F.col("b")).alias("j")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a), set(b)
+        want = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert got[i] == pytest.approx(want), (a, b)
+        assert 0.0 <= got[i] <= 1.0
+
+
+@given(st.lists(texts.filter(lambda s: "\x00" not in s), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_portable_hash64_matches_duckdb_and_md5(spark, strings):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i long, s string"
+    )
+    got = {
+        r.i: (r.h0, r.h7)
+        for r in df.select(
+            "i",
+            portable_hash64("s").alias("h0"),
+            portable_hash64("s", seed=7).alias("h7"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        # python md5 reference
+        want0 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        want7 = int(hashlib.md5(f"{s}#7".encode()).hexdigest()[:15], 16)
+        assert got[i] == (want0, want7), s
+        # duckdb oracle twin (same expression the correctness SQL uses)
+        d0, d7 = con.execute(
+            f"SELECT {portable_hash64_sql('s')}, {portable_hash64_sql('s', seed=7)} "
+            "FROM (SELECT ? AS s)",
+            [s],
+        ).fetchone()
+        assert (d0, d7) == (want0, want7), s
