@@ -268,6 +268,18 @@ FROM orders
 """
 
 
+def item_id_assignment_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3's 100 TB form under the same oracle: range-partitioned two-pass
+    id composition (operators.enrich.assign_item_ids_ranged) must produce
+    EXACTLY the ids of ``row_number() OVER (ORDER BY ...)`` — without the
+    window form's single-task global sort."""
+    from ..operators.enrich import assign_item_ids_ranged
+
+    return assign_item_ids_ranged(
+        t(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"]
+    )
+
+
 def batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F1: the 25-row batch contract as a checkable plan: batch_id =
     # (rn-1) div 25, then per-batch cardinality (tail batch < 25).
@@ -642,6 +654,38 @@ FROM events GROUP BY event_type
 """
 
 
+def salted_skew_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue through :func:`salted_join` — the skew-safe join
+    path (functions/skew.py) under the oracle gate: salting + right-side
+    replication must be invisible in the result. Money aggregated in
+    integer cents (spec.py float policy)."""
+    from ..functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, part, "l_partkey", buckets=4)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+SALTED_SKEW_JOIN_SQL = """
+SELECT p_brand, count(*)::BIGINT AS n_items,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 RELATIONAL_SPECS = [
     QuerySpec("user_kpis", user_kpis, USER_KPIS_SQL, ("A2", "A4", "C1", "C2", "A5")),
     QuerySpec("shop_kpis", shop_kpis, SHOP_KPIS_SQL, ("A1", "A4", "C1", "C2")),
@@ -665,6 +709,12 @@ RELATIONAL_SPECS = [
         ("C2", "A5"),
     ),
     QuerySpec("item_id_assignment", item_id_assignment, ITEM_ID_ASSIGNMENT_SQL, ("P3",)),
+    QuerySpec(
+        "item_id_assignment_ranged",
+        item_id_assignment_ranged,
+        ITEM_ID_ASSIGNMENT_SQL,
+        ("P3", "scale-two-pass"),
+    ),
     QuerySpec("batch_assignment", batch_assignment, BATCH_ASSIGNMENT_SQL, ("F1",)),
     QuerySpec("pool_assignment", pool_assignment, POOL_ASSIGNMENT_SQL, ("P4",)),
     QuerySpec("union_all_orders", union_all_orders, UNION_ALL_ORDERS_SQL, ("U1",)),
@@ -681,4 +731,10 @@ RELATIONAL_SPECS = [
     QuerySpec("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ROLLUP_SQL, ("ST4",)),
     QuerySpec("events_user_sessions", events_user_sessions, EVENTS_USER_SESSIONS_SQL, ("ST4", "window")),
     QuerySpec("events_props_extract", events_props_extract, EVENTS_PROPS_EXTRACT_SQL, ("semi-structured",)),
+    QuerySpec(
+        "salted_skew_join_brand_revenue",
+        salted_skew_join_brand_revenue,
+        SALTED_SKEW_JOIN_SQL,
+        ("skew-salted-join",),
+    ),
 ]
