@@ -102,6 +102,12 @@ SELECT vec_id, label, round(norm, 6) AS l2_norm FROM ({_EMB_SQL})
 def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact top-k: broadcast the k query rows against the corpus; rank on
     # ROUNDED cosine + vec_id tiebreak for cross-engine determinism.
+    # Scale note: the final window partitions by query (|queries| tasks,
+    # each ranking |corpus| candidates). At 100 TB, cut candidates
+    # map-side first: per (query, input-partition) keep the local top-k
+    # (groupBy with slice(array_sort(collect_list(...)), 1, k) — partial
+    # aggregation shrinks the shuffle to k rows per partition per query),
+    # then rank the #partitions*k survivors. Or use simsearch_ivf_topk.
     base = _emb(spark, sf_dir)
     q = base.where(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),

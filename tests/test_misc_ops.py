@@ -1,0 +1,74 @@
+"""Coverage for the smaller operator surfaces: per-file counts (A6),
+config loading (M3), gold snapshot sink (S6), real-client gating (F3)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from ai_powered_e_commerce_analytics_spark.operators.enrich import (
+    OpenAICompatClient,
+)
+from ai_powered_e_commerce_analytics_spark.pipeline import EngineConfig
+from ai_powered_e_commerce_analytics_spark.schemas import SILVER_REVIEWS
+from ai_powered_e_commerce_analytics_spark.sinks import write_gold_snapshot
+from ai_powered_e_commerce_analytics_spark.sources import read_json_dir
+from ai_powered_e_commerce_analytics_spark.sources.readers import (
+    per_file_counts,
+)
+
+
+def test_per_file_counts(spark, tmp_path):
+    # A6: the reference records shape[0] per downloaded file
+    # (data_extractor.py:59); distributed twin groups on input_file_name.
+    src = str(tmp_path / "files")
+    spark.range(30).selectExpr("id", "'x' AS s").coalesce(1).write.json(src)
+    spark.range(12).selectExpr("id + 100 AS id", "'y' AS s").coalesce(
+        1
+    ).write.mode("append").json(src)
+    df = spark.read.schema("id long, s string").json(src)
+    got = sorted(r.rows for r in per_file_counts(df).collect())
+    assert got == [12, 30]
+
+
+def test_engine_config_from_yaml(tmp_path):
+    # M3: YAML config surface; unknown keys ignored, run-state never in
+    # config (survey §2.11).
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        "batch_size: 10\nllm_concurrency: 2\nfiles: ['run-state-not-config']\n"
+    )
+    cfg = EngineConfig.from_yaml(str(cfg_path))
+    assert (cfg.batch_size, cfg.llm_concurrency) == (10, 2)
+    assert cfg.max_attempts == 3  # default preserved
+    assert not hasattr(cfg, "files")
+
+
+def test_write_gold_snapshot(spark, tmp_path):
+    # S6: timestamped gold dir, mode("error") refuses to clobber.
+    df = spark.createDataFrame(
+        [(1, "r", 2.0)], "item_id long, review string, price double"
+    )
+    path = write_gold_snapshot(df, str(tmp_path / "gold"))
+    assert "/final_data_" in path
+    assert glob.glob(f"{path}/*.json")
+    back = spark.read.json(path)
+    assert back.count() == 1
+
+
+def test_openai_client_gated_without_httpx():
+    # F3: real client raises cleanly when the serving deps are absent
+    # (this container has no httpx) instead of failing mid-job.
+    with pytest.raises(NotImplementedError, match="httpx"):
+        OpenAICompatClient("http://localhost:8080/v1", "gemma-3-1b-it")
+
+
+def test_read_json_dir_empty_dir_schema(spark, tmp_path):
+    # Empty bronze folder must yield an EMPTY frame with the declared
+    # schema (P5 guard path), not an inference error.
+    src = tmp_path / "empty"
+    src.mkdir()
+    df = read_json_dir(spark, str(src), SILVER_REVIEWS)
+    assert df.isEmpty()
+    assert df.schema == SILVER_REVIEWS
