@@ -1,3 +1,11 @@
+from .bucketing import bucketed_join, write_bucketed
 from .readers import load_table, load_tables, read_json_dir, register_views
 
-__all__ = ["load_table", "load_tables", "read_json_dir", "register_views"]
+__all__ = [
+    "bucketed_join",
+    "load_table",
+    "load_tables",
+    "read_json_dir",
+    "register_views",
+    "write_bucketed",
+]

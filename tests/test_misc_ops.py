@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 
 import pytest
+from pyspark.sql import functions as F
 
 from ai_powered_e_commerce_analytics_spark.operators.enrich import (
     OpenAICompatClient,
@@ -62,6 +63,42 @@ def test_openai_client_gated_without_httpx():
     # (this container has no httpx) instead of failing mid-job.
     with pytest.raises(NotImplementedError, match="httpx"):
         OpenAICompatClient("http://localhost:8080/v1", "gemma-3-1b-it")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Co-located join: two tables bucketed by the same key/count must
+    # merge-join with ZERO shuffle exchanges, and results must match the
+    # plain join.
+    from ai_powered_e_commerce_analytics_spark.sources import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "okey"),
+        "b_orders", "okey", buckets=4, path=str(tmp_path / "bo"),
+    )
+    write_bucketed(
+        lineitem.select(F.col("l_orderkey").alias("okey"), "l_quantity"),
+        "b_lineitem", "okey", buckets=4, path=str(tmp_path / "bl"),
+    )
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "okey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        want = (
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey
+            ).count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_read_json_dir_empty_dir_schema(spark, tmp_path):
