@@ -154,6 +154,30 @@ def test_jaccard_matches_python_sets(spark, pairs):
         assert 0.0 <= got[i] <= 1.0
 
 
+def test_minhash_signature_matches_python(spark):
+    from ai_powered_e_commerce_analytics_spark.functions import (
+        minhash_signature,
+    )
+
+    rows = [(0, ["a b c", "b c d"]), (1, ["x y z"]), (2, [])]
+    df = spark.createDataFrame(rows, "i long, sh array<string>")
+    got = {
+        r.i: r.sig
+        for r in df.select(
+            "i", minhash_signature(F.col("sh"), num_hashes=4).alias("sig")
+        ).collect()
+    }
+
+    def h(s, seed):
+        return int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:15], 16)
+
+    for i, sh in rows:
+        if not sh:
+            assert got[i] == [None] * 4  # empty set -> null entries
+        else:
+            assert got[i] == [min(h(s, j + 1) for s in sh) for j in range(4)]
+
+
 @given(st.lists(texts.filter(lambda s: "\x00" not in s), min_size=1, max_size=20))
 @settings(**SETTINGS)
 def test_portable_hash64_matches_duckdb_and_md5(spark, strings):
