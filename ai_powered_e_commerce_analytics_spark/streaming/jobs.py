@@ -146,6 +146,31 @@ def silver_to_gold_stream(
     return writer.start()
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    event_time: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins.
+
+    With ``event_time`` set, ``dropDuplicatesWithinWatermark`` dedups on
+    the keys ALONE while the watermark bounds the state — a key is kept
+    only until it ages past the watermark, so state is O(keys per
+    watermark window), not O(all keys ever). Without it, plain
+    ``dropDuplicates`` state grows unboundedly (only for replay-free
+    batch-parity runs). The batch twin is the exact-dedup groupBy
+    (plans/textops.py dedup_exact); this is the ingestion-time form that
+    keeps duplicates out of bronze in the first place.
+    """
+    if event_time:
+        return events.withWatermark(
+            event_time, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def events_hourly_stream(
     events: DataFrame,
     *,

@@ -13,6 +13,7 @@ from ai_powered_e_commerce_analytics_spark.schemas import SILVER_REVIEWS
 from ai_powered_e_commerce_analytics_spark.sinks import read_upsert_table
 from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     bronze_to_silver_stream,
+    dedup_stream,
     events_hourly_stream,
     sessionize_stream,
     silver_to_gold_stream,
@@ -144,6 +145,33 @@ def test_events_hourly_stream_watermark(spark, tmp_path):
         for r in spark.table("hourly").collect()
     }
     assert got == {("00", 10), ("01", 10), ("02", 10)}
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    # Ingestion-time exact dedup: duplicate event_ids across files
+    # collapse to the first occurrence; watermark bounds the state.
+    src = str(tmp_path / "dupes")
+    rows = [(i % 10, f"2024-01-01 00:{i % 50:02d}:00") for i in range(40)]
+    spark.createDataFrame(rows, "event_id long, ts string").coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts string")
+        .json(src)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], event_time="ts_utc")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(r.event_id for r in spark.table("deduped").collect())
+    assert got == list(range(10))
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):
