@@ -35,6 +35,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..schemas import REVIEWS, SENTIMENTS
@@ -55,9 +56,12 @@ class StubLLMClient:
 
     ``fail_batches``: 0-based indices of batches (per task) that raise, to
     exercise the null-fill fallback path (F6) in tests.
+    ``invalid_wave_batches``: indices whose ``call_many`` wave result is
+    garbage, to exercise the wave→per-batch-retry fallback (F4→F7).
     """
 
     fail_batches: frozenset[int] = frozenset()
+    invalid_wave_batches: frozenset[int] = frozenset()
 
     def classify_sentiments(
         self, batch: list[dict], batch_index: int
@@ -90,6 +94,27 @@ class StubLLMClient:
                     "review": f"A {polarity} {category.lower()} item: {desc[:64]}",
                 }
             )
+        return out
+
+    def call_many(
+        self,
+        method: str,
+        batches: list[list[dict]],
+        indices: list[int],
+        concurrency: int = 4,
+    ) -> list[list[dict] | None]:
+        """F4 wave interface (sequential in the stub — determinism over
+        parallelism): one result or None per batch, order-aligned, same
+        failure-injection semantics as the per-batch methods."""
+        out: list[list[dict] | None] = []
+        for batch, idx in zip(batches, indices):
+            if idx in self.invalid_wave_batches:
+                out.append([{"item_id": -1}])  # garbage: fails validation
+                continue
+            try:
+                out.append(getattr(self, method)(batch, idx))
+            except Exception:
+                out.append(None)
         return out
 
 
@@ -138,6 +163,37 @@ class OpenAICompatClient:
         import asyncio
 
         return asyncio.run(self._chat_json(batch, kind="reviews"))
+
+    def call_many(
+        self,
+        method: str,
+        batches: list[list[dict]],
+        indices: list[int],
+        concurrency: int = 4,
+    ) -> list[list[dict] | None]:  # pragma: no cover - prod-only path
+        """F4: semaphore-bounded concurrent fan-out over a wave of
+        batches (reference data_transformer.py:91-97, enricher.go:140-163
+        — 4 in-flight requests sized to llama.cpp ``--parallel 4``).
+        Returns one result (or None on failure) per batch, order-aligned;
+        failed batches fall back to the operator's per-batch retry path.
+        """
+        import asyncio
+
+        kind = "sentiments" if method == "classify_sentiments" else "reviews"
+
+        async def run_all():
+            sem = asyncio.Semaphore(concurrency)
+
+            async def one(batch):
+                async with sem:
+                    try:
+                        return await self._chat_json(batch, kind=kind)
+                    except Exception:
+                        return None
+
+            return await asyncio.gather(*[one(b) for b in batches])
+
+        return asyncio.run(run_all())
 
     async def _chat_json(self, batch, kind):  # pragma: no cover
         import httpx
@@ -208,44 +264,83 @@ def _enrich_map(
     batch_size: int,
     max_attempts: int,
     retry_wait_s: float,
+    concurrency: int = 4,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the mapInPandas function. Must be a top-level closure over
     plain picklable values — the client is constructed INSIDE the task
     (connection objects don't survive pickling to executors).
+
+    F4: if the client exposes ``call_many`` (the async OpenAI-compatible
+    client does), batches are dispatched in semaphore-bounded waves of
+    ``concurrency`` — cluster-wide in-flight requests = partitions ×
+    concurrency, sized to the model server's slots. A wave result that
+    fails validation falls back to the per-batch retry path (F7), so
+    failure semantics are identical with or without the fan-out.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
         call = getattr(client, method)
-        batch_index = 0
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_size):  # F1: local re-chunk
-                chunk = pdf.iloc[start : start + batch_size]
-                batch = chunk.to_dict("records")
-                result = None
-                for attempt in range(max_attempts):  # F7: in-task retry
+        call_many = getattr(client, "call_many", None)
+
+        def finish(batch, batch_index, first_result):
+            result, attempts_left = None, max_attempts
+            if first_result is not None:  # wave dispatch was attempt #1
+                attempts_left -= 1
+                try:
+                    result = _validate_batch(first_result, batch, out_fields)
+                except Exception:
+                    result = None
+            if result is None:
+                for attempt in range(attempts_left):  # F7: in-task retry
                     try:
                         result = _validate_batch(
                             call(batch, batch_index), batch, out_fields
                         )
                         break
                     except Exception:
-                        if attempt + 1 < max_attempts and retry_wait_s:
+                        if attempt + 1 < attempts_left and retry_wait_s:
                             time.sleep(retry_wait_s)
-                if result is None:
-                    # F6: null-fill fallback with the batch's ACTUAL ids.
-                    result = [
-                        {
-                            "item_id": r["item_id"],
-                            **{f: None for f in null_fields},
-                        }
-                        for r in batch
-                    ]
-                else:
-                    for r, src in zip(result, batch):
-                        r["item_id"] = src["item_id"]
+            if result is None:
+                # F6: null-fill fallback with the batch's ACTUAL ids.
+                result = [
+                    {"item_id": r["item_id"], **{f: None for f in null_fields}}
+                    for r in batch
+                ]
+            else:
+                for r, src in zip(result, batch):
+                    r["item_id"] = src["item_id"]
+            return pd.DataFrame(result, columns=["item_id"] + null_fields)
+
+        def flush(wave):
+            if call_many is not None:
+                try:
+                    firsts = call_many(
+                        method,
+                        [b for b, _ in wave],
+                        [i for _, i in wave],
+                        concurrency,
+                    )
+                except Exception:
+                    firsts = [None] * len(wave)
+            else:
+                firsts = [None] * len(wave)
+            for (batch, idx), first in zip(wave, firsts):
+                yield finish(batch, idx, first)
+
+        batch_index = 0
+        wave: list[tuple[list[dict], int]] = []
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):  # F1: local re-chunk
+                wave.append(
+                    (pdf.iloc[start : start + batch_size].to_dict("records"), batch_index)
+                )
                 batch_index += 1
-                yield pd.DataFrame(result, columns=["item_id"] + null_fields)
+                if len(wave) >= max(concurrency, 1):
+                    yield from flush(wave)
+                    wave = []
+        if wave:
+            yield from flush(wave)
 
     return fn
 
@@ -257,6 +352,7 @@ def enrich_sentiments(
     batch_size: int = LLM_BATCH_SIZE,
     max_attempts: int = 3,          # reference enricher.go:16-21
     retry_wait_s: float = 0.0,      # 3.0 in prod; 0 for tests
+    concurrency: int = 4,           # reference data_transformer.py:91
 ) -> DataFrame:
     """items(item_id, review) → sentiments(item_id, sentiment bool?).
 
@@ -272,6 +368,7 @@ def enrich_sentiments(
         batch_size,
         max_attempts,
         retry_wait_s,
+        concurrency,
     )
     return items.select("item_id", "review").mapInPandas(fn, SENTIMENTS)
 
@@ -283,6 +380,7 @@ def enrich_reviews(
     batch_size: int = LLM_BATCH_SIZE,
     max_attempts: int = 3,
     retry_wait_s: float = 0.0,
+    concurrency: int = 4,           # reference enricher.go:19
 ) -> DataFrame:
     """items(item_id, description, category?) → reviews(item_id,
     classification, review) — the Go review-generation pipeline's LLM stage
@@ -296,6 +394,7 @@ def enrich_reviews(
         batch_size,
         max_attempts,
         retry_wait_s,
+        concurrency,
     )
     return items.select(*cols).mapInPandas(fn, REVIEWS)
 
@@ -308,8 +407,18 @@ def retry_residuals(
     """P8/J4: driver-level retry pass — anti-join finds items whose ids
     didn't come back (ollama_client.py:87-95), re-enriches them once, and
     unions. Left-anti is a broadcast-able join when residuals are rare.
+
+    ``ok`` is eagerly localCheckpointed: it is referenced by BOTH the
+    union branch and the anti-join branch, and without pinning it the
+    LLM map re-executes per branch — 2x the cost, and with a
+    nondeterministic real client the two evaluations can disagree
+    (an id succeeding in one and failing in the other is emitted twice
+    or dropped). Checkpointing materializes one result both branches
+    share.
     """
-    ok = enriched.where(F.col(enriched.columns[-1]).isNotNull())
+    ok = enriched.where(
+        F.col(enriched.columns[-1]).isNotNull()
+    ).localCheckpoint()
     residual = items.join(ok.select("item_id"), "item_id", "left_anti")
     return ok.unionByName(enrich_fn(residual))
 
@@ -338,7 +447,10 @@ def assign_item_ids(
     rdd = df.rdd.zipWithIndex().map(
         lambda pair: (*pair[0], pair[1] + 1)
     )
-    schema = df.schema.add("item_id", "long", False)
+    # COPY the schema: StructType.add mutates in place and df.schema is
+    # cached, so adding to it directly would plant a phantom item_id
+    # field on the CALLER's frame.
+    schema = T.StructType(list(df.schema.fields)).add("item_id", "long", False)
     return df.sparkSession.createDataFrame(rdd, schema)
 
 
@@ -374,7 +486,8 @@ def assign_item_ids_ranged(
     cols = [F.col(c) for c in order_by]
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     rdd = ranged.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
-    schema = ranged.schema.add("item_id", "long", False)
+    # Copy before .add — StructType.add mutates the cached caller schema.
+    schema = T.StructType(list(ranged.schema.fields)).add("item_id", "long", False)
     return df.sparkSession.createDataFrame(rdd, schema)
 
 

@@ -75,18 +75,22 @@ def _archive_files(spark: SparkSession, files: list[str], archive_dir: str) -> l
     next run (at-least-once, reference data_loader.py:38-51)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     Path = jvm.org.apache.hadoop.fs.Path
+    # Resolve the FS from the PATH, not FileSystem.get(conf): the files
+    # carry full URIs (input_file_name), and on a cluster whose default
+    # FS differs (hdfs:// default with file:// or s3a:// inputs) the default
+    # FS rejects them and archival would silently never happen.
+    fs = Path(archive_dir).getFileSystem(conf)
     fs.mkdirs(Path(archive_dir))
     moved = []
     for f in files:
         src = Path(f)
         dst = Path(f"{archive_dir}/{src.getName()}")
         try:
-            if fs.rename(src, dst):
+            if src.getFileSystem(conf).rename(src, dst):
                 moved.append(f)
         except Exception:
-            pass  # retried next run
+            pass  # retried next run (at-least-once contract)
     return moved
 
 
@@ -115,6 +119,7 @@ def run_etl_pipeline(
         batch_size=cfg.batch_size,
         max_attempts=cfg.max_attempts,
         retry_wait_s=cfg.retry_wait_s,
+        concurrency=cfg.llm_concurrency,
     )
     sentiments = retry_residuals(silver, enrich(silver), enrich)
     gold = gold_join(silver, sentiments).cache()
@@ -158,10 +163,18 @@ def run_review_pipeline(
         batch_size=cfg.batch_size,
         max_attempts=cfg.max_attempts,
         retry_wait_s=cfg.retry_wait_s,
+        concurrency=cfg.llm_concurrency,
     )
-    silver = items.join(reviews, "item_id")  # J3 inner merge (loader.go:30-62)
-    n = silver.count()
-    write_silver_chunks(silver, silver_dir, max_records_per_file=cfg.silver_chunk_rows)
+    # Cache around the two actions (count + write): without it the LLM
+    # map re-executes per action — 2x the most expensive stage.
+    silver = items.join(reviews, "item_id").cache()  # J3 (loader.go:30-62)
+    try:
+        n = silver.count()
+        write_silver_chunks(
+            silver, silver_dir, max_records_per_file=cfg.silver_chunk_rows
+        )
+    finally:
+        silver.unpersist()
     if archive_dir:
         files = [
             r.file

@@ -38,8 +38,11 @@ def write_gold_snapshot(df: DataFrame, gold_dir: str, *, fmt: str = "json") -> s
     coalesce(1) would funnel 100 TB through one task. Parity on naming,
     not on single-file-ness (recorded deviation).
     """
+    # uuid suffix: second-resolution timestamps collide when two runs
+    # (or two foreachBatch invocations) land in the same wall-clock
+    # second — mode("error") would fail the later one mid-pipeline.
     ts = time.strftime("%Y%m%d_%H%M%S")
-    path = f"{gold_dir}/final_data_{ts}"
+    path = f"{gold_dir}/final_data_{ts}_{uuid.uuid4().hex[:8]}"
     df.write.mode("error").format(fmt).save(path)
     return path
 
@@ -50,7 +53,10 @@ def write_silver_chunks(
     """S7: chunked silver write — ``maxRecordsPerFile`` is the declarative
     twin of the Go 50k-row chunker (loader.go:111) with upload waves
     (loader.go:92-106); Spark writes files concurrently per task."""
-    path = f"{silver_dir}/processed_data_{int(time.time())}"
+    # uuid suffix: 1-second epoch names collide across micro-batches
+    # written in the same second, and mode("overwrite") would then
+    # silently replace the earlier batch's rows.
+    path = f"{silver_dir}/processed_data_{int(time.time())}_{uuid.uuid4().hex[:8]}"
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -103,11 +109,14 @@ def upsert_parquet(
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
     updates = updates.withColumn("__bucket", bucket)
 
-    try:
-        existing = spark.read.parquet(table_path)
-        have_existing = True
-    except Exception:
-        have_existing = False
+    # Existence check via the FS, NOT a read wrapped in a bare except: a
+    # transiently unreadable EXISTING table must raise, never silently
+    # route to the initial-write branch (which would overwrite the whole
+    # table with just this batch).
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    have_existing = fs.exists(hpath)
 
     if not have_existing:
         (

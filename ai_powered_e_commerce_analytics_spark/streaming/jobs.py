@@ -135,7 +135,10 @@ def silver_to_gold_stream(
         gold = gold_join(batch, sentiments).cache()
         try:
             upsert_kpi_tables(spark, all_kpis(gold), kpi_dir)
-            gold.write.mode("append").json(f"{gold_dir}/batch_{batch_id}")
+            # overwrite, not append: batch_id makes the dir deterministic,
+            # so a crash-replay of the same micro-batch rewrites it
+            # idempotently instead of appending a duplicate copy.
+            gold.write.mode("overwrite").json(f"{gold_dir}/batch_{batch_id}")
         finally:
             gold.unpersist()
 

@@ -65,7 +65,10 @@ def main() -> None:
         run(name)
         timings[name] = round(time.perf_counter() - start, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # dir not named sf<number> — never lose the run
+        sf = SF_DIR
     print(
         json.dumps(
             {
@@ -73,7 +76,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
+                "sf": sf,
             }
         )
     )

@@ -29,6 +29,30 @@ def items(spark):
     )
 
 
+def test_enrich_wave_call_many_fallback(spark, items):
+    # 63 rows / batch_size 10 -> 7 chunks -> waves of 4+3 through the
+    # stub's call_many; the garbage wave result for chunk 0 must fall
+    # back to the per-batch retry path and still come back correct.
+    out = enrich_sentiments(
+        items.repartition(1),
+        lambda: StubLLMClient(invalid_wave_batches=frozenset({0})),
+        batch_size=10,
+        concurrency=4,
+    ).collect()
+    assert sorted(r.item_id for r in out) == list(range(1, 64))
+    assert all(r.sentiment == (r.item_id % 3 == 0) for r in out)
+
+
+def test_assign_item_ids_does_not_mutate_input_schema(spark):
+    # StructType.add mutates in place and DataFrame.schema is cached —
+    # the helper must COPY before adding, or the caller's frame grows a
+    # phantom item_id column.
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    assign_item_ids(df).collect()
+    assert df.columns == ["v"]
+    df.select(*df.columns).collect()  # must not raise UNRESOLVED_COLUMN
+
+
 def test_stub_sentiments_deterministic(spark, items):
     out = enrich_sentiments(items).orderBy("item_id").collect()
     assert len(out) == 63
