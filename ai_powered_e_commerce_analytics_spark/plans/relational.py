@@ -670,10 +670,7 @@ def salted_skew_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            (
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-                / F.lit(100.0)
-            ).alias("revenue"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
         )
     )
 

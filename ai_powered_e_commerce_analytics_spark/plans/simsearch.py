@@ -225,30 +225,29 @@ CENT_STEP = 31   # coarse centroids = every 31st vector (~N/31 lists)
 IVF_NPROBE = 2
 
 
-def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every CENT_STEP-th
-    vector) partitions the corpus into inverted lists; queries probe only
-    their IVF_NPROBE nearest lists, so exact cosine runs on ~nprobe/nlist
-    of the corpus instead of all of it.
-
-    Scale shape: the centroid table is tiny and broadcast twice (assignment
-    + probe) — the corpus is scored against it map-side, then reduced to
-    one (vec_id, cid) assignment with a map-side-combinable ``max_by``; the
-    only corpus-wide exchange is that single groupBy. At 100 TB the
-    assignment is computed once and persisted alongside the embeddings
-    (bucketed by cid), making every subsequent query shuffle-free.
-    """
-    base = _emb(spark, sf_dir)
-    cent = base.where(F.col("vec_id") % CENT_STEP == 0).select(
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: every CENT_STEP-th vector."""
+    return base.where(F.col("vec_id") % CENT_STEP == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("emb").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
+
+
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, norm, cid): each corpus vector assigned to its
+    nearest centroid's inverted list. Compute ONCE and persist bucketed
+    by ``cid`` (sources.bucketing.write_bucketed) — steady-state probes
+    then read only the nprobe matching buckets (bucket pruning), no
+    corpus shuffle per query. The bucketed-probe path is tested in
+    tests/test_misc_ops.py."""
+    base = _emb(spark, sf_dir)
+    cent = _ivf_centroids(base)
     c_cos = F.round(
         _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")), 6
     )
     # Rounded cosine + lowest-cid tiebreak == the oracle's ORDER BY.
-    assign = (
+    return (
         base.join(F.broadcast(cent))
         .select("vec_id", "emb", "norm", "cid", c_cos.alias("c_cos"))
         .groupBy("vec_id")
@@ -260,6 +259,24 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("norm").alias("norm"),
         )
     )
+
+
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every CENT_STEP-th
+    vector) partitions the corpus into inverted lists; queries probe only
+    their IVF_NPROBE nearest lists, so exact cosine runs on ~nprobe/nlist
+    of the corpus instead of all of it.
+
+    Scale shape: the centroid table is tiny and broadcast twice (assignment
+    + probe) — the corpus is scored against it map-side, then reduced to
+    one (vec_id, cid) assignment with a map-side-combinable ``max_by``; the
+    only corpus-wide exchange is that single groupBy. At 100 TB compute
+    :func:`ivf_assignment` once and persist it bucketed by cid, making
+    every subsequent query a bucket-pruned scan.
+    """
+    base = _emb(spark, sf_dir)
+    cent = _ivf_centroids(base)
+    assign = ivf_assignment(spark, sf_dir)
     q_cos = F.round(
         _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
         6,

@@ -9,6 +9,14 @@ once; every subsequent join (and `groupBy` on the key) is exchange-free.
 
 Bucketing metadata lives in the session catalog (`saveAsTable`); plain
 `spark.read.parquet` of the same files would NOT know about the layout.
+
+Gotcha (measured): with the default
+``spark.sql.sources.bucketing.autoBucketedScan.enabled=true``, Spark
+keeps the bucketed scan only when a join/aggregation benefits from the
+distribution and silently DROPS bucket-FILTER pruning on filter-only
+probes (e.g. reading nprobe IVF lists by ``cid``). Set it to ``false``
+for point/list-probe workloads — the plan then shows
+``SelectedBucketsCount: n of m``.
 """
 
 from __future__ import annotations

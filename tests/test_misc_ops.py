@@ -101,6 +101,47 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_ivf_assignment_bucketed_probe_prunes(spark, tmp_path):
+    # The IVF steady-state path (SCALE.md §2.5): persist the assignment
+    # bucketed by centroid id; a probe of nprobe lists must read only the
+    # matching buckets (SelectedBucketsCount in the scan) and agree with
+    # the unbucketed assignment.
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        ivf_assignment,
+    )
+    from ai_powered_e_commerce_analytics_spark.sources import write_bucketed
+
+    assign = ivf_assignment(spark, "/root/testdata/sf0.001").select(
+        "vec_id", "cid"
+    )
+    write_bucketed(
+        assign, "ivf_assign", "cid", buckets=8, path=str(tmp_path / "ivf")
+    )
+    try:
+        cids = [r.cid for r in assign.select("cid").distinct().limit(2).collect()]
+        # autoBucketedScan keeps bucketing only for joins/aggs and DROPS
+        # bucket-FILTER pruning on filter-only probes — turn it off for
+        # the probe path (documented in sources/bucketing.py).
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        probed = spark.table("ivf_assign").where(F.col("cid").isin(cids))
+        plan = probed._sc._jvm.PythonSQLUtils.explainString(
+            probed._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount" in plan, plan
+        want = sorted(
+            (r.vec_id, r.cid)
+            for r in assign.where(F.col("cid").isin(cids)).collect()
+        )
+        assert sorted((r.vec_id, r.cid) for r in probed.collect()) == want
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS ivf_assign")
+
+
 def test_read_json_dir_empty_dir_schema(spark, tmp_path):
     # Empty bronze folder must yield an EMPTY frame with the declared
     # schema (P5 guard path), not an inference error.
