@@ -517,6 +517,33 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def dedup_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop half of a dedup pipeline: the corpus MINUS every doc
+    that appears as the higher id of a verified near-dup pair (greedy
+    keep-lowest — the standard approximation; full transitive clustering
+    needs iterative connected components, out of SQL's reach).
+
+    Plan: the pair list's doc_b side is tiny relative to the corpus, so
+    the anti-join broadcasts it — the corpus itself never shuffles.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .join(
+            F.broadcast(pairs),
+            F.col("doc_id") == F.col("doc_b"),
+            "left_anti",
+        )
+    )
+
+
+DEDUP_NEAR_DUP_SURVIVORS_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({DEDUP_MINHASH_LSH_SQL}))
+"""
+
+
 TEXTOPS_SPECS = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
@@ -526,4 +553,10 @@ TEXTOPS_SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("dedup-simhash",)),
+    QuerySpec(
+        "dedup_near_dup_survivors",
+        dedup_near_dup_survivors,
+        DEDUP_NEAR_DUP_SURVIVORS_SQL,
+        ("dedup-survivors",),
+    ),
 ]
