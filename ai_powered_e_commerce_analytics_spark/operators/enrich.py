@@ -58,10 +58,13 @@ class StubLLMClient:
     exercise the null-fill fallback path (F6) in tests.
     ``invalid_wave_batches``: indices whose ``call_many`` wave result is
     garbage, to exercise the wave→per-batch-retry fallback (F4→F7).
+    ``wave_truncate``: return only the first N wave results, to exercise
+    the operator's misaligned-client defense.
     """
 
     fail_batches: frozenset[int] = frozenset()
     invalid_wave_batches: frozenset[int] = frozenset()
+    wave_truncate: int | None = None
 
     def classify_sentiments(
         self, batch: list[dict], batch_index: int
@@ -115,6 +118,8 @@ class StubLLMClient:
                 out.append(getattr(self, method)(batch, idx))
             except Exception:
                 out.append(None)
+        if self.wave_truncate is not None:
+            return out[: self.wave_truncate]
         return out
 
 
@@ -283,10 +288,12 @@ def _enrich_map(
         call = getattr(client, method)
         call_many = getattr(client, "call_many", None)
 
-        def finish(batch, batch_index, first_result):
+        def finish(batch, batch_index, first_result, wave_attempted):
             result, attempts_left = None, max_attempts
-            if first_result is not None:  # wave dispatch was attempt #1
-                attempts_left -= 1
+            if wave_attempted:  # the wave dispatch WAS attempt #1, even
+                attempts_left -= 1  # if it failed — total attempts per
+                # batch must match the no-fan-out contract exactly.
+            if first_result is not None:
                 try:
                     result = _validate_batch(first_result, batch, out_fields)
                 except Exception:
@@ -313,20 +320,28 @@ def _enrich_map(
             return pd.DataFrame(result, columns=["item_id"] + null_fields)
 
         def flush(wave):
-            if call_many is not None:
+            wave_attempted = call_many is not None
+            if wave_attempted:
                 try:
-                    firsts = call_many(
-                        method,
-                        [b for b, _ in wave],
-                        [i for _, i in wave],
-                        concurrency,
+                    firsts = list(
+                        call_many(
+                            method,
+                            [b for b, _ in wave],
+                            [i for _, i in wave],
+                            concurrency,
+                        )
                     )
                 except Exception:
                     firsts = [None] * len(wave)
+                # Defend against a misaligned duck-typed client: zip
+                # would silently DROP trailing batches from the output
+                # (they'd get neither results nor the F6 null-fill).
+                if len(firsts) < len(wave):
+                    firsts += [None] * (len(wave) - len(firsts))
             else:
                 firsts = [None] * len(wave)
             for (batch, idx), first in zip(wave, firsts):
-                yield finish(batch, idx, first)
+                yield finish(batch, idx, first, wave_attempted)
 
         batch_index = 0
         wave: list[tuple[list[dict], int]] = []

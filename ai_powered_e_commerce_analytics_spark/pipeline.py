@@ -19,6 +19,7 @@ reprocessing idempotent.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -39,6 +40,8 @@ from .operators.kpis import all_kpis, gold_join
 from .schemas import BRONZE_PRODUCTS, SILVER_REVIEWS, validate_columns
 from .sinks import upsert_kpi_tables, write_gold_snapshot, write_silver_chunks
 from .sources import read_json_dir
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -73,24 +76,21 @@ class EngineConfig:
 def _archive_files(spark: SparkSession, files: list[str], archive_dir: str) -> list[str]:
     """S9 batch form: move consumed files; failures stay queued for the
     next run (at-least-once, reference data_loader.py:38-51)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    # Resolve the FS from the PATH, not FileSystem.get(conf): the files
-    # carry full URIs (input_file_name), and on a cluster whose default
-    # FS differs (hdfs:// default with file:// or s3a:// inputs) the default
-    # FS rejects them and archival would silently never happen.
-    fs = Path(archive_dir).getFileSystem(conf)
-    fs.mkdirs(Path(archive_dir))
+    # FS resolved from each PATH (the files carry full URIs from
+    # input_file_name); cross-FS moves (file:// inputs, hdfs:// archive)
+    # fall back to copy+delete inside move_file — a plain rename throws
+    # 'Wrong FS' and archival would silently never happen.
+    from .hadoop import hadoop_fs, hadoop_path, move_file
+
+    hadoop_fs(spark, archive_dir).mkdirs(hadoop_path(spark, archive_dir))
     moved = []
     for f in files:
-        src = Path(f)
-        dst = Path(f"{archive_dir}/{src.getName()}")
+        name = hadoop_path(spark, f).getName()
         try:
-            if src.getFileSystem(conf).rename(src, dst):
+            if move_file(spark, f, f"{archive_dir}/{name}"):
                 moved.append(f)
         except Exception:
-            pass  # retried next run (at-least-once contract)
+            log.warning("archive of %s failed; will retry next run", f)
     return moved
 
 

@@ -112,11 +112,17 @@ def upsert_parquet(
     # Existence check via the FS, NOT a read wrapped in a bare except: a
     # transiently unreadable EXISTING table must raise, never silently
     # route to the initial-write branch (which would overwrite the whole
-    # table with just this batch).
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    have_existing = fs.exists(hpath)
+    # table with just this batch). "Existing" means HAS DATA — a bucket
+    # partition dir must be present. A bare fs.exists() would treat the
+    # debris of a crashed first write (_temporary/ only) as a table and
+    # wedge every subsequent upsert on UNABLE_TO_INFER_SCHEMA; such
+    # debris takes the initial-write branch, whose overwrite clears it.
+    from .hadoop import hadoop_fs, hadoop_path
+
+    fs = hadoop_fs(spark, table_path)
+    have_existing = fs.exists(hadoop_path(spark, table_path)) and bool(
+        fs.globStatus(hadoop_path(spark, f"{table_path}/__bucket=*"))
+    )
 
     if not have_existing:
         (

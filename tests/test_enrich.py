@@ -43,6 +43,19 @@ def test_enrich_wave_call_many_fallback(spark, items):
     assert all(r.sentiment == (r.item_id % 3 == 0) for r in out)
 
 
+def test_enrich_wave_misaligned_client_drops_no_rows(spark, items):
+    # A duck-typed client returning FEWER wave results than batches must
+    # not silently drop the trailing batches — they fall back to the
+    # per-batch path and every input id still comes back exactly once.
+    out = enrich_sentiments(
+        items.repartition(1),
+        lambda: StubLLMClient(wave_truncate=1),
+        batch_size=10,
+        concurrency=4,
+    ).collect()
+    assert sorted(r.item_id for r in out) == list(range(1, 64))
+
+
 def test_assign_item_ids_does_not_mutate_input_schema(spark):
     # StructType.add mutates in place and DataFrame.schema is cached —
     # the helper must COPY before adding, or the caller's frame grows a

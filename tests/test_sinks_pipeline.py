@@ -51,6 +51,19 @@ def test_upsert_last_writer_wins(spark, tmp_path):
     assert got == {1: 10.0, 2: 99.0, 3: 30.0}
 
 
+def test_upsert_recovers_from_write_debris(spark, tmp_path):
+    # A crashed FIRST write leaves _temporary/ only; the existence check
+    # must treat that as "no table" (initial-write overwrite clears it),
+    # not wedge every subsequent upsert on UNABLE_TO_INFER_SCHEMA.
+    import os
+
+    path = str(tmp_path / "kpi")
+    os.makedirs(f"{path}/_temporary")
+    df = spark.createDataFrame([("a", 1.0)], "id string, v double")
+    upsert_parquet(spark, df, path, "id")
+    assert read_upsert_table(spark, path).count() == 1
+
+
 def test_upsert_idempotent_replay(spark, tmp_path):
     # ST3 parity: replaying the same batch must not change the table.
     path = str(tmp_path / "kpi2")
