@@ -8,12 +8,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .multimodal import MULTIMODAL_SPECS
 from .relational import RELATIONAL_SPECS
+from .relational_tpch import RELATIONAL_TPCH_SPECS
 from .simsearch import SIMSEARCH_SPECS
 from .spec import QuerySpec
 from .textops import TEXTOPS_SPECS
 
 QUERIES: list[QuerySpec] = (
-    RELATIONAL_SPECS + TEXTOPS_SPECS + SIMSEARCH_SPECS + MULTIMODAL_SPECS
+    RELATIONAL_SPECS
+    + RELATIONAL_TPCH_SPECS
+    + TEXTOPS_SPECS
+    + SIMSEARCH_SPECS
+    + MULTIMODAL_SPECS
 )
 
 _names = [q.name for q in QUERIES]
