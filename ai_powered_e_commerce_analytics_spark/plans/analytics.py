@@ -1,0 +1,321 @@
+"""Analytics battery: window-function, set-op, pivot and stats shapes.
+
+Fills the remaining general-engine surface the other batteries don't
+touch (the reference itself has none of these — SURVEY.md §2.6-2.8 — so
+like the TPC-H batteries these are engine-capability queries, each
+oracle-gated):
+
+- lag/lead offsets            (`order_gaps_lag_lead`)
+- ntile / percent_rank / dense_rank / cume_dist  (`customer_rank_battery`)
+- RANGE-frame moving window   (`rolling_weekly_revenue`)
+- INTERSECT / EXCEPT          (`customers_both_years`, `customers_1996_only`)
+- true pivot (groupBy().pivot())  (`order_priority_pivot_table`)
+- statistical aggs from exact sums  (`lineitem_price_stats`)
+
+Float policy notes (plans/spec.py):
+- percent_rank / cume_dist are single divisions of exact integers —
+  identical operands → identical doubles in both engines.
+- variance / correlation are NOT computed with the engines' built-in
+  stddev/corr (different accumulation orders ⇒ different last ulps);
+  instead both sides evaluate the same closed-form expression over
+  exact long sums (n, Σx, Σx², Σxy in cents) — deterministic IEEE on
+  identical operands. Σx² of cents fits a long through sf0.1 ×100
+  (~6e17 < 2^63); the long→double conversion is round-to-nearest in
+  both engines.
+
+Scale notes (100 TB):
+- Every window here partitions by a real key (customer / segment /
+  priority) — no global single-partition window anywhere.
+- INTERSECT/EXCEPT plan as shuffled semi/anti joins on the key —
+  same cost as any equi-join, salting applies if a key were hot.
+- The pivot has an explicit value list (5 priorities) so Spark skips
+  the extra distinct-values job and the output schema is static.
+- lineitem_price_stats is one map-side-combinable agg pass; the
+  closed-form stats avoid a second pass over the data (vs. the
+  textbook two-pass mean-then-deviation form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .spec import QuerySpec, cents, cents_sql, t
+
+
+# ---------------------------------------------------------------------------
+# lag / lead — days between a customer's consecutive orders
+# ---------------------------------------------------------------------------
+
+
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on o_custkey; lag and lead share the same window sort.
+    # datediff on date-truncated timestamps is exact integer days.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("days_until_next"),
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER w, o_orderdate)::INT
+           AS days_since_prev,
+       date_diff('day',
+                 o_orderdate, lead(o_orderdate) OVER w)::INT
+           AS days_until_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rank battery — ntile / percent_rank / dense_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+def customer_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All four rank flavors over ONE window (single sort per segment).
+    # The (c_acctbal, c_custkey) order is total → ntile assignment is
+    # deterministic. percent_rank/cume_dist divide exact integers.
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+CUSTOMER_RANK_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ntile(4)       OVER w AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       dense_rank()   OVER w AS drank,
+       cume_dist()    OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame — trailing-7-day revenue per order priority
+# ---------------------------------------------------------------------------
+
+
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frames need a numeric sort key: days since a fixed epoch
+    # (integer datediff — no timezone, no float). The frame [now-6d, now]
+    # is value-based, so simultaneous orders all see the same total —
+    # semantics a ROWS frame can't express. One shuffle on the priority.
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "day_no",
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "trailing_7d_value"
+        ),
+    )
+
+
+ROLLING_WEEKLY_SQL = f"""
+SELECT o_orderpriority, o_orderkey, day_no,
+       sum({cents_sql('o_totalprice')}) OVER (
+           PARTITION BY o_orderpriority ORDER BY day_no
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       )::DOUBLE / 100.0 AS trailing_7d_value
+FROM (
+    SELECT *, date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::INT
+                  AS day_no
+    FROM orders
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT — set semantics (dedupe built in)
+# ---------------------------------------------------------------------------
+
+
+def customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT = distinct + semi-join; Spark plans one shuffle per side
+    # on the full row (here a single key column).
+    orders = t(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+CUSTOMERS_BOTH_YEARS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def customers_1996_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXCEPT = distinct + anti-join.
+    orders = t(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.subtract(y97)
+
+
+CUSTOMERS_1996_ONLY_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+# ---------------------------------------------------------------------------
+# true pivot — order counts + value by status × priority
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def order_priority_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy().pivot() with an EXPLICIT value list: no distinct-values
+    # pre-job, static schema, and the whole pivot compiles to one
+    # CASE-sum aggregate (same plan shape as q12 but API-level pivot).
+    piv = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv.na.fill(0, list(renames.values()))
+
+
+ORDER_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT
+           AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')::BIGINT AS n_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')::BIGINT
+           AS n_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')::BIGINT
+           AS n_notspec,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')::BIGINT AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates from exact long sums (one pass, closed form)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n, Σx, Σx², Σy, Σy², Σxy in exact integer units (price in cents,
+    # quantity in units) — one map-side-combinable pass. Variance and
+    # correlation come from the closed form evaluated in double on
+    # those exact longs; the SQL mirror is the IDENTICAL expression, so
+    # both engines run the same IEEE ops in the same order (built-in
+    # stddev/corr would differ in accumulation order between engines).
+    li = t(spark, sf_dir, "lineitem")
+    x = cents("l_extendedprice")
+    y = F.round("l_quantity").cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_price_c2 = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        (sx / n / F.lit(100.0)).alias("avg_price"),
+        (var_price_c2 / F.lit(1e4)).alias("var_price"),
+        corr.alias("price_qty_corr"),
+    )
+
+
+LINEITEM_PRICE_STATS_SQL = f"""
+WITH s AS (
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           sum({cents_sql('l_extendedprice')}) AS sx,
+           sum({cents_sql('l_extendedprice')}
+               * {cents_sql('l_extendedprice')}) AS sxx,
+           sum(round(l_quantity)::BIGINT) AS sy,
+           sum(round(l_quantity)::BIGINT * round(l_quantity)::BIGINT) AS syy,
+           sum({cents_sql('l_extendedprice')} * round(l_quantity)::BIGINT)
+               AS sxy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n AS n_lines,
+       sx::DOUBLE / n::DOUBLE / 100.0 AS avg_price,
+       ((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        / (n::DOUBLE - 1.0)) / 1e4 AS var_price,
+       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+           AS price_qty_corr
+FROM s
+"""
+
+
+ANALYTICS_SPECS = [
+    QuerySpec("order_gaps_lag_lead", order_gaps_lag_lead,
+              ORDER_GAPS_SQL, ("window-lag-lead",)),
+    QuerySpec("customer_rank_battery", customer_rank_battery,
+              CUSTOMER_RANK_SQL,
+              ("window-ntile", "window-percent-rank", "window-cume-dist")),
+    QuerySpec("rolling_weekly_revenue", rolling_weekly_revenue,
+              ROLLING_WEEKLY_SQL, ("window-range-frame",)),
+    QuerySpec("customers_both_years", customers_both_years,
+              CUSTOMERS_BOTH_YEARS_SQL, ("set-intersect",)),
+    QuerySpec("customers_1996_only", customers_1996_only,
+              CUSTOMERS_1996_ONLY_SQL, ("set-except",)),
+    QuerySpec("order_priority_pivot_table", order_priority_pivot_table,
+              ORDER_PRIORITY_PIVOT_SQL, ("pivot-explicit-values",)),
+    QuerySpec("lineitem_price_stats", lineitem_price_stats,
+              LINEITEM_PRICE_STATS_SQL, ("stats-closed-form",)),
+]

@@ -6,16 +6,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .analytics import ANALYTICS_SPECS
 from .multimodal import MULTIMODAL_SPECS
 from .relational import RELATIONAL_SPECS
 from .relational_tpch import RELATIONAL_TPCH_SPECS
+from .relational_tpch2 import RELATIONAL_TPCH2_SPECS
 from .simsearch import SIMSEARCH_SPECS
 from .spec import QuerySpec
+from .temporal import TEMPORAL_SPECS
 from .textops import TEXTOPS_SPECS
 
 QUERIES: list[QuerySpec] = (
     RELATIONAL_SPECS
     + RELATIONAL_TPCH_SPECS
+    + RELATIONAL_TPCH2_SPECS
+    + TEMPORAL_SPECS
+    + ANALYTICS_SPECS
     + TEXTOPS_SPECS
     + SIMSEARCH_SPECS
     + MULTIMODAL_SPECS

@@ -1,0 +1,197 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no ASOF JOIN or INTERVAL JOIN operator; both are re-expressed
+here in their scalable DataFrame forms over the events table (the
+reference has no temporal joins at all — SURVEY.md §2.3 — so these are
+north-star training-pipeline operators, oracle-gated like everything
+else):
+
+- **as-of join** (`asof_last_click_before_purchase`): the union+window
+  form — interleave both sides into one frame, one window pass with
+  `last(..., ignorenulls=True)` carries the most recent left-side
+  attributes forward. ONE shuffle on the partition key, no join at all,
+  no per-row probing. This is the canonical distributed as-of plan
+  (point lookups against the latest-prior row).
+
+- **range join** (`range_join_clicks_before_purchase`): equi-bucketed
+  band join — quantize the time axis into buckets the width of the band
+  (1 h), join on (user, bucket) with each probe row exploded to the two
+  candidate buckets, then apply the exact range residual. Turns an
+  O(n·m)-per-key interval join into an equi-join Spark executes as a
+  plain shuffled hash join.
+
+Scale notes (100 TB):
+- Both plans shuffle each input exactly once on (user_id [, bucket]).
+  Per-user data is tiny (no giant-key risk here; a hot key would take
+  the salting path in functions/skew.py).
+- The bucketed range join's fan-out is exactly 2× the probe side —
+  independent of data volume — and the bucket width equals the band, so
+  every candidate pair lands in at most one matching bucket pair.
+- The events timestamp arrives as int64 nanoseconds (see plans/spec.t)
+  and is truncated to MICROSECONDS at the scan (integer `DIV 1000`,
+  never float division — ns magnitudes ~1.7e18 exceed double's 2^53
+  exact-integer range): the DuckDB oracle only sees µs (its parquet
+  reader truncates TIMESTAMP(NANOS)), so all ordering/band membership
+  is computed in the µs domain in BOTH engines, and µs longs survive
+  nullable pandas float64 round-trips exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .spec import QuerySpec, cents, cents_sql, t
+
+_HOUR_US = 3_600_000_000
+
+
+def asof_last_click_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it.
+
+    Union+window as-of: clicks and purchases interleave in one ordered
+    window per user; `last(click_attr, ignorenulls)` over rows-unbounded-
+    preceding carries the latest click forward onto each purchase row.
+    Ties on ts (none in the data, but contract anyway) order clicks
+    BEFORE purchases so an exactly-simultaneous click is visible.
+
+    Timestamps are truncated to µs at the scan (see module docstring);
+    data is unique per user at µs grain, so the as-of order is total.
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", is_purchase, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_value = F.when(F.col("event_type") == "click", F.col("value"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    return (
+        ev.withColumn(
+            "last_click_value", F.last(click_value, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_ts_us", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts_us", "last_click_ts_us",
+            "last_click_value",
+        )
+    )
+
+
+ASOF_LAST_CLICK_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+    FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id, user_id, ts_us, last_click_ts_us, last_click_value
+FROM (
+    SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN value END
+                   IGNORE NULLS) OVER w AS last_click_value,
+        last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                   IGNORE NULLS) OVER w AS last_click_ts_us
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, (event_type = 'purchase'), event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+WHERE event_type = 'purchase'
+"""
+
+
+def range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per purchase: count + value of the user's clicks in the prior hour.
+
+    Band predicate c_ts ∈ [p_ts − 1h, p_ts) via hour-bucket equi-join:
+    each purchase probes its own bucket and the previous one (explode
+    ×2), each click sits in exactly one bucket, the residual applies the
+    exact bounds. Left join keeps zero-click purchases (n_clicks = 0).
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.expr("ts DIV 1000").alias("p_ts"), "event_id"
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"p_ts DIV {_HOUR_US} - 1"),
+                    F.expr(f"p_ts DIV {_HOUR_US}"),
+                )
+            ),
+        )
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.expr("ts DIV 1000").alias("c_ts"),
+            cents("value").alias("c_value_c"),
+        )
+        .withColumn("bucket", F.expr(f"c_ts DIV {_HOUR_US}"))
+    )
+    j = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.c_ts >= purchases.p_ts - _HOUR_US)
+        & (clicks.c_ts < purchases.p_ts),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id", "p_ts").agg(
+        F.count("c_ts").alias("n_clicks"),
+        (
+            F.coalesce(F.sum("c_value_c"), F.lit(0)).cast("double") / 100.0
+        ).alias("clicks_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("p_ts").alias("ts_us"),
+        "n_clicks",
+        "clicks_value",
+    )
+
+
+RANGE_JOIN_CLICKS_SQL = f"""
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       count(c.ts)::BIGINT AS n_clicks,
+       coalesce(sum({cents_sql('c.value')}), 0)::DOUBLE / 100.0
+           AS clicks_value
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+TEMPORAL_SPECS = [
+    QuerySpec("asof_last_click_before_purchase",
+              asof_last_click_before_purchase,
+              ASOF_LAST_CLICK_SQL, ("asof-join-union-window",)),
+    QuerySpec("range_join_clicks_before_purchase",
+              range_join_clicks_before_purchase,
+              RANGE_JOIN_CLICKS_SQL, ("range-join-bucketed-band",)),
+]
