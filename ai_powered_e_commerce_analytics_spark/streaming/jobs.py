@@ -289,6 +289,52 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+    join_type: str = "leftOuter",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the trailing ``band``.
+
+    Streaming twin of the batch bucketed range join
+    (plans/temporal.py range_join_clicks_before_purchase). Both inputs
+    must carry ``user_id`` and an event-time column ``ts_utc``. The
+    time-range predicate plus both watermarks lets Spark BOUND the join
+    state: a buffered click is dropped once the purchase-side watermark
+    passes ``click.ts_utc + band``, so state is O(events per watermark
+    window), not O(stream). Outer semantics (null click for purchases
+    with no match) are legal exactly because the state is bounded —
+    Spark can prove no future match will arrive.
+
+    At 100 TB/day this is the shape to keep: one shuffle per side on
+    user_id, state proportional to the band, no re-reading of history.
+    """
+    p = purchases.alias("p")
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts_utc").alias("c_ts_utc"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts_utc", watermark)
+    p = p.withWatermark("ts_utc", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c_user_id = user_id AND
+            c_ts_utc >= ts_utc - INTERVAL {band} AND
+            c_ts_utc < ts_utc
+            """
+        ),
+        join_type,
+    ).select(
+        "event_id", "user_id", "ts_utc", "c_ts_utc", "click_value"
+    )
+
+
 def collector_stream(
     spark: SparkSession,
     fetch_batch: Callable[[int], list[dict]],

@@ -15,6 +15,7 @@ from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     bronze_to_silver_stream,
     dedup_stream,
     events_hourly_stream,
+    interval_join_stream,
     sessionize_stream,
     silver_to_gold_stream,
 )
@@ -204,3 +205,66 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert (closed[0].n_events, closed[0].session_start_us, closed[0].session_end_us) == (
         3, 0, 120_000_000,
     )
+
+
+def test_interval_join_stream(spark, tmp_path):
+    # Streaming twin of the batch bucketed range join: purchases pick up
+    # same-user clicks from the trailing hour; zero-click purchases
+    # survive (outer). One user with clicks at :00/:30/:59, purchases at
+    # :45 (matches 2) and 01:30 (matches the :59 click plus the :30
+    # click sitting exactly on the inclusive p_ts - 1h boundary, same
+    # contract as the batch twin); another user with a purchase and no
+    # clicks at all.
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 2.0),
+        (1, "2024-01-01 00:59:00", 4.0),
+    ]
+    purchases = [
+        (101, 1, "2024-01-01 00:45:00"),
+        (102, 1, "2024-01-01 01:30:00"),
+        (103, 2, "2024-01-01 00:45:00"),
+        # watermark advancer: far-future purchase lets Spark close the
+        # outer-join state for everything above. Its OWN outer row never
+        # emits (nothing advances the watermark past the stream max).
+        (999, 3, "2024-01-02 12:00:00"),
+    ]
+    spark.createDataFrame(
+        clicks, "user_id long, ts string, value double"
+    ).coalesce(1).write.mode("overwrite").json(csrc)
+    spark.createDataFrame(
+        purchases, "event_id long, user_id long, ts string"
+    ).coalesce(1).write.mode("overwrite").json(psrc)
+
+    cs = (
+        spark.readStream.schema("user_id long, ts string, value double")
+        .json(csrc)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+    ps = (
+        spark.readStream.schema("event_id long, user_id long, ts string")
+        .json(psrc)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+    q = (
+        interval_join_stream(ps, cs, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.event_id, r.click_value)
+        for r in spark.table("ivj").collect()
+    }
+    assert got == {
+        (101, 1.0),
+        (101, 2.0),
+        (102, 2.0),
+        (102, 4.0),
+        (103, None),
+    }
