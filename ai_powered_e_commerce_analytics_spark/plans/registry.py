@@ -16,15 +16,20 @@ from .spec import QuerySpec
 from .temporal import TEMPORAL_SPECS
 from .textops import TEXTOPS_SPECS
 
+# Order matters: the external driver verifies the FIRST 50 entries against the
+# DuckDB oracle each round. Reference-parity relational queries and the
+# LLM-data-pipeline north-star families (textops / simsearch / multimodal) are
+# placed first so they all receive driver evidence; the TPC-H battery (fully
+# driver-verified in round 1, see CORRECTNESS_r01.json) sits last.
 QUERIES: list[QuerySpec] = (
     RELATIONAL_SPECS
-    + RELATIONAL_TPCH_SPECS
-    + RELATIONAL_TPCH2_SPECS
-    + TEMPORAL_SPECS
-    + ANALYTICS_SPECS
     + TEXTOPS_SPECS
     + SIMSEARCH_SPECS
     + MULTIMODAL_SPECS
+    + ANALYTICS_SPECS
+    + TEMPORAL_SPECS
+    + RELATIONAL_TPCH_SPECS
+    + RELATIONAL_TPCH2_SPECS
 )
 
 _names = [q.name for q in QUERIES]
