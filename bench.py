@@ -9,15 +9,22 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion through the ``noop`` sink — unlike
 ``count()``, which lets Catalyst prune every projection column and would
 measure map-only queries as a bare scan — and timed wall-clock.
+
+Each query runs ``$SPARK_GRAFT_BENCH_ITERS`` times (default 3) after a
+JVM/IO warmup pass; the headline per-query number is the MIN (the least
+noise-contaminated measurement of the plan), with the median reported
+alongside under "queries_median" for run-to-run noise visibility.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
 # KPI fold (user/shop/date), window (sessions, top3), text map+LSH join
@@ -59,11 +66,15 @@ def main() -> None:
     # plans, not first-touch JIT/IO noise.
     run("tpch_q1_pricing_summary")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - start, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ITERS):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            run(name)
+            samples[name].append(time.perf_counter() - start)
+
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -76,6 +87,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "iters": ITERS,
                 "sf": sf,
             }
         )
