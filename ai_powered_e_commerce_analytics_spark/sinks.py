@@ -48,15 +48,29 @@ def write_gold_snapshot(df: DataFrame, gold_dir: str, *, fmt: str = "json") -> s
 
 
 def write_silver_chunks(
-    df: DataFrame, silver_dir: str, *, max_records_per_file: int = 50_000
+    df: DataFrame,
+    silver_dir: str,
+    *,
+    max_records_per_file: int = 50_000,
+    batch_id: int | None = None,
 ) -> str:
     """S7: chunked silver write — ``maxRecordsPerFile`` is the declarative
     twin of the Go 50k-row chunker (loader.go:111) with upload waves
-    (loader.go:92-106); Spark writes files concurrently per task."""
-    # uuid suffix: 1-second epoch names collide across micro-batches
-    # written in the same second, and mode("overwrite") would then
-    # silently replace the earlier batch's rows.
-    path = f"{silver_dir}/processed_data_{int(time.time())}_{uuid.uuid4().hex[:8]}"
+    (loader.go:92-106); Spark writes files concurrently per task.
+
+    ``batch_id`` (streaming callers): names the output dir by micro-batch
+    id so a crash-replay of the same batch (foreachBatch is at-least-once)
+    OVERWRITES its own earlier attempt instead of appending a duplicate
+    silver directory — same idempotent-replay pattern as the gold sink in
+    streaming/jobs.py.
+    """
+    if batch_id is not None:
+        path = f"{silver_dir}/processed_data_batch_{batch_id}"
+    else:
+        # uuid suffix: 1-second epoch names collide across batch writes
+        # landing in the same second, and mode("overwrite") would then
+        # silently replace the earlier batch's rows.
+        path = f"{silver_dir}/processed_data_{int(time.time())}_{uuid.uuid4().hex[:8]}"
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -148,18 +162,34 @@ def upsert_parquet(
         .where(F.col("__rn") == 1)
         .drop("__rank", "__rn")
     )
-    # Rewrite only the touched buckets (dynamic partition overwrite).
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(table_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Commit protocol: stage the merged buckets to a SIBLING dir (inside
+    # table_path the reader would discover them as data), then swap each
+    # touched bucket dir into place with two FS renames. The long window —
+    # a Spark job reading old data while overwriting the same path — is
+    # gone; what remains is per-bucket: a crash between rename(old->trash)
+    # and rename(staged->live) leaves that one bucket absent from the live
+    # table with its old data preserved in the staging dir for recovery.
+    # That residual window is two metadata ops wide and is the best a
+    # plain filesystem offers; the real fix is a transactional format
+    # (Delta MERGE INTO, see docstring).
+    # Clear debris from previously crashed upserts before staging anew.
+    for status in fs.globStatus(hadoop_path(spark, f"{table_path}__staging_*")) or []:
+        fs.delete(status.getPath(), True)
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition("__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(staging)
+    )
+    for b in touched:
+        live = hadoop_path(spark, f"{table_path}/__bucket={b}")
+        staged = hadoop_path(spark, f"{staging}/__bucket={b}")
+        retired = hadoop_path(spark, f"{staging}/__retired_bucket={b}")
+        if fs.exists(live):
+            fs.rename(live, retired)
+        fs.rename(staged, live)
+    fs.delete(hadoop_path(spark, staging), True)
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:

@@ -99,7 +99,8 @@ def bronze_to_silver_stream(
         items = assign_item_ids(batch, order_by=["date", "product_name", "price"])
         reviews = enrich_reviews(items, client_factory)
         silver = items.join(reviews, "item_id")  # J3 (inner, loader.go:30-62)
-        write_silver_chunks(silver, silver_dir)
+        # batch_id-keyed dir => crash-replay rewrites, never duplicates.
+        write_silver_chunks(silver, silver_dir, batch_id=batch_id)
 
     writer = bronze.writeStream.option("checkpointLocation", checkpoint_dir)
     writer = writer.foreachBatch(process)

@@ -74,6 +74,48 @@ def test_upsert_idempotent_replay(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0)]
 
 
+def test_upsert_bounded_file_count(spark, tmp_path):
+    # N upserts must NOT accumulate one file per batch per bucket: every
+    # touched bucket is fully rewritten (repartition by bucket => one
+    # task => one file), and the staging swap leaves no debris behind.
+    path = str(tmp_path / "kpi3")
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(i, float(batch)) for i in range(20)], "id long, v double"
+        )
+        upsert_parquet(spark, df, path, "id", num_buckets=4)
+    for bucket_dir in glob.glob(f"{path}/__bucket=*"):
+        n_files = len(glob.glob(f"{bucket_dir}/*.parquet"))
+        assert n_files == 1, f"{bucket_dir} has {n_files} files"
+    assert not glob.glob(f"{path}__staging_*"), "staging debris left behind"
+    got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {i: 5.0 for i in range(20)}
+
+
+def test_upsert_clears_stale_staging_debris(spark, tmp_path):
+    # A crashed prior upsert's staging dir must be removed, not accreted.
+    path = str(tmp_path / "kpi4")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    upsert_parquet(spark, df, path, "id")
+    os.makedirs(f"{path}__staging_deadbeef/__bucket=0", exist_ok=True)
+    upsert_parquet(spark, spark.createDataFrame([(2, 2.0)], "id long, v double"), path, "id")
+    assert not glob.glob(f"{path}__staging_*")
+    assert read_upsert_table(spark, path).count() == 2
+
+
+def test_silver_chunks_batch_id_replay_idempotent(spark, tmp_path):
+    # Streaming replay of the same micro-batch must rewrite its own dir.
+    silver_dir = str(tmp_path / "silver_replay")
+    df = spark.range(0, 50).select(F.col("id").alias("item_id"))
+    p1 = write_silver_chunks(df, silver_dir, batch_id=7)
+    p2 = write_silver_chunks(df, silver_dir, batch_id=7)
+    assert p1 == p2 == f"{silver_dir}/processed_data_batch_7"
+    dirs = [d for d in glob.glob(f"{silver_dir}/*") if os.path.isdir(d)]
+    assert dirs == [p1]
+    total = sum(1 for f in glob.glob(f"{p1}/*.json") for _ in open(f))
+    assert total == 50
+
+
 def test_silver_chunking(spark, tmp_path):
     df = spark.range(0, 500).select(F.col("id").alias("item_id"))
     out = write_silver_chunks(df.coalesce(1), str(tmp_path / "silver"), max_records_per_file=100)
