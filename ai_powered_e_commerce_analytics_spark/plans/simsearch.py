@@ -147,6 +147,68 @@ SELECT query_id, neighbor_id, cosine,
 """
 
 
+def embedding_knn_partial_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN with a map-side partial top-k contraction (the scale form
+    of :func:`embedding_knn_bruteforce` — same answer, bounded shuffle).
+
+    Plan shape: the candidate triples (query_id, neighbor_id, cosine) are
+    computed JVM-side (broadcast query join, no corpus shuffle), then an
+    Arrow-batched ``mapInPandas`` keeps only the local top-k per query
+    within each batch — a pure selection over narrow rows, no Python in
+    the arithmetic path. The final ranking window therefore exchanges at
+    most batches x k rows per query instead of the whole corpus.
+
+    Correctness of the contraction: ranking is by the TOTAL order
+    (rounded cosine DESC, neighbor_id ASC); the global top-k under a
+    total order is contained in the union of per-subset top-k for any
+    partitioning of the candidates into subsets, so the window over
+    survivors returns exactly the brute-force answer (same oracle SQL).
+
+    Why not the groupBy+collect_list+slice sketch: ``collect_list``'s
+    partial-aggregation buffers are unbounded, so that plan moves every
+    candidate through the exchange anyway (just batched into arrays) —
+    the slice happens post-shuffle. The mapInPandas island is the form
+    that actually bounds shuffle BYTES, not just row count.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    base = _emb(spark, sf_dir)
+    q = base.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    cand = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+
+    def _local_topk(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            yield pdf.groupby("query_id", sort=False).head(KNN_K)
+
+    survivors = cand.mapInPandas(
+        _local_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup pairs (all-pairs exact form — the LSH
     # bucket join below is the candidate-pruned scale path).
@@ -351,6 +413,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
+    QuerySpec("embedding_knn_partial_topk", embedding_knn_partial_topk, EMBEDDING_KNN_SQL, ("ann-topk-partial",)),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, ("dedup-embedding",)),
     QuerySpec("embedding_lsh_buckets", embedding_lsh_buckets, EMBEDDING_LSH_BUCKETS_SQL, ("ann-lsh",)),
     QuerySpec("simsearch_lsh_bucket_join", simsearch_lsh_bucket_join, SIMSEARCH_LSH_BUCKET_JOIN_SQL, ("ann-lsh-join",)),
