@@ -123,13 +123,29 @@ class StubLLMClient:
         return out
 
 
+def _httpx():
+    """Real httpx when installed (production), else the vendored
+    stdlib shim (same interface subset) — so the async client's code
+    paths run, and are tested, in both environments."""
+    try:
+        import httpx
+
+        return httpx
+    except ImportError:  # pragma: no cover - depends on environment
+        from . import _http_shim
+
+        return _http_shim
+
+
 class OpenAICompatClient:
     """Async OpenAI-compatible chat client with strict JSON-schema output
     (reference data_transformer.py:27-54, enricher.go:73-121).
 
-    Gated behind import-try: the serving stack isn't present in the test
-    container, so construction raises unless ``httpx`` is importable and a
-    base_url is supplied. The interface matches StubLLMClient so the
+    Uses httpx when installed; otherwise the vendored stdlib shim
+    (operators/_http_shim.py) with the same interface subset, so the
+    success / malformed-JSON / HTTP-error / timeout / retry paths are
+    exercised for real by tests/test_llm_client.py against a stdlib
+    fake-OpenAI server. The interface matches StubLLMClient so the
     operator is client-agnostic.
     """
 
@@ -142,13 +158,6 @@ class OpenAICompatClient:
         temperature: float = 0.9,      # reference docker-compose.yml:40
         api_key: str = "not-needed",
     ):
-        try:
-            import httpx  # noqa: F401
-        except ImportError as e:  # pragma: no cover - prod-only path
-            raise NotImplementedError(
-                "OpenAICompatClient requires httpx; use StubLLMClient for "
-                "offline/correctness runs"
-            ) from e
         self.base_url = base_url
         self.model = model
         self.timeout_s = timeout_s
@@ -157,14 +166,14 @@ class OpenAICompatClient:
 
     def classify_sentiments(
         self, batch: list[dict], batch_index: int
-    ) -> list[dict]:  # pragma: no cover - prod-only path
+    ) -> list[dict]:
         import asyncio
 
         return asyncio.run(self._chat_json(batch, kind="sentiments"))
 
     def generate_reviews(
         self, batch: list[dict], batch_index: int
-    ) -> list[dict]:  # pragma: no cover - prod-only path
+    ) -> list[dict]:
         import asyncio
 
         return asyncio.run(self._chat_json(batch, kind="reviews"))
@@ -175,7 +184,7 @@ class OpenAICompatClient:
         batches: list[list[dict]],
         indices: list[int],
         concurrency: int = 4,
-    ) -> list[list[dict] | None]:  # pragma: no cover - prod-only path
+    ) -> list[list[dict] | None]:
         """F4: semaphore-bounded concurrent fan-out over a wave of
         batches (reference data_transformer.py:91-97, enricher.go:140-163
         — 4 in-flight requests sized to llama.cpp ``--parallel 4``).
@@ -200,8 +209,8 @@ class OpenAICompatClient:
 
         return asyncio.run(run_all())
 
-    async def _chat_json(self, batch, kind):  # pragma: no cover
-        import httpx
+    async def _chat_json(self, batch, kind):
+        httpx = _httpx()
 
         prompt = "\n".join(
             f"id : {r['item_id']} , review : {r.get('review', r.get('description', ''))}"
