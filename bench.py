@@ -28,8 +28,9 @@ ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
 # KPI fold (user/shop/date), window (sessions, top3), text map+LSH join
-# (minhash), simhash dedup, hash dedup, ANN (knn brute force / LSH bucket
-# join / IVF), multimodal mapInPandas (feature extract).
+# (minhash), simhash dedup (16-bit demo + 60-bit banded), iterative
+# connected components, hash dedup, ANN (knn brute force / map-side
+# partial top-k / LSH bucket join / IVF), multimodal mapInPandas.
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -44,7 +45,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_components",
     "embedding_knn_bruteforce",
+    "embedding_knn_partial_topk",
     "simsearch_lsh_bucket_join",
     "simsearch_ivf_topk",
     "multimodal_features",

@@ -205,3 +205,41 @@ def test_portable_hash64_matches_duckdb_and_md5(spark, strings):
             [s],
         ).fetchone()
         assert (d0, d7) == (want0, want7), s
+
+
+def test_hash_mode_xxhash64_pipeline(spark, monkeypatch):
+    # Production hash mode: same pipeline shape, native xxhash64 values.
+    # LSH candidates differ per hash family, but VERIFIED pairs are always
+    # a subset of the exact all-pairs Jaccard truth (verification is on
+    # shingles, independent of the hash), and the planted near-dups at
+    # sf0.001 must still be recalled.
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_HASH_MODE", "xxhash64")
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert got, "xxhash64-mode LSH found no pairs"
+    assert got <= truth, f"false positives past verification: {got - truth}"
+    assert len(got) >= 0.8 * len(truth), (len(got), len(truth))
+
+
+def test_hash_mode_default_is_portable(spark, monkeypatch):
+    from ai_powered_e_commerce_analytics_spark.functions.core import (
+        hash_mode,
+        portable_hash64,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_HASH_MODE", raising=False)
+    assert hash_mode() == "portable"
+    df = spark.createDataFrame([("abc",)], "s string")
+    v = df.select(portable_hash64("s").alias("h")).collect()[0].h
+    # md5('abc')[:15] = 900150983cd24fb: stable portable value
+    assert v == int("900150983cd24fb", 16)
