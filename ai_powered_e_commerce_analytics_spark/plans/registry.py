@@ -12,6 +12,7 @@ from .multimodal import MULTIMODAL_SPECS
 from .relational import RELATIONAL_SPECS
 from .relational_tpch import RELATIONAL_TPCH_SPECS
 from .relational_tpch2 import RELATIONAL_TPCH2_SPECS
+from .sampling import SAMPLING_SPECS
 from .simsearch import SIMSEARCH_SPECS
 from .spec import QuerySpec
 from .temporal import TEMPORAL_SPECS
@@ -22,6 +23,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + TEXTOPS_SPECS
     + SIMSEARCH_SPECS
     + APPROX_SPECS
+    + SAMPLING_SPECS
     + MULTIMODAL_SPECS
     + ANALYTICS_SPECS
     + TEMPORAL_SPECS

