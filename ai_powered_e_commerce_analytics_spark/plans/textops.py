@@ -661,6 +661,154 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({DEDUP_MINHASH_LSH_SQL}))
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules:
+    'fraction of duplicate n-grams' and 'fraction of most-common word').
+
+    Token stats come from one explode + two-level agg (map-side combined
+    counts, narrow rows); the shingle-duplication ratio is a pure per-row
+    expression (``array_distinct`` is one pass over the row's own array)
+    — no cross-doc state anywhere, so the whole query is one scan + one
+    doc-keyed exchange at any corpus size.
+
+    All emitted ratios are exact small-integer quotients (raw doubles,
+    bit-identical cross-engine per the float policy).
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok_stats = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("tf").alias("top_tf"),
+        )
+    )
+    sh = word_shingles("text", SHINGLE_K)
+    shingle_stats = docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
+    )
+    return (
+        tok_stats.join(shingle_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_tf").cast("double") / F.col("n_tokens")).alias(
+                "top_token_ratio"
+            ),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_shingles").cast("double")
+                / F.col("n_shingles")
+            ).alias("dup_shingle_ratio"),
+            (
+                F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+            ).alias("distinct_token_ratio"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+    GROUP BY 1, 2
+),
+tok AS (
+    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_distinct_tokens, max(tf) AS top_tf
+    FROM tf GROUP BY 1
+),
+shingle_sql AS (
+    SELECT doc_id,
+           len(sh_all)::BIGINT AS n_shingles,
+           len(list_distinct(sh_all))::BIGINT AS n_distinct_shingles
+    FROM (SELECT doc_id,
+                 list_transform(range(len({_TOKS_SQL}) - {SHINGLE_K - 1}), i -> """ + (
+    " || ' ' || ".join(f"{_TOKS_SQL}[i + {k + 1}]" for k in range(SHINGLE_K))
+) + """) AS sh_all
+          FROM documents)
+)
+SELECT t.doc_id, t.n_tokens,
+       t.top_tf::DOUBLE / t.n_tokens AS top_token_ratio,
+       1.0 - s.n_distinct_shingles::DOUBLE / s.n_shingles AS dup_shingle_ratio,
+       t.n_distinct_tokens::DOUBLE / t.n_tokens AS distinct_token_ratio
+FROM tok t JOIN shingle_sql s USING (doc_id)
+"""
+
+
+BOILER_DF_FRACTION = 0.5   # a shingle in > half the corpus is boilerplate
+
+
+def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate detection: the fraction of each
+    document's distinct shingles that occur in more than
+    ``BOILER_DF_FRACTION`` of all documents (headers / footers / nav
+    text in a real crawl).
+
+    Plan: one explode of distinct shingles → df counts (map-side
+    combined); the common-shingle table is then inner-joined back. Like
+    TF-IDF's df table it is vocabulary-sized — and the common SUBSET is
+    smaller still — so it broadcasts; the corpus side never reshuffles.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # doc_id barrier: sh has THREE consumers (df counts, boiler counts,
+    # totals); the barrier makes ReuseExchange serve all three from one
+    # shingling pass, and both doc-keyed aggregations below inherit the
+    # partitioning (no further exchange).
+    sh = (
+        _doc_shingles(docs)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .repartition("doc_id")
+    )
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > BOILER_DF_FRACTION * n_docs)
+        .select("shingle")
+    )
+    per_doc = sh.join(F.broadcast(common), "shingle", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_boiler"))
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            (
+                F.coalesce("n_boiler", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+common AS (
+    SELECT shingle FROM sh CROSS JOIN n
+    GROUP BY shingle, n.n_docs HAVING count(*) > {BOILER_DF_FRACTION} * n.n_docs
+),
+per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_boiler FROM sh
+    WHERE shingle IN (SELECT shingle FROM common) GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(p.n_boiler, 0)::DOUBLE / t.n_shingles AS boilerplate_ratio
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -684,7 +832,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The term-repartition is an exchange barrier: tf feeds BOTH the df
+    # aggregation and the join probe; without it each consumer replans
+    # the scan+explode+aggregate subtree (two full tokenizations — the
+    # regex split is the expensive part). With it, ReuseExchange serves
+    # both from one computed tf, and the df groupBy needs no further
+    # exchange (already hash-partitioned by term).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .repartition("term")
+    )
     df_ = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -878,6 +1036,8 @@ TEXTOPS_SPECS = [
     QuerySpec("token_stats_by_source", token_stats_by_source, TOKEN_STATS_SQL, ("token-count",)),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, ("fingerprint",)),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, ("tfidf",)),
+    QuerySpec("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_SQL, ("repetition-quality",)),
+    QuerySpec("boilerplate_shingle_ratio", boilerplate_shingle_ratio, BOILERPLATE_SQL, ("boilerplate-df",)),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, ("dedup-exact",)),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),

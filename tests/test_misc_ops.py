@@ -207,3 +207,40 @@ def test_connected_components_chain_and_islands(spark):
         r.id: r.label for r in _connected_components(pairs).collect()
     }
     assert got == {**{i: 1 for i in range(1, 13)}, 100: 100, 101: 100, 102: 100}
+
+
+def test_hash_sampling_partition_invariant(spark):
+    # The whole point of hash-gate sampling: membership is content-
+    # addressed, so repartitioning (or a task retry, or a different
+    # cluster layout) must select EXACTLY the same rows — rand()-based
+    # sampling guarantees none of this.
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        stratified_sample_documents,
+        train_test_split_assignment,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.spec import t
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.doc_id for r in stratified_sample_documents(spark, sf).collect()}
+    # same query over a deliberately different partitioning of the input
+    docs = t(spark, sf, "documents").repartition(7)
+    from pyspark.sql import functions as F
+    from ai_powered_e_commerce_analytics_spark.functions import portable_hash64
+
+    regated = {
+        r.doc_id
+        for r in docs.withColumn(
+            "__g", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(10_000))
+        )
+        .where(F.col("__g") < 1000)
+        .select("doc_id")
+        .collect()
+    }
+    assert base == regated
+
+    # split proportions: hash uniformity should land near 80/10/10
+    split = train_test_split_assignment(spark, sf).groupBy("split").count()
+    got = {r.split: r["count"] for r in split.collect()}
+    n = sum(got.values())
+    assert 0.7 < got["train"] / n < 0.9
+    assert got["train"] + got.get("val", 0) + got.get("test", 0) == n
