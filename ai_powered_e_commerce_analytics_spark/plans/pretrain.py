@@ -1,0 +1,388 @@
+"""Pretraining-corpus preparation operators over ``documents``.
+
+The four jobs every LLM training-data pipeline runs between "raw corpus"
+and "token stream", each expressed as a declarative Spark plan with a
+DuckDB oracle twin:
+
+- **decontamination** — flag documents sharing word n-grams with a
+  held-out benchmark/eval set (the standard n-gram-overlap test-set
+  contamination check). The benchmark shingle set is eval-set-sized
+  (MBs, not TBs) → broadcast; the corpus never reshuffles and the only
+  exchange carries (doc_id, count) partials with map-side combine.
+- **chunking** — split each document into fixed-size token windows with
+  overlap (context-window packing prep). Pure per-row explode + slice:
+  zero shuffle, zero state, scales linearly.
+- **sequence packing** — assign documents to fixed-token-budget bins by
+  contiguous fill in deterministic (source, doc_id) order — the
+  streaming-pack semantic used in practice (a doc that crosses a bin
+  boundary starts its own bin accounting from its start offset). One
+  window per source.
+- **source mix rebalancing** — compute per-source acceptance
+  probabilities that equalize token contributions across sources
+  (downsample-only, so probabilities stay in [0, 1]) and gate each row
+  through the content-addressed hash gate from ``sampling.py`` —
+  deterministic under retries, partitioning, and corpus growth.
+
+Reference parity note: the reference pipeline (data_transformer.py,
+enricher.go) prepares LLM *inputs* by batching and prompt assembly; this
+module is the corpus-side generalization of that preparation stage for
+training-data pipelines (SURVEY.md north-star families).
+
+Float policy: every emitted double is an exact small-integer quotient
+(raw, bit-identical cross-engine); counts/ids/hashes are longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable_hash64, tokens, word_shingles
+from ..functions.core import portable_hash64_sql
+from .spec import QuerySpec, t
+from .textops import SHINGLE_K, _SHINGLES_SQL, _TOKS_SQL
+
+# Benchmark subset: every 50th doc_id stands in for the held-out eval
+# set (deterministic, engine-independent membership).
+BENCH_MOD = 50
+CONTAM_THRESHOLD = 0.5    # >= half the doc's distinct shingles seen in eval
+
+CHUNK_TOKENS = 40         # context-window chunk size
+CHUNK_STRIDE = 30         # 10-token overlap between consecutive chunks
+
+PACK_BUDGET = 512         # tokens per packed bin
+
+MIX_GATE_BUCKETS = 10_000  # hash-gate resolution (basis points)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram overlap against the benchmark shingle set.
+
+    Emits one row per non-benchmark document: distinct-shingle count,
+    how many of those appear anywhere in the benchmark subset, their
+    ratio, and the contamination flag.
+
+    Scale shape: the benchmark set is distinct-contracted FIRST (explode
+    → distinct on an eval-set-sized input) and broadcast as a marker
+    left-join onto the exploded corpus shingles, so totals and hits
+    come out of ONE corpus pass and one grouped aggregation — the
+    corpus side is never shuffled by the join; the single corpus
+    exchange aggregates (doc_id, count, hit-count) partials with
+    map-side combine. At 100 TB the broadcast is bounded by eval-set
+    vocabulary, not corpus size.
+    """
+    docs = t(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
+    bench_set = (
+        docs.where(is_bench)
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles("text", SHINGLE_K))
+            ).alias("shingle")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = docs.where(~is_bench).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles("text", SHINGLE_K))
+        ).alias("shingle"),
+    )
+    per_doc = (
+        corpus.join(F.broadcast(bench_set), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_bench_hits"),
+        )
+    )
+    ratio = F.col("n_bench_hits").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_bench_hits",
+        ratio.alias("bench_overlap_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_bench,
+           unnest({_SHINGLES_SQL}) AS shingle
+    FROM documents
+),
+bench_set AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+corpus AS (SELECT * FROM sh WHERE NOT is_bench),
+totals AS (
+    SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY 1
+),
+hits AS (
+    SELECT doc_id, count(*)::BIGINT AS n_bench_hits FROM corpus
+    WHERE shingle IN (SELECT shingle FROM bench_set) GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(h.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+       coalesce(h.n_bench_hits, 0)::DOUBLE / t.n_shingles
+           AS bench_overlap_ratio,
+       coalesce(h.n_bench_hits, 0)::DOUBLE / t.n_shingles
+           >= {CONTAM_THRESHOLD} AS contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap.
+
+    Each document explodes into windows of ``CHUNK_TOKENS`` tokens at
+    stride ``CHUNK_STRIDE``; each chunk carries its index, token count
+    (the tail chunk may be short), and a content fingerprint (the hook
+    for chunk-level dedup downstream).
+
+    Plan: the token array is computed once per document (projection
+    below the Generate — generator output rows share the carried
+    column, they don't re-evaluate it), then ``sequence`` explodes the
+    chunk starts and ``slice`` is a plain codegen'd expression per
+    chunk row. Zero shuffle, zero state — the one shape guaranteed to
+    scale to any corpus size.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    chunks = toked.select(
+        "doc_id",
+        "source",
+        "toks",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        "source",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        portable_hash64(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# DuckDB list_slice(l, a, b) is inclusive-bounds; clamp the end to len.
+_CHUNK_SQL_EXPR = (
+    f"list_slice({_TOKS_SQL}, start, least(start + {CHUNK_TOKENS - 1}, "
+    f"len({_TOKS_SQL})))"
+)
+
+DOC_CHUNK_SQL = f"""
+SELECT doc_id, source,
+       ((start - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       len({_CHUNK_SQL_EXPR})::BIGINT AS n_chunk_tokens,
+       {portable_hash64_sql(f"array_to_string({_CHUNK_SQL_EXPR}, ' ')")}
+           AS chunk_hash
+FROM (
+    SELECT doc_id, source, text,
+           unnest(range(1, len({_TOKS_SQL}) + 1, {CHUNK_STRIDE})) AS start
+    FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: within each source, documents
+    are laid end-to-end in doc_id order and a document's bin is the bin
+    containing its START offset (``floor(start_offset / PACK_BUDGET)``)
+    — the deterministic streaming-pack semantic (no bin ever waits for
+    a better-fitting doc; a doc may spill past its bin's budget rather
+    than be split).
+
+    Plan: one token count per doc (per-row map) and one running-sum
+    window per source — a single exchange on ``source``. The ordering
+    key (doc_id) is engine-independent, so the packing is bit-stable
+    across runs, engines, and partitionings.
+    """
+    docs = t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return counted.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_BUDGET).cast("long").alias("bin_id"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_offset,
+       ((sum(n_tokens) OVER w - n_tokens) // {PACK_BUDGET})::BIGINT AS bin_id
+FROM (
+    SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens
+    FROM documents
+)
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source mix rebalancing
+# ---------------------------------------------------------------------------
+
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token source mixing by deterministic downsampling.
+
+    Per source, the acceptance probability is
+    ``min_source_tokens / source_tokens`` (the smallest source keeps
+    everything; larger sources are thinned toward equal token mass).
+    Each document then passes through the content-addressed hash gate:
+    ``kept = gate < floor(prob * MIX_GATE_BUCKETS)``, so membership is
+    reproducible under retries/partitioning and stable as the corpus
+    grows (same guarantees as ``sampling.py``, which shares the gate).
+
+    Plan: per-source token totals (one narrow agg), global min via a
+    single-row broadcast (no window over the corpus), then the
+    source-probability table — itself source-cardinality-sized —
+    broadcasts back onto the corpus. The ``doc_id`` repartition below
+    is an exchange barrier: ``counted`` feeds BOTH the per-source
+    aggregation and the final join probe, and without it each consumer
+    replans scan+tokenize (two reads of the wide ``text`` column);
+    with it, ReuseExchange serves both from one tokenization and the
+    exchange carries only narrow (doc_id, source, n_tokens) rows —
+    uniformly partitioned, immune to source skew.
+    """
+    docs = t(spark, sf_dir, "documents")
+    # The explicit isnotnull(source) mirrors what the inner join below
+    # would infer on its probe side only; applying it BEFORE the barrier
+    # keeps both consumer subtrees canonically identical so the runtime
+    # reuses one shuffle stage instead of scanning+tokenizing twice.
+    counted = (
+        docs.where(F.col("source").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .repartition("doc_id")
+    )
+    # count(doc_id) is not decorative: referencing doc_id keeps this
+    # branch's column set identical to the join probe's, so column
+    # pruning cannot specialize the subtree under the barrier and
+    # ReuseExchange fires (a pruned Project below the repartition would
+    # make the two exchanges structurally different).
+    per_source = counted.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.count("doc_id").alias("n_src_docs"),
+    )
+    # Global min as a window over the ALREADY-AGGREGATED per-source
+    # frame (source-cardinality rows, single partition) — a separate
+    # ``per_source.agg(min)`` branch would re-expand the whole
+    # scan+tokenize subtree a third time.
+    min_tokens = F.min("src_tokens").over(
+        Window.partitionBy(F.lit(1))
+    )
+    probs = per_source.select(
+        "source",
+        "src_tokens",
+        "n_src_docs",
+        F.floor(
+            F.lit(MIX_GATE_BUCKETS)
+            * min_tokens.cast("double")
+            / F.col("src_tokens")
+        ).cast("long").alias("accept_gate"),
+    )
+    gate = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), seed=13),
+        F.lit(MIX_GATE_BUCKETS),
+    )
+    return (
+        counted.join(F.broadcast(probs), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "src_tokens",
+            "n_src_docs",
+            "accept_gate",
+            gate.alias("gate"),
+            (gate < F.col("accept_gate")).alias("kept"),
+        )
+    )
+
+
+_MIX_GATE_SQL = (
+    f"({portable_hash64_sql('doc_id::VARCHAR', seed=13)} % {MIX_GATE_BUCKETS})"
+)
+
+SOURCE_MIX_SQL = f"""
+WITH counted AS (
+    SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens
+    FROM documents WHERE source IS NOT NULL
+),
+per_source AS (
+    SELECT source, sum(n_tokens)::BIGINT AS src_tokens,
+           count(doc_id)::BIGINT AS n_src_docs
+    FROM counted GROUP BY 1
+),
+probs AS (
+    SELECT source, src_tokens, n_src_docs,
+           floor({MIX_GATE_BUCKETS} * (SELECT min(src_tokens) FROM per_source)::DOUBLE
+                 / src_tokens)::BIGINT AS accept_gate
+    FROM per_source
+)
+SELECT c.doc_id, c.source, c.n_tokens, p.src_tokens, p.n_src_docs, p.accept_gate,
+       {_MIX_GATE_SQL} AS gate,
+       {_MIX_GATE_SQL} < p.accept_gate AS kept
+FROM counted c JOIN probs p USING (source)
+"""
+
+
+PRETRAIN_SPECS = [
+    QuerySpec(
+        "decontaminate_ngram_overlap",
+        decontaminate_ngram_overlap,
+        DECONTAMINATE_SQL,
+        ("decontamination",),
+    ),
+    QuerySpec(
+        "doc_chunk_tokens",
+        doc_chunk_tokens,
+        DOC_CHUNK_SQL,
+        ("chunking",),
+    ),
+    QuerySpec(
+        "pack_sequences_greedy",
+        pack_sequences_greedy,
+        PACK_SEQUENCES_SQL,
+        ("sequence-packing",),
+    ),
+    QuerySpec(
+        "source_mix_rebalance",
+        source_mix_rebalance,
+        SOURCE_MIX_SQL,
+        ("mix-rebalance",),
+    ),
+]

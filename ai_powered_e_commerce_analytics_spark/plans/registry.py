@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .analytics import ANALYTICS_SPECS
 from .approx import APPROX_SPECS
 from .multimodal import MULTIMODAL_SPECS
+from .pretrain import PRETRAIN_SPECS
 from .relational import RELATIONAL_SPECS
 from .relational_tpch import RELATIONAL_TPCH_SPECS
 from .relational_tpch2 import RELATIONAL_TPCH2_SPECS
@@ -24,6 +25,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + SIMSEARCH_SPECS
     + APPROX_SPECS
     + SAMPLING_SPECS
+    + PRETRAIN_SPECS
     + MULTIMODAL_SPECS
     + ANALYTICS_SPECS
     + TEMPORAL_SPECS

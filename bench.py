@@ -53,6 +53,9 @@ HEADLINE = [
     "simsearch_lsh_bucket_join",
     "simsearch_ivf_topk",
     "multimodal_features",
+    "decontaminate_ngram_overlap",
+    "doc_chunk_tokens",
+    "source_mix_rebalance",
 ]
 
 

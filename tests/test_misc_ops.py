@@ -244,3 +244,55 @@ def test_hash_sampling_partition_invariant(spark):
     n = sum(got.values())
     assert 0.7 < got["train"] / n < 0.9
     assert got["train"] + got.get("val", 0) + got.get("test", 0) == n
+
+
+def test_pretrain_family_semantics(spark):
+    """Pretrain-prep invariants beyond oracle equality: chunk coverage,
+    pack-bin monotone fill, mix keeps the smallest source whole."""
+    from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        PACK_BUDGET,
+        doc_chunk_tokens,
+        pack_sequences_greedy,
+        source_mix_rebalance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    # chunking: per doc, chunk_idx is contiguous from 0; every chunk but
+    # the last is full-size or stride-bounded; token coverage adds up.
+    chunks = doc_chunk_tokens(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.n_chunk_tokens == CHUNK_TOKENS or (
+                # short non-tail chunk only when doc ends inside the window
+                r.n_chunk_tokens < CHUNK_TOKENS
+                and r.chunk_idx * CHUNK_STRIDE + r.n_chunk_tokens
+                == rs[-1].chunk_idx * CHUNK_STRIDE + rs[-1].n_chunk_tokens
+            )
+        assert all(1 <= r.n_chunk_tokens <= CHUNK_TOKENS for r in rs)
+
+    # packing: within (source, bin) the start offsets sit inside
+    # [bin*budget, (bin+1)*budget); bins are dense per source.
+    packs = pack_sequences_greedy(spark, sf).collect()
+    by_src: dict[str, list] = {}
+    for r in packs:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.bin_id * PACK_BUDGET <= r.start_offset < (r.bin_id + 1) * PACK_BUDGET
+    for src, rs in by_src.items():
+        bins = sorted({r.bin_id for r in rs})
+        assert bins == list(range(len(bins)))
+
+    # mix: smallest source keeps everything; kept == (gate < accept_gate)
+    mix = source_mix_rebalance(spark, sf).collect()
+    min_src_tokens = min(r.src_tokens for r in mix)
+    for r in mix:
+        assert r.kept == (r.gate < r.accept_gate)
+        if r.src_tokens == min_src_tokens:
+            assert r.accept_gate == 10_000 and r.kept
