@@ -33,9 +33,11 @@ _ALL_SPECS: list[QuerySpec] = (
     + RELATIONAL_TPCH2_SPECS
 )
 
-# Queries with a green rows/schema/hash row in round 1's driver run
-# (CORRECTNESS_r01.json) — that evidence is permanent, so they yield their
-# slot in the driver's 50-query window to queries that have none yet.
+# Driver-verification history, one set per round, used to rotate the
+# driver's 50-query window by LEAST-RECENTLY-VERIFIED: queries never
+# driver-checked come first, then the round whose evidence is oldest, and
+# so on. This keeps every registry query's driver CORRECTNESS row at most
+# ~2 rounds old even as shared helpers evolve underneath it.
 _R1_DRIVER_VERIFIED = {
     "user_kpis", "shop_kpis", "date_kpis", "gold_enrichment_join",
     "customers_without_orders", "acctbal_minmax_normalized",
@@ -61,15 +63,47 @@ _R1_DRIVER_VERIFIED = {
     "customers_both_years", "customers_1996_only",
 }
 
+# Queries verified by round 2's driver window (CORRECTNESS_r02.json —
+# all 50 rows green). Their evidence is the freshest, so they rotate to
+# the back of the round-3 window.
+_R2_DRIVER_VERIFIED = {
+    "text_quality", "lang_id_heuristic", "token_stats_by_source",
+    "doc_fingerprint", "tfidf_top_terms", "doc_repetition_stats",
+    "boilerplate_shingle_ratio", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
+    "dedup_near_dup_survivors", "dedup_components", "dedup_survivors_cc",
+    "embedding_norms", "embedding_knn_bruteforce",
+    "embedding_knn_partial_topk", "dedup_embedding_cosine",
+    "embedding_lsh_buckets", "simsearch_lsh_bucket_join",
+    "simsearch_ivf_topk", "simsearch_ivf_recall",
+    "order_value_percentiles_approx", "approx_distinct_customers",
+    "stratified_sample_documents", "train_test_split_assignment",
+    "per_source_topk_sample", "decontaminate_ngram_overlap",
+    "doc_chunk_tokens", "pack_sequences_greedy", "source_mix_rebalance",
+    "multimodal_features", "multimodal_frame_sample",
+    "multimodal_metadata_stats", "order_priority_pivot_table",
+    "lineitem_price_stats", "user_kpis", "shop_kpis", "date_kpis",
+    "gold_enrichment_join", "customers_without_orders",
+    "acctbal_minmax_normalized", "item_id_assignment",
+    "item_id_assignment_ranged", "batch_assignment", "pool_assignment",
+    "union_all_orders", "top100_orders", "top3_orders_per_customer",
+}
+
 # Order matters: the external driver verifies the FIRST 50 entries against
-# the DuckDB oracle each round. Stable partition: queries that still lack
-# any driver CORRECTNESS row (the north-star textops / dedup / ANN /
-# multimodal families plus everything added after round 1) come first;
-# round-1-verified queries fill the remaining window slots and beyond.
-QUERIES: list[QuerySpec] = (
-    [q for q in _ALL_SPECS if q.name not in _R1_DRIVER_VERIFIED]
-    + [q for q in _ALL_SPECS if q.name in _R1_DRIVER_VERIFIED]
-)
+# the DuckDB oracle each round. Stable partition by staleness: (1) queries
+# with NO driver CORRECTNESS row yet (new this round), (2) queries whose
+# only driver evidence is round 1 (stale — shared helpers changed since),
+# (3) round-2-verified queries, freshest last. The round-3 window thus
+# re-checks all 37 r1-only queries plus the newest additions.
+def _staleness(q: QuerySpec) -> int:
+    if q.name in _R2_DRIVER_VERIFIED:
+        return 2
+    if q.name in _R1_DRIVER_VERIFIED:
+        return 1
+    return 0
+
+
+QUERIES: list[QuerySpec] = sorted(_ALL_SPECS, key=_staleness)
 
 _names = [q.name for q in QUERIES]
 assert len(_names) == len(set(_names)), "duplicate query names in registry"

@@ -429,10 +429,17 @@ def _simhash_docs(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         ).alias(f"v{j}")
         for j in range(bits)
     ]
+    # explode_OUTER: a NULL-text doc has a NULL token array, and a plain
+    # explode would emit no rows for it — silently dropping the doc from
+    # the signature table, where the DuckDB oracle (list_sum over a NULL
+    # list -> CASE -> 0) emits simhash=0. The outer explode keeps one
+    # (doc_id, NULL) row; its hash is NULL, every vote sums to NULL, and
+    # the when(v>0)/otherwise(0) bit assembly lands on simhash=0 — exact
+    # oracle parity for NULL-text corpora.
     agg = (
         df.select(
             "doc_id",
-            F.explode(F.array_distinct(tokens("text"))).alias("tk"),
+            F.explode_outer(F.array_distinct(tokens("text"))).alias("tk"),
         )
         .select("doc_id", portable_hash64(F.col("tk")).alias("h"))
         .groupBy("doc_id")
@@ -640,15 +647,19 @@ def dedup_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-lowest — the standard approximation; full transitive clustering
     needs iterative connected components, out of SQL's reach).
 
-    Plan: the pair list's doc_b side is tiny relative to the corpus, so
-    the anti-join broadcasts it — the corpus itself never shuffles.
+    Plan: plain left-anti join on ``doc_id`` — no forced broadcast. On a
+    real web crawl the near-dup side is 30-50% of the corpus (corpus-order,
+    not dimension-order), so a compile-time ``F.broadcast`` hint would OOM
+    executors at 100 TB; AQE still picks a broadcast join at runtime
+    whenever the pair side is genuinely under the threshold, and the
+    shuffled anti-join on ``doc_id`` is safe at every scale.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
         .join(
-            F.broadcast(pairs),
+            pairs,
             F.col("doc_id") == F.col("doc_b"),
             "left_anti",
         )
@@ -751,12 +762,17 @@ def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in a real crawl).
 
     Plan: one explode of distinct shingles → df counts (map-side
-    combined); the common-shingle table is then inner-joined back. Like
-    TF-IDF's df table it is vocabulary-sized — and the common SUBSET is
-    smaller still — so it broadcasts; the corpus side never reshuffles.
+    combined); the common-shingle table is then inner-joined back.
+    UNLIKE TF-IDF's vocabulary-sized df table, the common set here is
+    bounded by construction — a shingle qualifies only by appearing in
+    >50% of all documents, so at most ``total_shingle_occurrences /
+    (0.5 * n_docs)`` distinct shingles qualify (~2x the mean shingles
+    per doc, i.e. a few thousand regardless of corpus size) — so the
+    broadcast semi-join is sound at any scale. The corpus row count
+    enters as a broadcast 1-row aggregate (no plan-build count job).
     """
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs_row = docs.agg(F.count("*").alias("__n_docs"))
     # doc_id barrier: sh has THREE consumers (df counts, boiler counts,
     # totals); the barrier makes ReuseExchange serve all three from one
     # shingling pass, and both doc-keyed aggregations below inherit the
@@ -769,7 +785,8 @@ def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") > BOILER_DF_FRACTION * n_docs)
+        .crossJoin(F.broadcast(n_docs_row))
+        .where(F.col("df") > BOILER_DF_FRACTION * F.col("__n_docs"))
         .select("shingle")
     )
     per_doc = sh.join(F.broadcast(common), "shingle", "left_semi").groupBy(
@@ -819,16 +836,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode tokens once; term frequency is a (doc, term) groupBy;
     document frequency is a (term) groupBy over the distinct (doc, term)
     pairs — both map-side-combinable counts over narrow rows. The df
-    table is vocabulary-sized, so it BROADCASTS back onto the tf rows
-    (the corpus-sized side never reshuffles for the join); the final
-    per-doc top-k is one window over rows already keyed by doc.
+    table joins back onto tf with NO broadcast hint: a 100 TB crawl's
+    vocabulary (typos, numbers, code tokens) is 1e8-1e9 terms, far past
+    broadcast range. Both sides of the join are already hash-partitioned
+    by ``term`` (tf via the explicit barrier, df because it is an
+    aggregate OF that barrier), so the shuffled join adds zero new
+    exchanges of either side; AQE still broadcasts at runtime when the
+    vocabulary is genuinely small. The final per-doc top-k is one window
+    over rows re-keyed by doc.
+
+    The corpus row count enters the plan as a broadcast 1-row aggregate
+    cross join (not a driver-side ``.count()``), so building + running
+    the query is ONE job, not a count job plus the main job.
 
     Float policy: idf = ln(N/df) on exact integer operands, then
     round(tf*idf, 6) — float-accumulated class (never sits on a decimal
     boundary; cross-engine libm noise is ~1e-15 vs the 1e-6 grid).
     """
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar anchor, one cheap job
+    n_docs_row = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
@@ -849,14 +875,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tfidf = F.round(
         F.col("tf")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        * F.log(F.col("__n_docs") / F.col("df").cast("double")),
         6,
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), "term"
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs_row))
         .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= TFIDF_TOP_K)
@@ -886,18 +913,26 @@ SELECT doc_id, term, tf, tfidf, rk FROM (
 def _connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over an undirected pair list
     (columns ``doc_a`` < ``doc_b``) -> (id, label) with label = component
-    minimum. Iterative: each round does one neighbor-min propagation and
-    one pointer-jump (label <- label(label), path doubling), so rounds
-    are O(log diameter) — the same exchange count per round as the
-    large-star/small-star MapReduce formulation (Kiveris et al.) with a
-    simpler invariant: labels only ever DECREASE and label(x) <= x, so a
-    stable global sum(label) proves a fixpoint (one scalar per round, no
-    change-join).
+    minimum.
+
+    FUSED iteration (round-3 rewrite): each round builds ONE candidate
+    union — self labels ∪ neighbor labels (edge join) ∪ label-of-label
+    (pointer-jump join) — and takes ONE groupBy(id).min. That is 2 joins
+    + 1 aggregation per round vs the previous 3 joins + 2 aggregations
+    (separate neighbor-min propagate, left-join merge, then pointer-jump
+    round), with the same O(log diameter) round count: every round still
+    applies both a propagation step and a path-doubling step, just under
+    a single shuffle-to-id barrier. Invariant unchanged: labels only
+    ever DECREASE and label(x) <= x, so a stable global sum(label)
+    proves a fixpoint (one scalar collect per round, no change-join).
 
     Scale: every round shuffles (node, label) pairs keyed by id — O(dup
     docs), not the corpus; each round's frame is persisted and the prior
     round unpersisted, keeping lineage flat. The final frame stays
-    persisted (it is the returned plan's input).
+    persisted (it is the returned plan's input). The edge list is
+    persisted pre-partitioned on ``dst`` so the per-round neighbor join
+    never re-exchanges the edges (Catalyst recognizes the cached
+    hash-partitioning and only shuffles the label side).
     """
     # Persist the symmetrized edge list: it is joined every round, and
     # without materialization each round's job would recompute the whole
@@ -910,6 +945,7 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
+        .repartition("dst")
         .persist()
     )
     # Seed with the neighborhood min (not the identity) — one round of
@@ -925,39 +961,40 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
-        nmin = (
+        nbr = (
             edges.join(
                 labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("dlabel")
+                    F.col("id").alias("dst"), F.col("label").alias("cand")
                 ),
                 "dst",
             )
-            .groupBy("src")
-            .agg(F.min("dlabel").alias("nmin"))
+            .select(F.col("src").alias("id"), "cand")
         )
-        prop = labels.join(
-            nmin, labels["id"] == nmin["src"], "left"
-        ).select(
-            "id", F.least("label", F.coalesce("nmin", "label")).alias("label")
-        )
-        jumped = (
-            prop.alias("x")
+        # Pointer jump as candidates: label(x) is always the id of a node
+        # in x's component and every node appears in `labels` (edges are
+        # symmetrized, so each node occurs as src), hence the inner join
+        # emits exactly one label-of-label candidate per node.
+        jump = (
+            labels.alias("x")
             .join(
-                prop.select(
-                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                labels.select(
+                    F.col("id").alias("jid"), F.col("label").alias("cand")
                 ),
                 F.col("x.label") == F.col("jid"),
-                "left",
             )
-            .select(
-                F.col("x.id").alias("id"),
-                F.coalesce("jlabel", F.col("x.label")).alias("label"),
-            )
+            .select(F.col("x.id").alias("id"), "cand")
+        )
+        new_labels = (
+            labels.select("id", F.col("label").alias("cand"))
+            .unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("cand").alias("label"))
             .persist()
         )
-        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
-        labels = jumped
+        labels = new_labels
         if cur_sum == prev_sum:  # labels are monotone non-increasing
             break
         prev_sum = cur_sum
@@ -978,11 +1015,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence-class semantics a real dedup pipeline wants.
     """
     labels = _connected_components(dedup_minhash_lsh(spark, sf_dir))
+    # No broadcast hint on the label table: it is O(docs-with-a-near-dup),
+    # which on a web-scale crawl is 30-50% of the corpus — corpus-order,
+    # not dimension-order. A shuffled left join on doc_id is safe at every
+    # scale, and AQE still broadcasts at runtime when the labels really
+    # are small.
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id")
         .join(
-            F.broadcast(labels.select(F.col("id").alias("doc_id"), "label")),
+            labels.select(F.col("id").alias("doc_id"), "label"),
             "doc_id",
             "left",
         )
