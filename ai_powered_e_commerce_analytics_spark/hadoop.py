@@ -20,6 +20,29 @@ def hadoop_fs(spark: SparkSession, path: str):
     return hadoop_path(spark, path).getFileSystem(conf)
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` to ``path`` (overwrite) through the Hadoop FS API —
+    works for any scheme the session can reach, unlike ``open()``."""
+    fs = hadoop_fs(spark, path)
+    out = fs.create(hadoop_path(spark, path), True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read ``path`` fully as UTF-8 text through the Hadoop FS API."""
+    jvm = spark.sparkContext._jvm
+    fs = hadoop_fs(spark, path)
+    stream = fs.open(hadoop_path(spark, path))
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
 def move_file(spark: SparkSession, src: str, dst: str) -> bool:
     """Move ``src`` to ``dst``, handling the cross-filesystem case:
     same-FS moves use rename (atomic); cross-FS moves (file:// source,

@@ -89,13 +89,55 @@ _R2_DRIVER_VERIFIED = {
     "union_all_orders", "top100_orders", "top3_orders_per_customer",
 }
 
+# Queries GREEN in round 3's driver window (CORRECTNESS_r03.json: 46 of
+# 50 rows). The 4 events/temporal queries in that window ERRORED — the
+# driver regenerated events.parquet with ts as TIMESTAMP_NTZ between
+# rounds — so they are deliberately ABSENT here AND demoted out of the
+# r1 set below: fixed in round 4 (spec.event_ts_us), they carry no green
+# evidence on the current data and must re-enter the window first.
+_R3_DRIVER_VERIFIED = {
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "events_props_extract",
+    "salted_skew_join_brand_revenue", "order_gaps_lag_lead",
+    "customer_rank_battery", "rolling_weekly_revenue",
+    "customers_both_years", "customers_1996_only",
+    "tpch_q4_late_shipment_semi", "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_revenue", "tpch_q12_priority_pivot",
+    "tpch_q14_promo_revenue", "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_idle_wealthy_customers",
+    "running_revenue_per_customer", "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q11_important_parts",
+    "tpch_q13_order_count_distribution", "tpch_q15_top_supplier",
+    "tpch_q20_excess_share_suppliers", "tpch_q21_sole_late_supplier",
+    "rollup_revenue_by_flag_status", "cube_orders_by_status_priority",
+    "order_value_percentiles", "user_kpis", "shop_kpis", "date_kpis",
+    "gold_enrichment_join", "customers_without_orders",
+    "acctbal_minmax_normalized", "item_id_assignment",
+    "item_id_assignment_ranged", "batch_assignment", "pool_assignment",
+    "union_all_orders", "top100_orders", "top3_orders_per_customer",
+}
+
+# The r3 window's 4 errored queries: r1 evidence predates the events
+# table's type change, so it no longer certifies anything.
+_EVIDENCE_INVALIDATED = {
+    "events_hourly_rollup", "events_user_sessions",
+    "asof_last_click_before_purchase", "range_join_clicks_before_purchase",
+}
+
+
 # Order matters: the external driver verifies the FIRST 50 entries against
-# the DuckDB oracle each round. Stable partition by staleness: (1) queries
-# with NO driver CORRECTNESS row yet (new this round), (2) queries whose
-# only driver evidence is round 1 (stale — shared helpers changed since),
-# (3) round-2-verified queries, freshest last. The round-3 window thus
-# re-checks all 37 r1-only queries plus the newest additions.
+# the DuckDB oracle each round. Stable partition by last-verified round,
+# least recent first: (0) no valid driver evidence on current data — new
+# queries plus the 4 events/temporal fixes; (1..3) evidence from that
+# round, freshest last. The round-4 window thus re-checks the 4 fixes,
+# anything new this round, and the 38 r2-verified queries r3 didn't reach.
 def _staleness(q: QuerySpec) -> int:
+    if q.name in _EVIDENCE_INVALIDATED:
+        return 0
+    if q.name in _R3_DRIVER_VERIFIED:
+        return 3
     if q.name in _R2_DRIVER_VERIFIED:
         return 2
     if q.name in _R1_DRIVER_VERIFIED:

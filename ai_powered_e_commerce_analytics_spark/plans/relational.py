@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
-from .spec import QuerySpec, cents, cents_sql, t
+from .spec import QuerySpec, cents, cents_sql, event_hour_str, event_ts_us, t
 
 # Deterministic nullable-sentiment rules (stand-ins for LLM output; the
 # null branch mirrors failed LLM batches, data_transformer.py:100).
@@ -558,14 +558,13 @@ GROUP BY n_name
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ST4 extension: tumbling 1h window as a batch groupBy — the streaming
     # twin (streaming/jobs.py) uses window()+watermark; same fold.
-    # ts arrives as long ns (see spec.t); DIV 1000 → exact µs.
+    # ts encoding is generator-dependent (ntz µs today, long ns before);
+    # event_hour_str adapts (spec.py).
+    ev = t(spark, sf_dir, "events")
     return (
-        t(spark, sf_dir, "events")
-        .groupBy(
+        ev.groupBy(
             "event_type",
-            F.date_format(
-                F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd HH:00:00"
-            ).alias("hour"),
+            event_hour_str(ev).alias("hour"),
         )
         .agg(
             F.count("*").alias("n_events"),
@@ -593,9 +592,9 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float near the threshold. The stateful-streaming twin is in
     # streaming/jobs.py; this is the deterministic batch formulation.
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    raw = t(spark, sf_dir, "events")
     ev = (
-        t(spark, sf_dir, "events")
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        raw.withColumn("ts_us", event_ts_us(raw))
         .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
     )
     return (

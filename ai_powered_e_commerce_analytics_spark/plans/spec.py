@@ -54,8 +54,70 @@ def cents_sql(expr: str) -> str:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The driver may hand us a session without our defaults; the
-        # events table is TIMESTAMP(NANOS) parquet, unreadable unless
-        # nanos are surfaced as long (ns since epoch, µs-precision data).
+        # The driver may hand us a session without our defaults; earlier
+        # generations of the events table were TIMESTAMP(NANOS) parquet,
+        # unreadable unless nanos surface as long. Harmless for the
+        # current TIMESTAMP(MICROS, ntz) encoding.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def event_ts_us(df: DataFrame, col: str = "ts"):
+    """Event time as exact epoch MICROSECONDS (long).
+
+    Robust to every encoding the driver's testdata generator has used for
+    ``events.ts``:
+
+    - ``TIMESTAMP_NTZ`` (current): wall clock IS the UTC instant. Computed
+      with pure field arithmetic (days-since-epoch + time-of-day), which is
+      session-timezone-independent — unlike ``cast(ts as timestamp)``,
+      which would shift by the driver session's zone offset. ``extract
+      (second)`` yields DECIMAL(8,6) seconds-with-fraction, so ``* 1e6``
+      is exact on the µs grid.
+    - ``long`` (legacy ``nanosAsLong`` surface of TIMESTAMP(NANOS)):
+      integer ``DIV 1000`` — never float division; ns magnitudes ~1.7e18
+      exceed double's 2^53 exact range.
+    - ``timestamp`` (instant-typed): ``unix_micros`` reads the stored UTC
+      instant directly, timezone-free.
+
+    Matches DuckDB ``epoch_us(ts)`` bit-exactly in all three cases, so
+    all ordering / gap / band arithmetic happens in the same integer-µs
+    domain in both engines.
+    """
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000")
+    if dt == "timestamp_ntz":
+        return (
+            F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01").cast("date"))
+            .cast("long") * _US_PER_DAY
+            + F.hour(col).cast("long") * 3_600_000_000
+            + F.minute(col).cast("long") * 60_000_000
+            + F.expr(f"cast(extract(second from {col}) * 1000000 as bigint)")
+        )
+    return F.unix_micros(F.col(col))
+
+
+def event_hour_str(df: DataFrame, col: str = "ts"):
+    """Event hour as the string ``yyyy-MM-dd HH:00:00``.
+
+    On timestamp-typed columns ``date_format`` renders the wall clock of
+    the stored value with no timezone conversion for NTZ (verified: same
+    output under UTC and America/New_York sessions), matching DuckDB
+    ``strftime(date_trunc('hour', ts), ...)``. On the legacy long-ns
+    surface, reconstruct via ``timestamp_micros`` (UTC-safe only under a
+    UTC session — the legacy path's original contract).
+    """
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        src = F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    else:
+        src = F.col(col)
+    return F.date_format(src, "yyyy-MM-dd HH:00:00")

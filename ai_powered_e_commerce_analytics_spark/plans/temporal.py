@@ -27,13 +27,12 @@ Scale notes (100 TB):
 - The bucketed range join's fan-out is exactly 2× the probe side —
   independent of data volume — and the bucket width equals the band, so
   every candidate pair lands in at most one matching bucket pair.
-- The events timestamp arrives as int64 nanoseconds (see plans/spec.t)
-  and is truncated to MICROSECONDS at the scan (integer `DIV 1000`,
-  never float division — ns magnitudes ~1.7e18 exceed double's 2^53
-  exact-integer range): the DuckDB oracle only sees µs (its parquet
-  reader truncates TIMESTAMP(NANOS)), so all ordering/band membership
-  is computed in the µs domain in BOTH engines, and µs longs survive
-  nullable pandas float64 round-trips exactly.
+- The events timestamp is normalized to exact integer MICROSECONDS at
+  the scan by spec.event_ts_us — adaptive to the generator's encoding
+  (TIMESTAMP_NTZ today, int64 ns in earlier rounds) and session-
+  timezone-independent — so all ordering/band membership is computed in
+  the same µs domain in BOTH engines (DuckDB via epoch_us), and µs
+  longs survive nullable pandas float64 round-trips exactly.
 """
 
 from __future__ import annotations
@@ -42,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .spec import QuerySpec, cents, cents_sql, t
+from .spec import QuerySpec, cents, cents_sql, event_ts_us, t
 
 _HOUR_US = 3_600_000_000
 
@@ -61,12 +60,12 @@ def asof_last_click_before_purchase(
     Timestamps are truncated to µs at the scan (see module docstring);
     data is unique per user at µs grain, so the as-of order is total.
     """
+    raw = t(spark, sf_dir, "events")
     ev = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("click", "purchase"))
+        raw.where(F.col("event_type").isin("click", "purchase"))
         .select(
             "user_id",
-            F.expr("ts DIV 1000").alias("ts_us"),
+            event_ts_us(raw).alias("ts_us"),
             "event_id",
             "event_type",
             "value",
@@ -130,7 +129,7 @@ def range_join_clicks_before_purchase(
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select(
-            "user_id", F.expr("ts DIV 1000").alias("p_ts"), "event_id"
+            "user_id", event_ts_us(ev).alias("p_ts"), "event_id"
         )
         .withColumn(
             "bucket",
@@ -146,7 +145,7 @@ def range_join_clicks_before_purchase(
         ev.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
-            F.expr("ts DIV 1000").alias("c_ts"),
+            event_ts_us(ev).alias("c_ts"),
             cents("value").alias("c_value_c"),
         )
         .withColumn("bucket", F.expr(f"c_ts DIV {_HOUR_US}"))

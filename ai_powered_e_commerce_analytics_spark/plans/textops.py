@@ -927,9 +927,17 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     proves a fixpoint (one scalar collect per round, no change-join).
 
     Scale: every round shuffles (node, label) pairs keyed by id — O(dup
-    docs), not the corpus; each round's frame is persisted and the prior
-    round unpersisted, keeping lineage flat. The final frame stays
-    persisted (it is the returned plan's input). The edge list is
+    docs), not the corpus. Each round's label frame is materialized with
+    an EAGER ``localCheckpoint`` — not a bare ``persist`` — because the
+    fused round references the previous labels three times (self ∪
+    neighbor ∪ label-of-label), so the *logical* plan would grow ~4× per
+    round even though the cache keeps execution flat; past ~8 rounds the
+    exponential plan tree OOMs the driver just rendering its explain
+    string. The checkpoint truncates lineage to the stored partitions,
+    making per-round plan size O(1). (A cluster restart loses local
+    checkpoints, but the frame is consumed within the same job — the
+    production form on a 1000-executor cluster would use a reliable
+    ``checkpoint(dir)`` with the same semantics.) The edge list is
     persisted pre-partitioned on ``dst`` so the per-round neighbor join
     never re-exchanges the edges (Catalyst recognizes the cached
     hash-partitioning and only shuffles the label side).
@@ -957,7 +965,7 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             F.col("src").alias("id"),
             F.least("src", "mn").alias("label"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
@@ -990,10 +998,9 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("cand").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)  # truncate lineage (see docstring)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:  # labels are monotone non-increasing
             break

@@ -54,9 +54,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- Scan sizing: keep file-split partitions memory-friendly.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # -- Timestamps: events.parquet uses TIMESTAMP(NANOS), which Spark
-        # refuses by default; read as raw long ns (values are µs-precision,
-        # so ts DIV 1000 is lossless — see plans/relational.py events ops).
+        # -- Timestamps: earlier testdata generations wrote events.parquet
+        # as TIMESTAMP(NANOS), which Spark refuses by default; surfacing
+        # nanos as long keeps that encoding readable (no effect on the
+        # current TIMESTAMP_NTZ µs encoding — plans/spec.event_ts_us
+        # adapts to whichever type arrives).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -9,9 +9,12 @@ and PostgREST keyed upserts. Spark-first equivalents:
 - S8 KPI upsert     -> keyed MERGE. Delta Lake isn't available in this
   container, so the upsert is a parquet-backed read-union-dedupe-rewrite
   with last-writer-wins per key — the same observable semantics as the
-  reference's ``on_conflict`` upsert (data_loader.py:54-60). The module
-  is structured so a Delta ``MERGE INTO`` drops in behind the same
-  function signature when delta-spark is on the classpath.
+  reference's ``on_conflict`` upsert (data_loader.py:54-60). Commits go
+  through an atomically-renamed versioned MANIFEST (immutable data files
+  + atomic metadata pointer — the same protocol Delta/Iceberg use), so
+  readers always see a complete committed table no matter where a writer
+  crashed. A Delta ``MERGE INTO`` drops in behind the same function
+  signature when delta-spark is on the classpath.
 - S10 bronze append -> plain JSON append with timestamped subdirs.
 
 Scale notes: the upsert rewrite is partitioned by key-hash bucket so a
@@ -21,6 +24,8 @@ MERGE is the production path and noted inline.
 
 from __future__ import annotations
 
+import json
+import re
 import time
 import uuid
 
@@ -93,6 +98,78 @@ def write_bronze_batch(df: DataFrame, bronze_new_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_MANIFEST_RE = re.compile(r"_MANIFEST-v(\d{8})\.json$")
+
+
+def _latest_manifest(spark: SparkSession, fs, table_path: str):
+    """(version, manifest_dict) of the highest committed manifest, or
+    (0, None) for a table that has never committed."""
+    from .hadoop import fs_read_text, hadoop_path
+
+    best_v, best_path = 0, None
+    for status in fs.globStatus(
+        hadoop_path(spark, f"{table_path}/_MANIFEST-v*.json")
+    ) or []:
+        m = _MANIFEST_RE.search(status.getPath().getName())
+        if m and int(m.group(1)) > best_v:
+            best_v, best_path = int(m.group(1)), status.getPath().toString()
+    if best_path is None:
+        return 0, None
+    return best_v, json.loads(fs_read_text(spark, best_path))
+
+
+def _commit_manifest(
+    spark: SparkSession, fs, table_path: str, version: int, manifest: dict
+) -> None:
+    """Publish ``manifest`` as version ``version`` with ONE atomic rename.
+
+    The manifest body is written to a ``_tmp_`` name (readers never match
+    it), then renamed to its final ``_MANIFEST-v{N}.json`` name. Rename to
+    a FRESH name is atomic on HDFS and posix alike — there is no
+    delete-then-rename hole, and a crash at any instant leaves either the
+    old manifest current (commit never happened) or the new one (commit
+    complete). A failed rename (e.g. a concurrent writer already took the
+    version) raises — this sink is single-writer by contract, same as the
+    reference's PostgREST upsert loop.
+    """
+    from .hadoop import fs_write_text, hadoop_path
+
+    tmp = f"{table_path}/_tmp_manifest_{uuid.uuid4().hex[:8]}.json"
+    fs_write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+    final = hadoop_path(spark, f"{table_path}/_MANIFEST-v{version:08d}.json")
+    if not fs.rename(hadoop_path(spark, tmp), final):
+        fs.delete(hadoop_path(spark, tmp), False)
+        raise RuntimeError(
+            f"manifest commit race: version {version} already exists at "
+            f"{table_path} (single-writer contract violated)"
+        )
+
+
+def _gc_upsert_table(
+    spark: SparkSession, fs, table_path: str, version: int, manifest: dict
+) -> None:
+    """Drop manifests older than the freshly-committed ``version`` and
+    data/tx dirs the new manifest no longer references. Runs AFTER the
+    commit, so a crash mid-GC only leaves harmless debris that the next
+    upsert's GC removes. (A production deployment with long-running
+    concurrent readers would add a retention grace window here, like
+    Delta VACUUM; the KPI tables have no such readers.)"""
+    from .hadoop import hadoop_path
+
+    live_tx = {rel.split("/")[1] for rel in manifest["buckets"].values()}
+    for status in fs.globStatus(
+        hadoop_path(spark, f"{table_path}/_MANIFEST-v*.json")
+    ) or []:
+        m = _MANIFEST_RE.search(status.getPath().getName())
+        if m and int(m.group(1)) < version:
+            fs.delete(status.getPath(), False)
+    for status in fs.globStatus(hadoop_path(spark, f"{table_path}/_tmp_manifest_*")) or []:
+        fs.delete(status.getPath(), False)
+    for status in fs.globStatus(hadoop_path(spark, f"{table_path}/data/tx_*")) or []:
+        if status.getPath().getName() not in live_tx:
+            fs.delete(status.getPath(), True)
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -105,96 +182,105 @@ def upsert_parquet(
     (reference PostgREST ``upsert(records, on_conflict=key)``,
     data_loader.py:54-60).
 
-    Implementation: hash-bucket the table by key so only buckets touched
-    by this batch are rewritten; within a touched bucket, new rows win
-    over existing rows on the same key.
+    Layout + commit protocol (manifest-based, ACID for readers)::
 
-    100 TB note: this is the no-dependency fallback. With delta-spark on
-    the classpath the body becomes::
+        table/
+          _MANIFEST-v00000003.json   # current: {"buckets": {b: "data/tx_x/__bucket=b"}}
+          data/tx_x/__bucket=0/...   # immutable once written
+          data/tx_y/__bucket=7/...
 
-        DeltaTable.forPath(spark, table_path).alias("t")
-          .merge(updates.alias("u"), f"t.{key} = u.{key}")
-          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    Each upsert merges only the buckets its keys hash into, writes them
+    to a NEW immutable ``data/tx_{id}`` dir, then commits by atomically
+    renaming the next-version manifest into place (see
+    :func:`_commit_manifest`). Readers resolve the file set exclusively
+    through the highest committed manifest, so they always observe a
+    complete table — wholly old or wholly new, never a mix and never a
+    missing bucket, no matter where a writer crashed. Uncommitted staging
+    data is invisible (no manifest references it) and is GC'd by the next
+    successful upsert.
 
-    which gets file-level skipping + ACID for free. The bucket layout
-    below bounds the rewrite to (touched buckets / num_buckets) of the
-    table, which is the same asymptotic behavior.
+    100 TB note: this is a miniature of exactly what Delta/Iceberg do
+    (immutable data files + atomic metadata pointer). With delta-spark on
+    the classpath the body becomes ``DeltaTable.merge(...)`` and gains
+    file-level skipping; the bucket layout below already bounds the
+    rewrite to (touched buckets / num_buckets) of the table.
     """
-    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
-    updates = updates.withColumn("__bucket", bucket)
-
-    # Existence check via the FS, NOT a read wrapped in a bare except: a
-    # transiently unreadable EXISTING table must raise, never silently
-    # route to the initial-write branch (which would overwrite the whole
-    # table with just this batch). "Existing" means HAS DATA — a bucket
-    # partition dir must be present. A bare fs.exists() would treat the
-    # debris of a crashed first write (_temporary/ only) as a table and
-    # wedge every subsequent upsert on UNABLE_TO_INFER_SCHEMA; such
-    # debris takes the initial-write branch, whose overwrite clears it.
-    from .hadoop import hadoop_fs, hadoop_path
+    from .hadoop import hadoop_fs
 
     fs = hadoop_fs(spark, table_path)
-    have_existing = fs.exists(hadoop_path(spark, table_path)) and bool(
-        fs.globStatus(hadoop_path(spark, f"{table_path}/__bucket=*"))
-    )
+    version, manifest = _latest_manifest(spark, fs, table_path)
+    if manifest is not None:
+        # Bucketing must stay consistent with the existing table.
+        num_buckets = int(manifest["num_buckets"])
 
-    if not have_existing:
-        (
-            updates.repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(table_path)
-        )
-        return
-
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+    updates = updates.withColumn("__bucket", bucket)
     touched = [r[0] for r in updates.select("__bucket").distinct().collect()]
-    old = spark.read.parquet(table_path).where(F.col("__bucket").isin(touched))
-    # Last-writer-wins: updates rank before existing rows per key.
-    merged = (
-        updates.withColumn("__rank", F.lit(0))
-        .unionByName(old.withColumn("__rank", F.lit(1)))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(key).orderBy("__rank")
-            ),
+
+    if manifest is not None:
+        old_paths = [
+            f"{table_path}/{manifest['buckets'][str(b)]}"
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        if old_paths:
+            # Bucket dirs are read directly (no partition discovery);
+            # recompute __bucket from the key — same deterministic hash.
+            old = spark.read.parquet(*old_paths).withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int"),
+            )
+        else:
+            old = None
+    else:
+        old = None
+
+    if old is not None:
+        # Last-writer-wins: updates rank before existing rows per key.
+        merged = (
+            updates.withColumn("__rank", F.lit(0))
+            .unionByName(old.withColumn("__rank", F.lit(1)))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy("__rank")
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rank", "__rn")
         )
-        .where(F.col("__rn") == 1)
-        .drop("__rank", "__rn")
-    )
-    # Commit protocol: stage the merged buckets to a SIBLING dir (inside
-    # table_path the reader would discover them as data), then swap each
-    # touched bucket dir into place with two FS renames. The long window —
-    # a Spark job reading old data while overwriting the same path — is
-    # gone; what remains is per-bucket: a crash between rename(old->trash)
-    # and rename(staged->live) leaves that one bucket absent from the live
-    # table with its old data preserved in the staging dir for recovery.
-    # That residual window is two metadata ops wide and is the best a
-    # plain filesystem offers; the real fix is a transactional format
-    # (Delta MERGE INTO, see docstring).
-    # Clear debris from previously crashed upserts before staging anew.
-    for status in fs.globStatus(hadoop_path(spark, f"{table_path}__staging_*")) or []:
-        fs.delete(status.getPath(), True)
-    staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
+    else:
+        merged = updates
+    txid = uuid.uuid4().hex[:12]
+    tx_dir = f"{table_path}/data/tx_{txid}"
     (
         merged.repartition("__bucket")
         .write.mode("overwrite")
         .partitionBy("__bucket")
-        .parquet(staging)
+        .parquet(tx_dir)
     )
+
+    buckets = dict(manifest["buckets"]) if manifest is not None else {}
     for b in touched:
-        live = hadoop_path(spark, f"{table_path}/__bucket={b}")
-        staged = hadoop_path(spark, f"{staging}/__bucket={b}")
-        retired = hadoop_path(spark, f"{staging}/__retired_bucket={b}")
-        if fs.exists(live):
-            fs.rename(live, retired)
-        fs.rename(staged, live)
-    fs.delete(hadoop_path(spark, staging), True)
+        buckets[str(b)] = f"data/tx_{txid}/__bucket={b}"
+    new_manifest = {"num_buckets": num_buckets, "buckets": buckets}
+    _commit_manifest(spark, fs, table_path, version + 1, new_manifest)
+    _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read back an upsert table, dropping the bucket bookkeeping column."""
-    return spark.read.parquet(table_path).drop("__bucket")
+    """Read back an upsert table through its current manifest (the ONLY
+    path to the data — staging/uncommitted files are never visible)."""
+    from .hadoop import hadoop_fs
+
+    fs = hadoop_fs(spark, table_path)
+    _, manifest = _latest_manifest(spark, fs, table_path)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {table_path} — not an upsert table"
+        )
+    paths = [f"{table_path}/{rel}" for rel in manifest["buckets"].values()]
+    return spark.read.parquet(*paths)
 
 
 def upsert_kpi_tables(

@@ -75,32 +75,88 @@ def test_upsert_idempotent_replay(spark, tmp_path):
 
 
 def test_upsert_bounded_file_count(spark, tmp_path):
-    # N upserts must NOT accumulate one file per batch per bucket: every
-    # touched bucket is fully rewritten (repartition by bucket => one
-    # task => one file), and the staging swap leaves no debris behind.
+    # N upserts must NOT accumulate files or tx dirs without bound: every
+    # touched bucket is fully rewritten into the new tx dir (repartition
+    # by bucket => one task => one file) and post-commit GC drops tx dirs
+    # the manifest no longer references and superseded manifests.
     path = str(tmp_path / "kpi3")
     for batch in range(6):
         df = spark.createDataFrame(
             [(i, float(batch)) for i in range(20)], "id long, v double"
         )
         upsert_parquet(spark, df, path, "id", num_buckets=4)
-    for bucket_dir in glob.glob(f"{path}/__bucket=*"):
+    for bucket_dir in glob.glob(f"{path}/data/tx_*/__bucket=*"):
         n_files = len(glob.glob(f"{bucket_dir}/*.parquet"))
         assert n_files == 1, f"{bucket_dir} has {n_files} files"
-    assert not glob.glob(f"{path}__staging_*"), "staging debris left behind"
+    # every batch touches every bucket, so only the final tx dir survives
+    assert len(glob.glob(f"{path}/data/tx_*")) == 1
+    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 1
+    assert not glob.glob(f"{path}/_tmp_manifest_*"), "tmp manifest debris"
     got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
     assert got == {i: 5.0 for i in range(20)}
 
 
-def test_upsert_clears_stale_staging_debris(spark, tmp_path):
-    # A crashed prior upsert's staging dir must be removed, not accreted.
+def test_upsert_clears_uncommitted_debris(spark, tmp_path):
+    # Debris of a crashed prior upsert — a staged-but-never-committed tx
+    # dir and a tmp manifest — must be invisible to readers and removed
+    # by the next successful upsert, not accreted.
     path = str(tmp_path / "kpi4")
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     upsert_parquet(spark, df, path, "id")
-    os.makedirs(f"{path}__staging_deadbeef/__bucket=0", exist_ok=True)
+    os.makedirs(f"{path}/data/tx_deadbeef/__bucket=0", exist_ok=True)
+    with open(f"{path}/_tmp_manifest_dead.json", "w") as f:
+        f.write("{not even json")
+    assert read_upsert_table(spark, path).count() == 1  # junk invisible
     upsert_parquet(spark, spark.createDataFrame([(2, 2.0)], "id long, v double"), path, "id")
-    assert not glob.glob(f"{path}__staging_*")
+    assert not glob.glob(f"{path}/data/tx_deadbeef")
+    assert not glob.glob(f"{path}/_tmp_manifest_*")
     assert read_upsert_table(spark, path).count() == 2
+
+
+def test_upsert_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    # Crash-injection: kill the writer at the worst instant — AFTER the
+    # merged buckets are fully staged, BEFORE the manifest rename. The
+    # reader must still see the previous committed table, complete.
+    import ai_powered_e_commerce_analytics_spark.sinks as sinks
+
+    path = str(tmp_path / "kpi5")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        path,
+        "id",
+    )
+
+    real_commit = sinks._commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash between staging and commit")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(2, 99.0), (3, 3.0)], "id long, v double"),
+            path,
+            "id",
+        )
+    # staged tx data exists on disk, but the reader resolves only through
+    # the committed manifest: old table, complete, no partial state.
+    assert len(glob.glob(f"{path}/data/tx_*")) == 2
+    got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    # recovery: the next successful upsert applies cleanly and GCs debris.
+    monkeypatch.setattr(sinks, "_commit_manifest", real_commit)
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(2, 99.0), (3, 3.0)], "id long, v double"),
+        path,
+        "id",
+    )
+    got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0}
+    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 1
 
 
 def test_silver_chunks_batch_id_replay_idempotent(spark, tmp_path):
