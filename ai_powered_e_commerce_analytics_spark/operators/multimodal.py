@@ -5,8 +5,12 @@ Media payloads are opaque ``binary`` columns with typed metadata
 Arrow batch shape, UDF signatures — is real and tested; the actual codec
 work is STUBBED because the container ships no image/audio libraries:
 
+- ``decode= "pil"``     -> REAL image decoding via Pillow, import-gated:
+  available whenever ``PIL`` is importable on the executors (it is not
+  in this container; the contract test skips itself accordingly),
+- ``decode= "auto"``    -> "pil" when Pillow imports, else "fake",
 - ``decode= "strict"``  -> NotImplementedError surfaces per-row (the
-  production path would call PIL/torchaudio/PyAV here),
+  production path for codecs still absent: torchaudio/PyAV),
 - ``decode= "fake"``    -> deterministic bytes-derived features, so the
   distributed plumbing is testable end-to-end offline.
 
@@ -56,16 +60,55 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable (the real image-decode gate)."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_feature(payload: bytes) -> list[float] | None:
+    """REAL image feature: decode with Pillow, grayscale, resize to a
+    4×4 grid, emit the 16 normalized pixel intensities (FEATURE_DIM).
+    Returns None for payloads Pillow cannot decode (corrupt / non-image)
+    — a null feature, not a poisoned task."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(payload or b"")).convert("L").resize((4, 4))
+    except Exception:
+        return None
+    return [p / 255.0 for p in img.getdata()]
+
+
 def extract_features(assets: DataFrame, *, decode: str = "fake") -> DataFrame:
     """media(binary) → feature vectors via Arrow-batched mapInPandas.
 
     Projection keeps only (asset_id, media_type, content) so column
     pruning drops unused metadata before the Python exchange.
+
+    ``decode='pil'`` is the import-gated REAL path (fails fast on the
+    driver if Pillow is absent; the per-executor import happens inside
+    the UDF). ``decode='auto'`` resolves to 'pil' when available, else
+    'fake' — same plan shape either way.
     """
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    if decode not in ("fake", "strict", "pil", "auto"):
+        raise ValueError("decode must be 'fake', 'strict', 'pil' or 'auto'")
+    if decode == "auto":
+        decode = "pil" if pil_available() else "fake"
+    if decode == "pil" and not pil_available():
+        raise ImportError(
+            "decode='pil' requires Pillow on driver and executors; "
+            "use decode='auto' to fall back to the deterministic stub"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feature = _pil_feature if decode == "pil" else _fake_feature
         for pdf in batches:
             if decode == "strict":
                 raise NotImplementedError(
@@ -77,7 +120,7 @@ def extract_features(assets: DataFrame, *, decode: str = "fake") -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "feature": [
-                        _fake_feature(c) for c in pdf["content"].tolist()
+                        feature(c) for c in pdf["content"].tolist()
                     ],
                     "n_bytes": [
                         len(c) if c is not None else 0

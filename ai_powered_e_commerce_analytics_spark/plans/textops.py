@@ -258,6 +258,46 @@ FROM p WHERE j >= {JACCARD_THRESHOLD}
 """
 
 
+def minhash_band_sig_cols(hs_col: str = "hs") -> list:
+    """The LSH band-signature columns (``band0..band{LSH_BANDS-1}``) over
+    a column of shingle hashes (``pmod(portable_hash64(shingle), 2^30)``
+    per shingle — see dedup_minhash_lsh step 1).
+
+    Factored out so the batch LSH dedup and the STREAMING near-dup dedup
+    (streaming/jobs.py near_dedup_stream) compute byte-identical band
+    keys: a doc deduped in the stream would land in the same LSH bucket
+    in the batch plan, and vice versa.
+    """
+    rows_per_band = MINHASH_HASHES // LSH_BANDS
+
+    def minhash(j):
+        return F.array_min(
+            F.transform(
+                F.col(hs_col),
+                lambda x: F.pmod(
+                    x * F.lit(_MH_A[j]) + F.lit(_MH_B[j]), F.lit(MERSENNE61)
+                ),
+            )
+        )
+
+    return [
+        F.concat_ws(
+            "_", *[minhash(b * rows_per_band + r) for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+
+
+def shingle_hashes(text_col) -> "Column":  # noqa: F821
+    """Distinct word-shingle hash array for a text column — the shared
+    step-1 map of every MinHash consumer (one md5 per shingle)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(
+        F.array_distinct(word_shingles(c, SHINGLE_K)),
+        lambda x: F.pmod(portable_hash64(x), F.lit(1 << 30)),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding (shingle→minhash→band→bucket→verify).
 
@@ -291,27 +331,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("doc_id")
     )
-    rows_per_band = MINHASH_HASHES // LSH_BANDS
-
-    def minhash(j):
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda x: F.pmod(
-                    x * F.lit(_MH_A[j]) + F.lit(_MH_B[j]), F.lit(MERSENNE61)
-                ),
-            )
-        )
-
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.concat_ws(
-                "_", *[minhash(b * rows_per_band + r) for r in range(rows_per_band)]
-            ).alias(f"band{b}")
-            for b in range(LSH_BANDS)
-        ],
-    )
+    sig = hashed.select("doc_id", *minhash_band_sig_cols("hs"))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(

@@ -175,6 +175,74 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def near_dedup_stream(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming NEAR-duplicate filter: MinHash band keys as the dedup
+    key within the watermark (state-bounded streaming LSH).
+
+    Each document explodes into its ``LSH_BANDS`` (band, band_sig) rows —
+    the SAME band signatures as the batch ``dedup_minhash_lsh`` (shared
+    math: plans/textops.minhash_band_sig_cols), so stream and batch agree
+    on what "near-dup" means. The stateful operator is
+    ``dropDuplicatesWithinWatermark`` on ``(band, band_sig)``: state is
+    one entry per distinct band key inside the watermark window — O(docs
+    × LSH_BANDS per window), NOT O(pairs), and it expires. A later doc
+    that shares ANY band with an earlier doc loses that band row here;
+    reduce the surviving rows to whole-doc survivors per micro-batch with
+    :func:`near_dedup_survivors` inside ``foreachBatch``.
+
+    Semantics note (greedy, like every streaming LSH): a doc whose only
+    collision was with an already-dropped doc is still dropped — its
+    bands matched state entries owned by the dropped doc. That is the
+    keep-first transitive approximation; the batch
+    ``dedup_survivors_cc`` query is the exact-closure form for
+    compaction-time re-runs.
+    """
+    from ..plans.textops import LSH_BANDS, minhash_band_sig_cols, shingle_hashes
+
+    carried = [c for c in docs.columns if c != text_col]
+    sig = (
+        docs.withColumn("hs", shingle_hashes(text_col))
+        .select(*carried, *minhash_band_sig_cols("hs"))
+    )
+    bands = sig.select(
+        *carried,
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+        ).alias("band", "band_sig"),
+    )
+    if event_time:
+        return bands.withWatermark(
+            event_time, watermark
+        ).dropDuplicatesWithinWatermark(["band", "band_sig"])
+    return bands.dropDuplicates(["band", "band_sig"])
+
+
+def near_dedup_survivors(band_batch: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Reduce :func:`near_dedup_stream`'s surviving band rows to whole-doc
+    survivors (run inside ``foreachBatch``): a doc is unique iff ALL of
+    its band rows survived the stateful band-key dedup — any lost band
+    means a band collided with an earlier doc (in this batch or in
+    watermark state), i.e. a near-dup. All of a doc's band rows travel in
+    the same micro-batch (they come from one input row), so the per-batch
+    count is complete."""
+    from ..plans.textops import LSH_BANDS
+
+    extra = [c for c in band_batch.columns if c not in (id_col, "band", "band_sig")]
+    return (
+        band_batch.groupBy(id_col, *extra)
+        .agg(F.count("*").alias("__bands"))
+        .where(F.col("__bands") == LSH_BANDS)
+        .drop("__bands")
+    )
+
+
 def events_hourly_stream(
     events: DataFrame,
     *,

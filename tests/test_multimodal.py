@@ -41,6 +41,42 @@ def test_extract_features_strict_raises(spark, assets):
         extract_features(assets, decode="strict").collect()
 
 
+def test_extract_features_auto_without_pil(spark, assets):
+    # In a Pillow-less environment 'auto' must resolve to the fake stub
+    # (same schema, same determinism) and 'pil' must fail fast on the
+    # driver, not poison executor tasks.
+    from ai_powered_e_commerce_analytics_spark.operators import multimodal
+
+    if multimodal.pil_available():
+        pytest.skip("Pillow present — covered by test_extract_features_pil")
+    out = extract_features(assets, decode="auto").collect()
+    assert len(out) == 20 and all(len(r.feature) == FEATURE_DIM for r in out)
+    with pytest.raises(ImportError, match="Pillow"):
+        extract_features(assets, decode="pil")
+
+
+def test_extract_features_pil(spark):
+    # Import-gated REAL decode path: a 4x4 grayscale grid of an actual
+    # encoded image. Skips itself when Pillow is absent (this container).
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    assets = spark.createDataFrame(
+        [(1, "image", png, "image/png", 8, 8, 0),
+         (2, "image", b"not an image", "image/png", 8, 8, 0)],
+        MEDIA_ASSET,
+    )
+    got = {r.asset_id: r.feature for r in
+           extract_features(assets, decode="pil").collect()}
+    assert got[1] == [128 / 255.0] * FEATURE_DIM  # uniform gray grid
+    assert got[2] is None  # undecodable -> null feature, no task failure
+
+
 def test_sample_frames_fanout(spark, assets):
     out = sample_frames(assets, every_ms=1000).collect()
     by_asset = {}

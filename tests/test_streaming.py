@@ -175,6 +175,71 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert got == list(range(10))
 
 
+def test_near_dedup_stream_across_batches(spark, tmp_path):
+    # Streaming LSH near-dup: a doc arriving in a LATER micro-batch that
+    # is a near-duplicate (one word changed) of an earlier doc loses its
+    # colliding band rows to checkpointed band-key state and is dropped;
+    # genuinely new docs survive. Band keys are byte-identical to the
+    # batch dedup_minhash_lsh (shared minhash_band_sig_cols).
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        near_dedup_stream,
+        near_dedup_survivors,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "c")
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the plain in spain and stars shine bright above the quiet town"
+    )
+    other = (
+        "entirely different content about spark structured streaming "
+        "watermarks state stores and exactly once file processing modes"
+    )
+    fresh = (
+        "yet another unrelated document mentioning parquet manifests "
+        "atomic renames bucket layouts and last writer wins merge rules"
+    )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts string")
+            .json(src)
+            .withColumn("ts_utc", F.to_timestamp("ts"))
+            .drop("ts")
+        )
+        deduped = near_dedup_stream(stream, event_time="ts_utc")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda b, bid: near_dedup_survivors(b)
+                .select("doc_id")
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    spark.createDataFrame(
+        [(1, base, "2024-01-01 00:00:00"), (2, other, "2024-01-01 00:01:00")],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    run_stream()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # batch 2: doc 3 = near-dup of doc 1 (one word changed), doc 4 = new
+    near = base.replace("quiet town", "quiet dawn")
+    spark.createDataFrame(
+        [(3, near, "2024-01-01 00:02:00"), (4, fresh, "2024-01-01 00:03:00")],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("append").json(src)
+    run_stream()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4}
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     # applyInPandasWithState: sessions close when a later event arrives
     # beyond the gap (same 30-min rule as the batch query).
