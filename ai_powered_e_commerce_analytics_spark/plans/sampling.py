@@ -127,6 +127,78 @@ SELECT doc_id, source, n_chars, gate, rk FROM (
 """
 
 
+TOKEN_BUDGET = 500       # per-source curriculum token budget (selective
+                         # even at sf0.01: ~25 docs x ~50 tokens per source)
+
+
+def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection: per source, take documents
+    in descending quality (text_quality's score; doc_id tiebreak) until
+    the cumulative token count reaches the budget — the "fill each
+    source's token quota with its best documents" step of pretraining
+    curriculum construction.
+
+    A doc is selected iff the budget was not yet exhausted when it
+    starts (``cum − own < budget``), so the last selected doc may
+    straddle the boundary — deterministic, and the downstream chunker
+    (pretrain.doc_chunk_tokens) handles trimming.
+
+    Scale: one window shuffle on ``source``; the quality score and token
+    count are per-row maps. Ordering is deterministic cross-engine: the
+    score is an exact-integer-derived double (bit-identical in both
+    engines), ties broken by doc_id.
+    """
+    from .textops import STOPWORDS
+
+    from ..functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)) * (1 - stop_ratio)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+    )
+
+
+# Shared with textops: same tokenization + quality formula (oracle twins).
+from .textops import _STOP_SQL as _CURR_STOP_SQL  # noqa: E402
+from .textops import _TOKS_SQL as _CURR_TOKS_SQL  # noqa: E402
+
+TOKEN_BUDGET_CURRICULUM_SQL = f"""
+WITH s AS (
+    SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+           least(1.0, len(toks) / 100.0)
+             * (1 - len(list_filter(toks, x -> x IN {_CURR_STOP_SQL}))::DOUBLE
+                    / len(toks)) AS quality_score
+    FROM (SELECT doc_id, source, {_CURR_TOKS_SQL} AS toks FROM documents)
+), c AS (
+    SELECT *, sum(n_tokens) OVER (
+        PARTITION BY source ORDER BY quality_score DESC, doc_id
+        ROWS UNBOUNDED PRECEDING
+    )::BIGINT AS cum_tokens FROM s
+)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+"""
+
+
 SAMPLING_SPECS = [
     QuerySpec(
         "stratified_sample_documents",
@@ -145,5 +217,11 @@ SAMPLING_SPECS = [
         per_source_topk_sample,
         PER_SOURCE_TOPK_SQL,
         ("quota-sample",),
+    ),
+    QuerySpec(
+        "token_budget_curriculum",
+        token_budget_curriculum,
+        TOKEN_BUDGET_CURRICULUM_SQL,
+        ("curriculum-token-budget",),
     ),
 ]

@@ -1099,6 +1099,146 @@ WHERE c.doc_id = c.component
 """
 
 
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair near-duplication matrix: how many verified near-dup
+    pairs cross each (source, source) combination — the dedup analytics
+    a corpus curator reads before deciding which feeds to de-prioritize
+    (e.g. a mirror site shows up as an off-diagonal spike).
+
+    Plan: the verified LSH pair list (O(dups)) joins documents twice on
+    ``doc_id`` to pick up each side's source, then one tiny groupBy on
+    the unordered source pair. The corpus shuffles only inside the
+    shared LSH chain; the matrix itself is |sources|² rows.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+CROSS_SOURCE_NEARDUP_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation quality of the MinHash estimator, measured on the
+    verified near-dup pairs: estimated Jaccard (fraction of the 12
+    minhashes that agree) vs the exact shingle Jaccard, with the
+    absolute error — approximation error as a first-class monitored
+    output, like ``simsearch_ivf_recall`` for ANN.
+
+    Everything is exact integer/rational arithmetic on identical
+    operands in both engines (matches/12.0, |est − exact|), so the
+    driver's value-hash gate PROVES the estimator numbers, not just the
+    row set. The HOF fold runs only on O(dups) pair rows, far off the
+    corpus hot path.
+    """
+    hashed = (
+        _doc_shingles(t(spark, sf_dir, "documents"))
+        .where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "sh",
+            F.transform(
+                F.col("sh"), lambda x: F.pmod(portable_hash64(x), F.lit(1 << 30))
+            ).alias("hs"),
+        )
+        .repartition("doc_id")
+    )
+
+    def minhash(j):
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda x: F.pmod(
+                    x * F.lit(_MH_A[j]) + F.lit(_MH_B[j]), F.lit(MERSENNE61)
+                ),
+            )
+        )
+
+    sigs = hashed.select(
+        "doc_id", F.array(*[minhash(j) for j in range(MINHASH_HASHES)]).alias("mh")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("mh_a"),
+            F.col("mh_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = matches.cast("double") / F.lit(float(MINHASH_HASHES))
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
+
+
+_MH_LIST_SQL = "list_value(" + ", ".join(
+    _minhash_sql(j) for j in range(MINHASH_HASHES)
+) + ")"
+_MH_MATCHES_SQL = "(" + " + ".join(
+    f"CASE WHEN ma.mh[{j + 1}] = mb.mh[{j + 1}] THEN 1 ELSE 0 END"
+    for j in range(MINHASH_HASHES)
+) + ")"
+
+MINHASH_ESTIMATE_ERROR_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sigs AS (
+    SELECT doc_id, {_MH_LIST_SQL} AS mh
+    FROM (SELECT doc_id,
+                 list_transform(sh, s -> {portable_hash64_sql("s")} % {1 << 30}) AS hs
+          FROM sh0 WHERE len(sh) > 0)
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       {_MH_MATCHES_SQL} / {MINHASH_HASHES}.0 AS est_jaccard,
+       abs({_MH_MATCHES_SQL} / {MINHASH_HASHES}.0 - p.jaccard) AS abs_err
+FROM pairs p
+JOIN sigs ma ON ma.doc_id = p.doc_a
+JOIN sigs mb ON mb.doc_id = p.doc_b
+"""
+
+
 TEXTOPS_SPECS = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
@@ -1120,4 +1260,16 @@ TEXTOPS_SPECS = [
     ),
     QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, ("dedup-components",)),
     QuerySpec("dedup_survivors_cc", dedup_survivors_cc, DEDUP_SURVIVORS_CC_SQL, ("dedup-survivors-transitive",)),
+    QuerySpec(
+        "cross_source_neardup_matrix",
+        cross_source_neardup_matrix,
+        CROSS_SOURCE_NEARDUP_SQL,
+        ("dedup-analytics",),
+    ),
+    QuerySpec(
+        "minhash_estimate_error",
+        minhash_estimate_error,
+        MINHASH_ESTIMATE_ERROR_SQL,
+        ("minhash-estimator-quality",),
+    ),
 ]
