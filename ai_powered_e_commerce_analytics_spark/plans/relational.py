@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
-from .spec import QuerySpec, cents, cents_sql, event_hour_str, event_ts_us, t
+from .spec import (
+    QuerySpec,
+    cents,
+    cents_sql,
+    event_date,
+    event_hour_str,
+    event_ts_us,
+    t,
+)
 
 # Deterministic nullable-sentiment rules (stand-ins for LLM output; the
 # null branch mirrors failed LLM batches, data_transformer.py:100).
@@ -653,6 +661,135 @@ FROM events GROUP BY event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at each stage only if the stage event happens STRICTLY AFTER their
+    entry into the previous stage (classic product-analytics funnel, an
+    operator family the reference lacks entirely).
+
+    Plan: ONE shuffle on ``user_id``, then the three stage times as
+    successive whole-partition window minimums over the same partition
+    (no joins — each stage's condition references the previous stage's
+    window column): first-view time, first click after it, first
+    purchase after that. A per-user contraction then a global fold.
+    Output is the single global funnel row (stage counts + exact-ratio
+    conversion rates), so the result never grows with data.
+    """
+    raw = t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_type", event_ts_us(raw).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t2")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    n1 = F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).cast("long")
+    n2 = F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).cast("long")
+    n3 = F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).cast("long")
+    return per_user.agg(
+        n1.alias("n_view"),
+        n2.alias("n_click_after_view"),
+        n3.alias("n_purchase_after_click"),
+        (n2.cast("double") / n1).alias("view_to_click"),
+        (n3.cast("double") / n2).alias("click_to_purchase"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+    FROM ev GROUP BY user_id
+),
+s2 AS (
+    SELECT ev.user_id,
+           min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END) AS t2
+    FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY ev.user_id
+),
+s3 AS (
+    SELECT ev.user_id,
+           min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END) AS t3
+    FROM ev JOIN s2 ON ev.user_id = s2.user_id GROUP BY ev.user_id
+)
+SELECT sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_click_after_view,
+       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_purchase_after_click,
+       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           / sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS view_to_click,
+       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           / sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-activity date, and
+    for each day offset the count still active — the (cohort × offset)
+    retention matrix every growth dashboard is built on.
+
+    Plan: distinct (user, date) activity pairs (one shuffle), first-date
+    per user (same key, exchange reused), one join back, one matrix
+    groupBy. Output is |cohorts| × |offsets| rows — date-bounded, not
+    data-bounded.
+    """
+    raw = t(spark, sf_dir, "events")
+    active = (
+        raw.select("user_id", event_date(raw).alias("d")).distinct()
+    )
+    first = active.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+    SELECT user_id, min(d) AS cohort_date FROM active GROUP BY user_id
+)
+SELECT cohort_date, (d - cohort_date)::INT AS day_offset,
+       count(*)::BIGINT AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def salted_skew_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand revenue through :func:`salted_join` — the skew-safe join
     path (functions/skew.py) under the oracle gate: salting + right-side
@@ -727,6 +864,8 @@ RELATIONAL_SPECS = [
     QuerySpec("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ROLLUP_SQL, ("ST4",)),
     QuerySpec("events_user_sessions", events_user_sessions, EVENTS_USER_SESSIONS_SQL, ("ST4", "window")),
     QuerySpec("events_props_extract", events_props_extract, EVENTS_PROPS_EXTRACT_SQL, ("semi-structured",)),
+    QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, ("funnel",)),
+    QuerySpec("retention_cohorts", retention_cohorts, RETENTION_COHORTS_SQL, ("cohort-retention",)),
     QuerySpec(
         "salted_skew_join_brand_revenue",
         salted_skew_join_brand_revenue,

@@ -103,6 +103,19 @@ def event_ts_us(df: DataFrame, col: str = "ts"):
     return F.unix_micros(F.col(col))
 
 
+def event_date(df: DataFrame, col: str = "ts"):
+    """Event DATE (wall clock), adaptive like :func:`event_ts_us`. For
+    timestamp-typed columns ``to_date`` reads the stored wall clock with
+    no timezone conversion (NTZ); the legacy long-ns surface goes
+    through ``timestamp_micros`` (UTC-session contract)."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.to_date(F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return F.to_date(F.col(col))
+
+
 def event_hour_str(df: DataFrame, col: str = "ts"):
     """Event hour as the string ``yyyy-MM-dd HH:00:00``.
 

@@ -27,10 +27,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
-# KPI fold (user/shop/date), window (sessions, top3), text map+LSH join
-# (minhash), simhash dedup (16-bit demo + 60-bit banded), iterative
-# connected components, hash dedup, ANN (knn brute force / map-side
-# partial top-k / LSH bucket join / IVF), multimodal mapInPandas.
+# KPI fold (user/shop/date), window (sessions, top3), temporal joins
+# (as-of union+window, bucketed range join), funnel (chained user-keyed
+# aggs), text map+LSH join (minhash), simhash dedup (16-bit demo + 60-bit
+# banded), iterative connected components, hash dedup, ANN (knn brute
+# force / map-side partial top-k / LSH bucket join / IVF), multimodal
+# mapInPandas.
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -40,6 +42,9 @@ HEADLINE = [
     "date_kpis",
     "events_hourly_rollup",
     "events_user_sessions",
+    "events_funnel",
+    "asof_last_click_before_purchase",
+    "range_join_clicks_before_purchase",
     "top3_orders_per_customer",
     "text_quality",
     "tfidf_top_terms",
