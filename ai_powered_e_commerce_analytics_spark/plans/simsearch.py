@@ -456,6 +456,53 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clustering of embedding near-dups: connected components
+    over the cosine-threshold pair list, every vector labeled with its
+    component minimum (singletons label themselves). The embedding-space
+    twin of textops.dedup_components — same min-label pointer-jumping
+    iteration (shared ``_connected_components``), same WITH RECURSIVE
+    oracle, different similarity graph.
+    """
+    from .textops import _connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _connected_components(pairs)
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(
+            labels.select(F.col("id").alias("vec_id"), "label"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce("label", F.col("vec_id"))
+            ).alias("component"),
+        )
+    )
+
+
+EMBEDDING_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT vec_a, vec_b FROM ({DEDUP_EMBEDDING_COSINE_SQL})),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+minreach AS (SELECT src AS vec_id, min(dst) AS mn FROM reach GROUP BY src)
+SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS component
+FROM embeddings v LEFT JOIN minreach m ON v.vec_id = m.vec_id
+"""
+
+
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
@@ -465,4 +512,10 @@ SIMSEARCH_SPECS = [
     QuerySpec("simsearch_lsh_bucket_join", simsearch_lsh_bucket_join, SIMSEARCH_LSH_BUCKET_JOIN_SQL, ("ann-lsh-join",)),
     QuerySpec("simsearch_ivf_topk", simsearch_ivf_topk, SIMSEARCH_IVF_SQL, ("ann-ivf",)),
     QuerySpec("simsearch_ivf_recall", simsearch_ivf_recall, SIMSEARCH_IVF_RECALL_SQL, ("ann-recall-metric",)),
+    QuerySpec(
+        "embedding_dedup_components",
+        embedding_dedup_components,
+        EMBEDDING_DEDUP_COMPONENTS_SQL,
+        ("dedup-embedding-components",),
+    ),
 ]

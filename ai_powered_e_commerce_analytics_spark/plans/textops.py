@@ -1099,6 +1099,57 @@ WHERE c.doc_id = c.component
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment scores for the verified near-dup pairs:
+    ``containment_a = |A∩B| / |A|`` (and symmetrically for B). Jaccard
+    under-scores the quote-inside-article case (a small doc wholly
+    contained in a big one); containment is the standard second axis a
+    dedup pipeline uses to classify pair type — near-identical (both
+    high) vs containment (one high, one low).
+
+    Plan: the O(dups) verified pair list probes the shingle exchange
+    twice (same ReuseExchange as the LSH verify itself); all scores are
+    exact integer ratios, so the driver hash gate proves the values.
+    """
+    hashed = (
+        _doc_shingles(t(spark, sf_dir, "documents"))
+        .where(F.size("sh") > 0)
+        .repartition("doc_id")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        pairs.join(
+            hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (inter / F.size("sh_a")).alias("containment_a"),
+            (inter / F.size("sh_b")).alias("containment_b"),
+        )
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+       WHERE len({_SHINGLES_SQL}) > 0)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh) AS containment_a,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh) AS containment_b
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.doc_a
+JOIN sh sb ON sb.doc_id = p.doc_b
+"""
+
+
 def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair near-duplication matrix: how many verified near-dup
     pairs cross each (source, source) combination — the dedup analytics
@@ -1265,6 +1316,12 @@ TEXTOPS_SPECS = [
         cross_source_neardup_matrix,
         CROSS_SOURCE_NEARDUP_SQL,
         ("dedup-analytics",),
+    ),
+    QuerySpec(
+        "dedup_containment",
+        dedup_containment,
+        DEDUP_CONTAINMENT_SQL,
+        ("dedup-containment",),
     ),
     QuerySpec(
         "minhash_estimate_error",
