@@ -661,6 +661,46 @@ FROM events GROUP BY event_type
 """
 
 
+def salted_distinct_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase hot-key ``collect_set`` under the oracle gate:
+    ``l_returnflag`` has only 3 values, so a plain
+    ``groupBy.agg(collect_set)`` funnels ~a third of the table through
+    ONE reduce task — the canonical skew pathology. ``salted_collect_set``
+    (functions/skew.py) assembles each hot key's set from 8 salted
+    partials instead; the salting must be invisible in the result.
+
+    Emits order-insensitive scalars of the set (count/min/max/sum —
+    quantities are integer-valued doubles, so the sum is exact in any
+    order), proving set semantics without hashing raw arrays.
+    """
+    from ..functions.skew import salted_collect_set
+
+    sets = salted_collect_set(
+        t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag",
+        "l_quantity",
+        buckets=8,
+    )
+    s = F.col("l_quantity_set")
+    return sets.select(
+        "l_returnflag",
+        F.size(s).cast("long").alias("n_distinct_qty"),
+        F.array_min(s).alias("min_qty"),
+        F.array_max(s).alias("max_qty"),
+        F.aggregate(s, F.lit(0.0), lambda acc, x: acc + x).alias("sum_distinct_qty"),
+    )
+
+
+SALTED_DISTINCT_QUANTITIES_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_quantity)::BIGINT AS n_distinct_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       sum(DISTINCT l_quantity)::DOUBLE AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user counts
     at each stage only if the stage event happens STRICTLY AFTER their
@@ -865,6 +905,12 @@ RELATIONAL_SPECS = [
     QuerySpec("events_user_sessions", events_user_sessions, EVENTS_USER_SESSIONS_SQL, ("ST4", "window")),
     QuerySpec("events_props_extract", events_props_extract, EVENTS_PROPS_EXTRACT_SQL, ("semi-structured",)),
     QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, ("funnel",)),
+    QuerySpec(
+        "salted_distinct_quantities",
+        salted_distinct_quantities,
+        SALTED_DISTINCT_QUANTITIES_SQL,
+        ("skew-two-phase-agg",),
+    ),
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_COHORTS_SQL, ("cohort-retention",)),
     QuerySpec(
         "salted_skew_join_brand_revenue",
