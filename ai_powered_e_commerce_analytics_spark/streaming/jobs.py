@@ -358,6 +358,76 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel stage state: first view, first click after it,
+    first purchase after that (same ordering rule as the batch
+    events_funnel). Emits the user's progress row whenever a batch
+    advances (or first touches) their state — a funnel-progress stream
+    the dashboard can upsert by user_id."""
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    rows = sorted(
+        (int(ts), str(et))
+        for pdf in pdfs
+        for ts, et in zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist())
+    )
+    changed = not state.exists
+    for ts, et in rows:
+        if et == "view" and t1 is None:
+            t1, changed = ts, True
+        elif et == "click" and t1 is not None and ts > t1 and t2 is None:
+            t2, changed = ts, True
+        elif et == "purchase" and t2 is not None and ts > t2 and t3 is None:
+            t3, changed = ts, True
+    state.update((t1, t2, t3))
+    if changed:
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            [{"user_id": user_id, "t1": t1, "t2": t2, "t3": t3, "stage": stage}]
+        )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel: per-user stage state over a stream of
+    (user_id, event_type, ts_us) rows — the ``applyInPandasWithState``
+    twin of the batch ``events_funnel`` (plans/relational.py). State is
+    three longs per user — O(users), never O(events)."""
+    return (
+        events.select("user_id", "event_type", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -272,6 +272,56 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     )
 
 
+def test_funnel_stream_stages_across_batches(spark, tmp_path):
+    # Stateful streaming funnel: a user's view arrives in batch 1, the
+    # click+purchase in batch 2 — stage must advance against state held
+    # across micro-batches, honoring the strictly-after ordering rule
+    # (a purchase BEFORE the click does not count).
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import funnel_stream
+
+    src = str(tmp_path / "fev")
+    out = str(tmp_path / "progress")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts_us long"
+        ).json(src)
+        q = (
+            funnel_stream(stream)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    batch1 = [
+        (7, "view", 100),
+        (7, "purchase", 150),   # before any click -> must NOT count
+        (9, "click", 100),      # click with no prior view -> stage 0
+    ]
+    spark.createDataFrame(
+        batch1, "user_id long, event_type string, ts_us long"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    run_stream()
+    got = {r.user_id: r.stage for r in spark.read.parquet(out).collect()}
+    assert got == {7: 1, 9: 0}
+
+    batch2 = [
+        (7, "click", 200),
+        (7, "purchase", 300),
+        (9, "view", 200),
+    ]
+    spark.createDataFrame(
+        batch2, "user_id long, event_type string, ts_us long"
+    ).coalesce(1).write.mode("append").json(src)
+    run_stream()
+    rows = {(r.user_id, r.stage) for r in spark.read.parquet(out).collect()}
+    assert (7, 3) in rows and (9, 1) in rows
+
+
 def test_interval_join_stream(spark, tmp_path):
     # Streaming twin of the batch bucketed range join: purchases pick up
     # same-user clicks from the trailing hour; zero-click purchases
