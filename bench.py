@@ -77,17 +77,31 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise.
-    run("tpch_q1_pricing_summary")
+    try:
+        run("tpch_q1_pricing_summary")
+    except Exception:
+        pass  # a broken warmup query must not kill the whole bench
 
+    # One failing query records an error entry and the suite continues —
+    # the round-3 bench was lost entirely to a single AnalysisException
+    # (driver-regenerated events.ts type change); never again.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(ITERS):
         for name in HEADLINE:
+            if name in errors:
+                continue
             start = time.perf_counter()
-            run(name)
+            try:
+                run(name)
+            except Exception as exc:  # noqa: BLE001 - record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             samples[name].append(time.perf_counter() - start)
 
-    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
-    medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    ok = {name: ts for name, ts in samples.items() if ts}
+    timings = {name: round(min(ts), 3) for name, ts in ok.items()}
+    medians = {name: round(statistics.median(ts), 3) for name, ts in ok.items()}
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -101,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "errors": errors,
                 "iters": ITERS,
                 "sf": sf,
             }
