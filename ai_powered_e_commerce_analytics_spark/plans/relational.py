@@ -661,6 +661,54 @@ FROM events GROUP BY event_type
 """
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of parts
+    bought in the same order, how many orders contain both — the input
+    to "frequently bought together" recommenders.
+
+    Plan: ONE shuffle on ``l_orderkey`` (groupBy + collect_set), then
+    in-basket pair expansion — the same no-self-join bucket-pairing
+    shape as the LSH dedup plans. Baskets are small (≤ a few dozen
+    parts), so per-group expansion is O(basket²) tiny; a self-join on
+    orderkey would shuffle the table twice and hit the same pairs. The
+    count groupBy shuffles only pair rows.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x: F.transform(
+                        F.col("parts"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    )
+    return (
+        baskets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+COPURCHASE_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+"""
+
+
 def salted_distinct_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase hot-key ``collect_set`` under the oracle gate:
     ``l_returnflag`` has only 3 values, so a plain
@@ -910,6 +958,12 @@ RELATIONAL_SPECS = [
         salted_distinct_quantities,
         SALTED_DISTINCT_QUANTITIES_SQL,
         ("skew-two-phase-agg",),
+    ),
+    QuerySpec(
+        "copurchase_pairs",
+        copurchase_pairs,
+        COPURCHASE_PAIRS_SQL,
+        ("market-basket",),
     ),
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_COHORTS_SQL, ("cohort-retention",)),
     QuerySpec(
