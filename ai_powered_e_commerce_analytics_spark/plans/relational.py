@@ -637,6 +637,72 @@ FROM g GROUP BY user_id
 """
 
 
+def events_session_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session revenue attribution: sessionize (30-min gap rule,
+    same contract as events_user_sessions) and fold each session's
+    purchase value — the session-grain revenue table a funnel dashboard
+    joins against.
+
+    Plan: ONE user_id shuffle serves both windows (gap flag, then the
+    running session counter over the same sort), then a (user, session)
+    groupBy that partial-aggregates map-side. Money in integer cents
+    (spec.py float policy).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    raw = t(spark, sf_dir, "events")
+    ev = (
+        raw.select(
+            "user_id", "event_id", "event_type", "value",
+            event_ts_us(raw).alias("ts_us"),
+        )
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase", cents("value")
+    ).otherwise(F.lit(0))
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.sum(purchase_cents).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+EVENTS_SESSION_REVENUE_SQL = f"""
+WITH g AS (
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+    SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                       THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS session_id
+    FROM g
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       sum(CASE WHEN event_type = 'purchase'
+                THEN {cents_sql('value')} ELSE 0 END)::DOUBLE / 100.0
+           AS revenue
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON path extraction from the props column (semi-structured scan).
     k = F.get_json_object("props", "$.k").cast("long")
@@ -953,6 +1019,12 @@ RELATIONAL_SPECS = [
     QuerySpec("events_user_sessions", events_user_sessions, EVENTS_USER_SESSIONS_SQL, ("ST4", "window")),
     QuerySpec("events_props_extract", events_props_extract, EVENTS_PROPS_EXTRACT_SQL, ("semi-structured",)),
     QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, ("funnel",)),
+    QuerySpec(
+        "events_session_revenue",
+        events_session_revenue,
+        EVENTS_SESSION_REVENUE_SQL,
+        ("session-revenue",),
+    ),
     QuerySpec(
         "salted_distinct_quantities",
         salted_distinct_quantities,
