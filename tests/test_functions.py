@@ -243,3 +243,51 @@ def test_hash_mode_default_is_portable(spark, monkeypatch):
     v = df.select(portable_hash64("s").alias("h")).collect()[0].h
     # md5('abc')[:15] = 900150983cd24fb: stable portable value
     assert v == int("900150983cd24fb", 16)
+
+
+def test_event_ts_us_equivalent_across_encodings(spark, tmp_path):
+    # The driver's testdata generator has encoded events.ts three ways
+    # across rounds: TIMESTAMP_NTZ µs (current), int64 nanoseconds
+    # surfaced via nanosAsLong (rounds 1-3), and instant-typed TIMESTAMP.
+    # spec.event_ts_us must yield IDENTICAL epoch-µs longs for the same
+    # wall-clock instants under every encoding — and independently of the
+    # session timezone (the driver's harness session is not ours).
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_powered_e_commerce_analytics_spark.plans.spec import event_ts_us
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+        datetime.datetime(1999, 12, 31, 12, 0, 0, 1),
+        datetime.datetime(2024, 2, 29, 6, 30, 15, 500000),
+    ]
+    expected = [
+        int(i.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for i in instants
+    ]
+
+    paths = {}
+    for name, unit in [("ntz", "us"), ("nanos", "ns")]:
+        table = pa.table({"ts": pa.array(instants, type=pa.timestamp(unit))})
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(table, p)
+        paths[name] = p
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for name, p in paths.items():
+                df = spark.read.parquet(p)
+                got = [
+                    r.us for r in
+                    df.select(event_ts_us(df).alias("us")).collect()
+                ]
+                assert sorted(got) == sorted(expected), (name, tz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
