@@ -1150,6 +1150,53 @@ JOIN sh sb ON sb.doc_id = p.doc_b
 """
 
 
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidates: Levenshtein
+    distance (absolute + normalized by the longer text) per verified
+    near-dup pair — the character-level third axis after set-Jaccard and
+    containment, catching transpositions/rewrites that shingle sets
+    blur.
+
+    Scale: O(len²) per pair BUT only on the O(dups) verified pair list —
+    never corpus-pairs; both engines' ``levenshtein`` is the exact DP,
+    so the integer distances (and their exact ratios) hash-match.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long")
+    longer = F.greatest(F.length("text_a"), F.length("text_b")).cast("double")
+    return (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            dist.alias("edit_distance"),
+            (dist.cast("double") / longer).alias("normalized_edit_distance"),
+        )
+    )
+
+
+DEDUP_EDIT_DISTANCE_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL})
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       levenshtein(da.text, db.text)::BIGINT AS edit_distance,
+       levenshtein(da.text, db.text)::DOUBLE
+           / greatest(length(da.text), length(db.text))
+           AS normalized_edit_distance
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
 def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair near-duplication matrix: how many verified near-dup
     pairs cross each (source, source) combination — the dedup analytics
@@ -1322,6 +1369,12 @@ TEXTOPS_SPECS = [
         dedup_containment,
         DEDUP_CONTAINMENT_SQL,
         ("dedup-containment",),
+    ),
+    QuerySpec(
+        "dedup_edit_distance_verify",
+        dedup_edit_distance_verify,
+        DEDUP_EDIT_DISTANCE_SQL,
+        ("dedup-edit-distance",),
     ),
     QuerySpec(
         "minhash_estimate_error",
