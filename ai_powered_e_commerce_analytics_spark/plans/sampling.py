@@ -147,6 +147,14 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     count are per-row maps. Ordering is deterministic cross-engine: the
     score is an exact-integer-derived double (bit-identical in both
     engines), ties broken by doc_id.
+
+    Source cardinality is LOW (tens), so at 100 TB each window partition
+    is corpus-scale — the production swap is the two-pass contraction
+    documented at :func:`per_source_topk_sample`: per-partition local
+    (quality, n_tokens) top segments via mapInPandas, then a driver-size
+    merge of per-partition boundaries to find each source's quality
+    cutoff, then one filter pass. Same result, bounded shuffle; the
+    window form is the oracle-checkable small/medium-cardinality path.
     """
     from .textops import STOPWORDS
 
