@@ -228,3 +228,84 @@ def run_collector(
 
     write_bronze_batch(df, bronze_new_dir)
     return {"rows": len(rows)}
+
+
+def run_pretrain_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    min_quality: float = 0.2,
+) -> dict:
+    """The composed training-data-prep pipeline a pretraining team runs
+    over a raw document corpus — each stage is one of the oracle-gated
+    registry operators, chained on ``doc_id``:
+
+      1. quality gate   (plans/textops.text_quality, score >= min_quality)
+      2. decontamination (plans/pretrain.decontaminate_ngram_overlap —
+         drop docs overlapping the benchmark shingle set)
+      3. near-dup dedup  (plans/textops.dedup_survivors_cc — transitive
+         connected-components survivors, exactly one doc per dup class)
+      4. split           (plans/sampling.train_test_split_assignment —
+         content-addressed 80/10/10)
+      5. chunking        (plans/pretrain.doc_chunk_tokens restricted to
+         the selected docs), written partitioned by split.
+
+    All gates compose as inner joins on ``doc_id`` — each stage's plan
+    keeps its documented scale shape, and the joins are id-keyed
+    contractions (docs with empty text carry no shingles and drop at the
+    decontamination join, deterministically). Returns per-stage counts —
+    the data-loss accounting every curation run reports.
+    """
+    from .plans.pretrain import decontaminate_ngram_overlap, doc_chunk_tokens
+    from .plans.sampling import train_test_split_assignment
+    from .plans.textops import dedup_survivors_cc, text_quality
+
+    quality_ids = (
+        text_quality(spark, sf_dir)
+        .where(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    clean_ids = (
+        decontaminate_ngram_overlap(spark, sf_dir)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    survivor_ids = dedup_survivors_cc(spark, sf_dir).select("doc_id")
+    split = train_test_split_assignment(spark, sf_dir).select(
+        "doc_id", "source", "split"
+    )
+
+    selected = (
+        quality_ids.join(clean_ids, "doc_id")
+        .join(survivor_ids, "doc_id")
+        .join(split, "doc_id")
+        .cache()
+    )
+    chunks = doc_chunk_tokens(spark, sf_dir).join(
+        selected.select("doc_id", "split"), "doc_id"
+    )
+    try:
+        selected.write.mode("overwrite").parquet(f"{out_dir}/selected_docs")
+        chunks.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/chunks"
+        )
+        total = text_quality(spark, sf_dir).count()
+        stats = {
+            "total_docs": total,
+            "quality_pass": quality_ids.count(),
+            "decontaminated_pass": clean_ids.count(),
+            "dedup_survivors": survivor_ids.count(),
+            "selected_docs": selected.count(),
+            "chunks_written": chunks.count(),
+            "splits": {
+                r["split"]: r["n"]
+                for r in selected.groupBy("split")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            },
+        }
+    finally:
+        selected.unpersist()
+    log.info("pretrain pipeline: %s", stats)
+    return stats

@@ -267,3 +267,32 @@ def test_engine_config_defaults():
     cfg = EngineConfig()
     assert (cfg.batch_size, cfg.silver_chunk_rows) == (25, 50_000)
     assert (cfg.user_pool_size, cfg.shop_pool_size) == (5000, 10000)
+
+
+def test_pretrain_pipeline_end_to_end(spark, tmp_path):
+    # Composed curation run over the documents table: every stage is an
+    # oracle-gated operator; the orchestrator chains them on doc_id and
+    # reports data-loss accounting.
+    from ai_powered_e_commerce_analytics_spark.pipeline import run_pretrain_pipeline
+
+    out = str(tmp_path / "prep")
+    stats = run_pretrain_pipeline(spark, "/root/testdata/sf0.001", out)
+
+    assert stats["total_docs"] == 500
+    # each gate can only shrink the set; the composition is the smallest
+    assert stats["selected_docs"] <= min(
+        stats["quality_pass"], stats["decontaminated_pass"], stats["dedup_survivors"]
+    )
+    assert 0 < stats["selected_docs"] < stats["total_docs"]
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    assert sum(stats["splits"].values()) == stats["selected_docs"]
+
+    sel = spark.read.parquet(f"{out}/selected_docs")
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert sel.count() == stats["selected_docs"]
+    assert chunks.count() == stats["chunks_written"]
+    # chunks come ONLY from selected docs and carry their split
+    extra = chunks.join(sel.select("doc_id"), "doc_id", "left_anti")
+    assert extra.count() == 0
+    # dedup actually removed something relative to the raw corpus
+    assert stats["dedup_survivors"] < stats["total_docs"]
