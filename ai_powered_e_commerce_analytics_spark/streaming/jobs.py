@@ -182,6 +182,7 @@ def near_dedup_stream(
     text_col: str = "text",
     event_time: str | None = None,
     watermark: str = "2 hours",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Streaming NEAR-duplicate filter: MinHash band keys as the dedup
     key within the watermark (state-bounded streaming LSH).
@@ -203,25 +204,85 @@ def near_dedup_stream(
     keep-first transitive approximation; the batch
     ``dedup_survivors_cc`` query is the exact-closure form for
     compaction-time re-runs.
+
+    ``keep_text=True`` carries the payload on the BAND-0 row only
+    (null on the others): a surviving doc by definition kept ALL its
+    band rows, so its band-0 row always supplies the text downstream —
+    the payload crosses the stateful shuffle once per doc, never
+    ``LSH_BANDS`` times.
     """
     from ..plans.textops import LSH_BANDS, minhash_band_sig_cols, shingle_hashes
 
     carried = [c for c in docs.columns if c != text_col]
-    sig = (
-        docs.withColumn("hs", shingle_hashes(text_col))
-        .select(*carried, *minhash_band_sig_cols("hs"))
+    sig = docs.withColumn("hs", shingle_hashes(text_col)).select(
+        *carried,
+        *([F.col(text_col)] if keep_text else []),
+        *minhash_band_sig_cols("hs"),
     )
     bands = sig.select(
         *carried,
+        *([F.col(text_col)] if keep_text else []),
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
         ).alias("band", "band_sig"),
     )
+    if keep_text:
+        bands = bands.withColumn(
+            text_col,
+            F.when(F.col("band") == 0, F.col(text_col)),
+        )
     if event_time:
         return bands.withWatermark(
             event_time, watermark
         ).dropDuplicatesWithinWatermark(["band", "band_sig"])
     return bands.dropDuplicates(["band", "band_sig"])
+
+
+def documents_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "2 hours",
+    archive_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Deployable ingestion job for a document corpus: stream JSON files
+    of ``(doc_id, text, ts)`` rows, drop near-duplicates against
+    LSH band-key state within the watermark, and append only the unique
+    survivors (with their text) to the corpus parquet.
+
+    Composition: :func:`near_dedup_stream` with ``keep_text=True`` rides
+    the payload on each doc's band-0 row only (once per doc through the
+    stateful shuffle, never ×bands); ``foreachBatch`` reduces the
+    surviving band rows to whole-doc survivors — text recovered by the
+    per-doc ``max`` — and appends them to the corpus parquet.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = (
+        _file_stream(spark, src_dir, schema, archive_dir=archive_dir)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+        .drop("ts")
+    )
+    deduped = near_dedup_stream(
+        stream, event_time="ts_utc", watermark=watermark, keep_text=True
+    )
+
+    def process(band_batch: DataFrame, batch_id: int) -> None:
+        near_dedup_survivors(band_batch).write.mode("append").parquet(out_dir)
+
+    writer = deduped.writeStream.option("checkpointLocation", checkpoint_dir)
+    writer = writer.foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
 
 
 def near_dedup_survivors(band_batch: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -235,9 +296,14 @@ def near_dedup_survivors(band_batch: DataFrame, *, id_col: str = "doc_id") -> Da
     from ..plans.textops import LSH_BANDS
 
     extra = [c for c in band_batch.columns if c not in (id_col, "band", "band_sig")]
+    # max() recovers each carried column's single non-null value per doc
+    # (payload columns under keep_text ride only the band-0 row).
     return (
-        band_batch.groupBy(id_col, *extra)
-        .agg(F.count("*").alias("__bands"))
+        band_batch.groupBy(id_col)
+        .agg(
+            F.count("*").alias("__bands"),
+            *[F.max(c).alias(c) for c in extra],
+        )
         .where(F.col("__bands") == LSH_BANDS)
         .drop("__bands")
     )

@@ -272,6 +272,47 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     )
 
 
+def test_documents_ingest_stream_job(spark, tmp_path):
+    # Deployable ingestion job: two file drops, near-dups across them are
+    # kept out of the corpus parquet; survivors carry their TEXT (payload
+    # rides only the band-0 row through the stateful shuffle).
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    base = (
+        "structured streaming keeps band key state inside the watermark "
+        "window so near duplicates never reach the corpus at all today"
+    )
+    other = (
+        "completely unrelated words about broadcast joins adaptive "
+        "execution and partition pruning inside the catalyst optimizer"
+    )
+    spark.createDataFrame(
+        [(1, base, "2024-01-01 00:00:00"), (2, other, "2024-01-01 00:01:00")],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    _await(documents_ingest_stream(spark, src, out, ckpt))
+
+    near = base.replace("today", "tonight")
+    fresh = (
+        "a third document mentioning manifests atomic commits bucket "
+        "layouts retention cohorts and funnel conversion analytics"
+    )
+    spark.createDataFrame(
+        [(3, near, "2024-01-01 00:02:00"), (4, fresh, "2024-01-01 00:03:00")],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("append").json(src)
+    _await(documents_ingest_stream(spark, src, out, ckpt))
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == base and got[4] == fresh  # payload survived intact
+
+
 def test_funnel_stream_stages_across_batches(spark, tmp_path):
     # Stateful streaming funnel: a user's view arrives in batch 1, the
     # click+purchase in batch 2 — stage must advance against state held
