@@ -360,6 +360,38 @@ FROM counted c JOIN probs p USING (source)
 """
 
 
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity: duplicate token windows across
+    documents (boilerplate headers, repeated passages) found by grouping
+    the chunk content hash — the packing-unit-level dedup pass that runs
+    AFTER doc-level dedup in a real curation pipeline (doc-unique
+    corpora still repeat passages).
+
+    Plan: the chunker's zero-shuffle explode feeds one groupBy on the
+    64-bit content hash — narrow (hash, doc_id) rows only; emits the
+    duplicated chunks with representative and occurrence stats.
+    """
+    chunks = doc_chunk_tokens(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("representative_doc_id"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+CHUNK_DEDUP_EXACT_SQL = f"""
+WITH chunks AS ({DOC_CHUNK_SQL})
+SELECT chunk_hash, count(*)::BIGINT AS n_occurrences,
+       min(doc_id) AS representative_doc_id,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -372,6 +404,12 @@ PRETRAIN_SPECS = [
         doc_chunk_tokens,
         DOC_CHUNK_SQL,
         ("chunking",),
+    ),
+    QuerySpec(
+        "chunk_dedup_exact",
+        chunk_dedup_exact,
+        CHUNK_DEDUP_EXACT_SQL,
+        ("chunk-dedup",),
     ),
     QuerySpec(
         "pack_sequences_greedy",

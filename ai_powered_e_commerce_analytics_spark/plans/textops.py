@@ -319,6 +319,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. exact-Jaccard verify on distinct candidate pairs, probing the
          reused exchange twice.
     """
+    verified = _lsh_verified_pairs(spark, sf_dir)
+    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All LSH candidate pairs with their exact Jaccard (pre-threshold)
+    — shared by dedup_minhash_lsh (thresholds it) and
+    lsh_candidate_efficiency (measures the generator)."""
     hashed = (
         _doc_shingles(t(spark, sf_dir, "documents"))
         .where(F.size("sh") > 0)
@@ -377,7 +385,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verified
+
+
+def lsh_candidate_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality for the MinHash LSH: how many bucket
+    candidates the banding produced, how many survived exact-Jaccard
+    verification, and the precision — the number that tells an operator
+    whether the (bands, rows-per-band) tuning wastes verification work.
+    Recall is measured separately by the all-pairs twin
+    (``dedup_ngram_jaccard``) at small scale; precision is measurable at
+    ANY scale because it only needs the candidate set.
+
+    Exact-integer counts + their exact ratio, so the hash gate proves
+    the precision value.
+    """
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    n_cand = F.count("*").cast("long")
+    n_ver = F.sum(
+        F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+    ).cast("long")
+    return pairs.agg(
+        n_cand.alias("n_candidates"),
+        n_ver.alias("n_verified"),
+        (n_ver.cast("double") / n_cand).alias("precision"),
+    )
 
 
 def _minhash_sql(j: int) -> str:
@@ -396,7 +428,7 @@ _BAND_SIGS_SQL = ", ".join(
     for b in range(LSH_BANDS)
 )
 
-DEDUP_MINHASH_LSH_SQL = f"""
+_LSH_VERIFIED_SQL = f"""
 WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
 sh AS (SELECT doc_id, sh,
               list_transform(sh, s -> {portable_hash64_sql("s")} % {1 << 30}) AS hs
@@ -421,7 +453,20 @@ verified AS (
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM verified
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+SELECT * FROM ({_LSH_VERIFIED_SQL}) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+LSH_CANDIDATE_EFFICIENCY_SQL = f"""
+SELECT count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+           AS n_verified,
+       sum(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)::DOUBLE
+           / count(*) AS precision
+FROM ({_LSH_VERIFIED_SQL})
 """
 
 
@@ -1375,6 +1420,12 @@ TEXTOPS_SPECS = [
         dedup_edit_distance_verify,
         DEDUP_EDIT_DISTANCE_SQL,
         ("dedup-edit-distance",),
+    ),
+    QuerySpec(
+        "lsh_candidate_efficiency",
+        lsh_candidate_efficiency,
+        LSH_CANDIDATE_EFFICIENCY_SQL,
+        ("lsh-precision-metric",),
     ),
     QuerySpec(
         "minhash_estimate_error",
