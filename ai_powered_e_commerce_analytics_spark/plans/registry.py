@@ -119,23 +119,55 @@ _R3_DRIVER_VERIFIED = {
     "union_all_orders", "top100_orders", "top3_orders_per_customer",
 }
 
-# The r3 window's 4 errored queries: r1 evidence predates the events
-# table's type change, so it no longer certifies anything.
-_EVIDENCE_INVALIDATED = {
-    "events_hourly_rollup", "events_user_sessions",
-    "asof_last_click_before_purchase", "range_join_clicks_before_purchase",
+# Queries verified by round 4's driver window (CORRECTNESS_r04.json —
+# all 50 rows green: the 4 events/temporal fixes re-checked on the new
+# TIMESTAMP_NTZ data, all 13 round-3/4 additions, and the 33
+# least-recently-verified r2 queries). Freshest evidence → back of the
+# round-5 window.
+_R4_DRIVER_VERIFIED = {
+    "events_hourly_rollup", "events_user_sessions", "events_funnel",
+    "events_session_revenue", "salted_distinct_quantities",
+    "copurchase_pairs", "retention_cohorts", "cross_source_neardup_matrix",
+    "dedup_containment", "dedup_edit_distance_verify",
+    "lsh_candidate_efficiency", "minhash_estimate_error",
+    "embedding_dedup_components", "token_budget_curriculum",
+    "chunk_dedup_exact", "asof_last_click_before_purchase",
+    "range_join_clicks_before_purchase", "text_quality",
+    "lang_id_heuristic", "token_stats_by_source", "doc_fingerprint",
+    "tfidf_top_terms", "doc_repetition_stats", "boilerplate_shingle_ratio",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash64", "dedup_near_dup_survivors",
+    "dedup_components", "dedup_survivors_cc", "embedding_norms",
+    "embedding_knn_bruteforce", "embedding_knn_partial_topk",
+    "dedup_embedding_cosine", "embedding_lsh_buckets",
+    "simsearch_lsh_bucket_join", "simsearch_ivf_topk",
+    "simsearch_ivf_recall", "order_value_percentiles_approx",
+    "approx_distinct_customers", "stratified_sample_documents",
+    "train_test_split_assignment", "per_source_topk_sample",
+    "decontaminate_ngram_overlap", "doc_chunk_tokens",
+    "pack_sequences_greedy", "source_mix_rebalance", "multimodal_features",
 }
+
+# Queries ADDED in round 5 (no driver evidence yet). They deliberately
+# sort BETWEEN the stale r2/r3 groups and the fresh r4 group: the r5
+# window must re-certify the 50 queries whose evidence is now 2 rounds
+# old (keeping every row ≤2 rounds stale); the additions enter the
+# window next round, ahead of the then-stale r4 group.
+_R5_ADDED: set[str] = set()
 
 
 # Order matters: the external driver verifies the FIRST 50 entries against
 # the DuckDB oracle each round. Stable partition by last-verified round,
-# least recent first: (0) no valid driver evidence on current data — new
-# queries plus the 4 events/temporal fixes; (1..3) evidence from that
-# round, freshest last. The round-4 window thus re-checks the 4 fixes,
-# anything new this round, and the 38 r2-verified queries r3 didn't reach.
-def _staleness(q: QuerySpec) -> int:
-    if q.name in _EVIDENCE_INVALIDATED:
-        return 0
+# least recent first: (0) never driver-checked before this round's
+# additions window placement; then evidence age, freshest last. The
+# round-5 window is thus the 4 two-round-stale r2 rows + the 46
+# r3-verified queries round 4 didn't reach — exactly the 50 without a
+# green row on the current testdata vintage.
+def _staleness(q: QuerySpec) -> float:
+    if q.name in _R4_DRIVER_VERIFIED:
+        return 4
+    if q.name in _R5_ADDED:
+        return 3.5
     if q.name in _R3_DRIVER_VERIFIED:
         return 3
     if q.name in _R2_DRIVER_VERIFIED:
