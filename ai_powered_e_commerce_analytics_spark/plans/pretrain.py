@@ -211,27 +211,91 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a better-fitting doc; a doc may spill past its bin's budget rather
     than be split).
 
-    Plan: one token count per doc (per-row map) and one running-sum
-    window per source — a single exchange on ``source``. The ordering
-    key (doc_id) is engine-independent, so the packing is bit-stable
-    across runs, engines, and partitionings.
+    Packing is order-sequential, but the running sum DECOMPOSES:
+    ``global_prefix(row) = base(source, partition) + local_prefix(row)``
+    once partition boundaries respect the (source, doc_id) order. Plan
+    (two-pass, NO per-source window — a low-cardinality window key
+    would funnel ~corpus/|sources| rows through one task at 100 TB):
+
+    1. ``repartitionByRange(source, doc_id)`` + ``sortWithinPartitions``
+       arranges rows so every partition holds a contiguous slice of
+       each source's doc_id order (ONE exchange, range-balanced — no
+       single task absorbs a source). The frame is persisted so the two
+       passes below see the same physical partitioning.
+    2. **Subtotals**: one tiny agg of per-(partition, source) token
+       sums — O(partitions × sources) rows — collected and folded
+       driver-side into each partition's per-source cumulative BASE,
+       then broadcast.
+    3. **Local offsets** (zero further shuffle): ``mapInPandas`` walks
+       each partition in its sorted order, carrying per-source running
+       totals across Arrow batches; a row's offset is the broadcast
+       base plus the local running total.
+
+    Determinism: the ordering key (source, doc_id) is unique and
+    engine-independent; the range partitioner's sampling is seeded per
+    partition, so re-executions reproduce identical boundaries and the
+    cached pid column stays consistent across both passes.
     """
+    import pandas as pd
+
     docs = t(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arranged = (
+        counted.repartitionByRange("source", "doc_id")
+        .sortWithinPartitions("source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return counted.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        start.alias("start_offset"),
-        F.floor(start / PACK_BUDGET).cast("long").alias("bin_id"),
+    subtotals = arranged.groupBy("pid", "source").agg(
+        F.sum("n_tokens").alias("subtotal")
+    ).collect()
+    base: dict[tuple[int, object], int] = {}
+    running: dict[object, int] = {}
+    for row in sorted(
+        subtotals, key=lambda r: (r["source"] is None, r["source"] or "", r["pid"])
+    ):
+        base[(row["pid"], row["source"])] = running.get(row["source"], 0)
+        running[row["source"]] = (
+            running.get(row["source"], 0) + row["subtotal"]
+        )
+    bc = spark.sparkContext.broadcast(base)
+
+    def _offsets(batches):
+        carry: dict[object, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iloc[0])
+
+            def _base_for(src):
+                key = None if pd.isna(src) else src
+                return bc.value.get((pid, key), 0) + carry.get(key, 0)
+
+            local_before = (
+                pdf.groupby("source", sort=False, dropna=False)["n_tokens"]
+                .cumsum()
+                - pdf["n_tokens"]
+            )
+            start = pdf["source"].map(_base_for) + local_before
+            for src, tot in (
+                pdf.groupby("source", sort=False, dropna=False)["n_tokens"]
+                .sum()
+                .items()
+            ):
+                key = None if pd.isna(src) else src
+                carry[key] = carry.get(key, 0) + int(tot)
+            yield pdf.assign(
+                start_offset=start, bin_id=start // PACK_BUDGET
+            )[["doc_id", "source", "n_tokens", "start_offset", "bin_id"]]
+
+    return arranged.mapInPandas(
+        _offsets,
+        schema=(
+            "doc_id long, source string, n_tokens long, "
+            "start_offset long, bin_id long"
+        ),
     )
 
 

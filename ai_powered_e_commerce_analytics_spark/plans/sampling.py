@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import portable_hash64
 from ..functions.core import portable_hash64_sql
@@ -99,18 +98,59 @@ def per_source_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota sample with reservoir-sampling statistics but zero state and
     full reproducibility.
 
-    Scale shape: one shuffle on ``source`` for the ranking window; at
-    very high cardinality per group, swap the window for the same
-    mapInPandas local-top-k contraction used by
-    ``embedding_knn_partial_topk`` (bounded shuffle); shape documented
-    there."""
+    Scale shape (two-pass contraction — NO per-source window): source
+    cardinality is LOW (tens), so ``Window.partitionBy("source")`` would
+    route ~corpus/|sources| rows through single tasks at 100 TB. Instead:
+
+    1. **Local top-K** (zero shuffle): an Arrow-batched ``mapInPandas``
+       keeps each batch's K best rows per source. The global top-K under
+       the total order (gate, doc_id) is contained in the union of
+       per-batch top-Ks for ANY partitioning of the rows, so no answer
+       row is lost. Survivors: ≤ K × |sources| per batch.
+    2. **Bounded merge** (one narrow shuffle): ``groupBy(source)`` +
+       ``array_sort(collect_list(struct))`` + ``slice`` picks the true
+       top-K and ``posexplode`` yields the rank. ``collect_list`` is
+       safe HERE — unlike the uncontracted sketch rejected in
+       ``embedding_knn_partial_topk``'s docstring, its input is already
+       ≤ K rows per (source, batch), so buffers are bounded by
+       K × #batches, not corpus size.
+
+    Same oracle as the window form (the contraction is exact under the
+    total order); the executed plan has no Window node at all —
+    regression-tested in tests/test_sampling_plan.py."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
     docs = t(spark, sf_dir, "documents")
     g = _gate(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("source").orderBy("gate", "doc_id")
+    narrow = docs.select("doc_id", "source", "n_chars", g.alias("gate"))
+
+    def _local_topk(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(["gate", "doc_id"], kind="mergesort")
+            yield pdf.groupby("source", sort=False, dropna=False).head(
+                PER_SOURCE_K
+            )
+
+    survivors = narrow.mapInPandas(_local_topk, schema=narrow.schema)
     return (
-        docs.select("doc_id", "source", "n_chars", g.alias("gate"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= PER_SOURCE_K)
+        survivors.groupBy("source")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("gate", "doc_id", "n_chars"))
+                ),
+                1,
+                PER_SOURCE_K,
+            ).alias("top")
+        )
+        .select("source", F.posexplode("top").alias("pos", "r"))
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            "source",
+            F.col("r.n_chars").alias("n_chars"),
+            F.col("r.gate").alias("gate"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
     )
 
 
@@ -143,19 +183,38 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle the boundary — deterministic, and the downstream chunker
     (pretrain.doc_chunk_tokens) handles trimming.
 
-    Scale: one window shuffle on ``source``; the quality score and token
-    count are per-row maps. Ordering is deterministic cross-engine: the
-    score is an exact-integer-derived double (bit-identical in both
-    engines), ties broken by doc_id.
+    Scale shape (two-pass contraction — NO per-source window): source
+    cardinality is LOW (tens), so a window keyed on it would funnel
+    ~corpus/|sources| rows through one task at 100 TB. Instead:
 
-    Source cardinality is LOW (tens), so at 100 TB each window partition
-    is corpus-scale — the production swap is the two-pass contraction
-    documented at :func:`per_source_topk_sample`: per-partition local
-    (quality, n_tokens) top segments via mapInPandas, then a driver-size
-    merge of per-partition boundaries to find each source's quality
-    cutoff, then one filter pass. Same result, bounded shuffle; the
-    window form is the oracle-checkable small/medium-cardinality path.
+    1. **Local budget prefix** (zero shuffle): an Arrow-batched
+       ``mapInPandas`` sorts each batch by (quality DESC, doc_id) and
+       keeps, per source, only rows whose LOCAL running token total
+       starts under the budget. Sound because a prefix-sum selection is
+       monotone: for any globally selected row, its within-batch
+       predecessors are a subset of its global predecessors, so its
+       local prefix sum ≤ its global prefix sum < budget — every answer
+       row survives. Survivors per (source, batch) are ~budget tokens'
+       worth of docs, so the shuffle carries O(#batches × budget) narrow
+       rows per source instead of the corpus.
+    2. **Exact pass over candidates** (one bounded shuffle):
+       ``groupBy(source).applyInPandas`` re-sorts the contracted
+       candidate set and computes the exact cumulative sum. The
+       candidate-set prefix sums EQUAL the global ones at every emitted
+       row: all global predecessors of a selected row are themselves
+       selected (prefix property), hence candidates; and the first
+       non-selected row's candidate prefix already meets the budget, so
+       nothing extra is emitted.
+
+    Ordering is deterministic cross-engine: the score is an
+    exact-integer-derived double (bit-identical in both engines), ties
+    broken by doc_id; null scores sort last in Spark DESC, DuckDB DESC,
+    and pandas ``na_position="last"`` alike. Same oracle as the window
+    form; the executed plan has no Window node — regression-tested in
+    tests/test_sampling_plan.py.
     """
+    import pandas as pd  # noqa: F401 (mapInPandas/applyInPandas contract)
+
     from .textops import STOPWORDS
 
     from ..functions import tokens
@@ -174,14 +233,35 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         quality.alias("quality_score"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("quality_score"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+
+    def _order(pdf):
+        return pdf.sort_values(
+            ["quality_score", "doc_id"],
+            ascending=[False, True],
+            na_position="last",
+            kind="mergesort",
+        )
+
+    def _budget_prefix(pdf):
+        pdf = _order(pdf)
+        cum = pdf.groupby("source", sort=False, dropna=False)[
+            "n_tokens"
+        ].cumsum()
+        return pdf.assign(cum_tokens=cum)[
+            cum - pdf["n_tokens"] < TOKEN_BUDGET
+        ]
+
+    def _local_prefix(batches):
+        for pdf in batches:
+            yield _budget_prefix(pdf).drop(columns=["cum_tokens"])
+
+    candidates = scored.mapInPandas(_local_prefix, schema=scored.schema)
+    return candidates.groupBy("source").applyInPandas(
+        _budget_prefix,
+        schema=(
+            "doc_id long, source string, n_tokens long, "
+            "quality_score double, cum_tokens long"
+        ),
     )
 
 

@@ -1,0 +1,165 @@
+"""Plan-shape regression for the bounded-shuffle per-source selections.
+
+The low-cardinality ``source`` key makes ``Window.partitionBy("source")``
+a scale-killer (one task absorbs ~corpus/|sources| rows at 100 TB), so
+``per_source_topk_sample``, ``token_budget_curriculum``, and
+``pack_sequences_greedy`` must keep their two-pass contraction as the
+EXECUTED plan — these tests fail if anyone reintroduces a window.
+Value-level correctness is covered by the DuckDB oracle battery
+(test_queries_oracle.py); here we pin the plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
+    pack_sequences_greedy,
+)
+from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+    per_source_topk_sample,
+    token_budget_curriculum,
+)
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "build",
+    [per_source_topk_sample, token_budget_curriculum, pack_sequences_greedy],
+    ids=lambda f: f.__name__,
+)
+def test_no_per_source_window_in_plan(spark, sf_dir, build):
+    plan = _formatted_plan(build(spark, sf_dir))
+    assert "Window" not in plan, plan
+    # The local contraction must be an Arrow-batched Python island.
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_topk_contraction_bounds_rows(spark, sf_dir):
+    # The merge stage's input is the contraction output: at most K rows
+    # per (source, arrow-batch). With one batch per partition upper
+    # bound, survivors ≤ K × |sources| × #partitions — and the final
+    # answer is exactly the window form's.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        PER_SOURCE_K,
+        _gate,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.spec import t
+
+    got = per_source_topk_sample(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("gate", "doc_id")
+    want = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            _gate(F.col("doc_id").cast("string")).alias("gate"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= PER_SOURCE_K)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_curriculum_matches_window_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ai_powered_e_commerce_analytics_spark.functions import tokens
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        TOKEN_BUDGET,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.spec import t
+    from ai_powered_e_commerce_analytics_spark.plans.textops import STOPWORDS
+
+    got = token_budget_curriculum(spark, sf_dir)
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)) * (
+        1 - stop_ratio
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).where(
+        F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_curriculum_contraction_under_skewed_partitioning(spark):
+    # The superset property must hold under ANY physical partitioning:
+    # plant a corpus where one source's best docs are scattered across
+    # partitions and verify the selection over a 16-partition shuffle of
+    # the input matches a single-partition run.
+    import pandas as pd
+
+    from ai_powered_e_commerce_analytics_spark.plans import sampling
+
+    rows = []
+    for s in range(3):
+        for i in range(200):
+            # quality proxy varies with i; tokens 5..25 words
+            n_words = 5 + (i * 7) % 21
+            rows.append(
+                {
+                    "doc_id": s * 1000 + i,
+                    "text": " ".join(
+                        f"w{j}" if j % 3 else "the" for j in range(n_words)
+                    ),
+                    "lang": "en",
+                    "source": f"s{s}",
+                    "n_chars": n_words * 3,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sf = os.path.join(tmp, "sfX")
+        os.makedirs(sf)
+        one = spark.createDataFrame(pdf).coalesce(1)
+        one.write.parquet(os.path.join(sf, "documents.parquet"))
+        single = sorted(
+            map(tuple, sampling.token_budget_curriculum(spark, sf).collect())
+        )
+        many_dir = os.path.join(tmp, "sfY")
+        os.makedirs(many_dir)
+        spark.createDataFrame(pdf).repartition(16).write.parquet(
+            os.path.join(many_dir, "documents.parquet")
+        )
+        many = sorted(
+            map(
+                tuple,
+                sampling.token_budget_curriculum(spark, many_dir).collect(),
+            )
+        )
+    assert single == many
+    assert len(single) > 0
