@@ -120,7 +120,7 @@ def _latest_manifest(spark: SparkSession, fs, table_path: str):
 
 def _commit_manifest(
     spark: SparkSession, fs, table_path: str, version: int, manifest: dict
-) -> None:
+) -> bool:
     """Publish ``manifest`` as version ``version`` with ONE atomic rename.
 
     The manifest body is written to a ``_tmp_`` name (readers never match
@@ -128,9 +128,13 @@ def _commit_manifest(
     a FRESH name is atomic on HDFS and posix alike — there is no
     delete-then-rename hole, and a crash at any instant leaves either the
     old manifest current (commit never happened) or the new one (commit
-    complete). A failed rename (e.g. a concurrent writer already took the
-    version) raises — this sink is single-writer by contract, same as the
-    reference's PostgREST upsert loop.
+    complete).
+
+    Returns ``True`` on commit. A failed rename means a concurrent writer
+    already took this version: returns ``False`` so the caller can
+    re-merge against the new table state and retry at the next version —
+    the optimistic-concurrency loop in :func:`upsert_parquet` (same
+    protocol as Delta's commit-version CAS).
     """
     from .hadoop import fs_write_text, hadoop_path
 
@@ -139,34 +143,85 @@ def _commit_manifest(
     final = hadoop_path(spark, f"{table_path}/_MANIFEST-v{version:08d}.json")
     if not fs.rename(hadoop_path(spark, tmp), final):
         fs.delete(hadoop_path(spark, tmp), False)
-        raise RuntimeError(
-            f"manifest commit race: version {version} already exists at "
-            f"{table_path} (single-writer contract violated)"
-        )
+        return False
+    return True
+
+
+# Unreferenced staging debris younger than this is left alone by GC: it
+# may belong to a concurrent writer that has staged but not yet
+# committed. Crash debris ages past the grace and is then collected.
+ORPHAN_GRACE_MS = 600_000
 
 
 def _gc_upsert_table(
     spark: SparkSession, fs, table_path: str, version: int, manifest: dict
 ) -> None:
-    """Drop manifests older than the freshly-committed ``version`` and
-    data/tx dirs the new manifest no longer references. Runs AFTER the
-    commit, so a crash mid-GC only leaves harmless debris that the next
-    upsert's GC removes. (A production deployment with long-running
-    concurrent readers would add a retention grace window here, like
-    Delta VACUUM; the KPI tables have no such readers.)"""
-    from .hadoop import hadoop_path
+    """Garbage-collect superseded state with a ONE-GENERATION retention
+    grace, so the sink is safe for concurrent readers and writers by
+    construction:
+
+    - The PREVIOUS manifest and every tx dir it references are kept for
+      one more GC cycle: a reader that resolved the old manifest just
+      before this commit can still open all its files. Manifests (and
+      their exclusive tx refs) two or more generations old are dropped.
+    - Tx dirs referenced by NO retained manifest are deleted only once
+      older than :data:`ORPHAN_GRACE_MS` — a fresh unreferenced dir may
+      be a concurrent writer's staging area mid-OCC-attempt; crash
+      debris simply ages out. Same for ``_tmp_manifest_*`` files.
+
+    Runs AFTER the commit, so a crash mid-GC only leaves harmless debris
+    that the next upsert's GC removes."""
+    import time as _time
+
+    from .hadoop import fs_read_text, hadoop_path
 
     live_tx = {rel.split("/")[1] for rel in manifest["buckets"].values()}
+    prev_version = 0
+    prev_path = None
     for status in fs.globStatus(
         hadoop_path(spark, f"{table_path}/_MANIFEST-v*.json")
     ) or []:
         m = _MANIFEST_RE.search(status.getPath().getName())
-        if m and int(m.group(1)) < version:
+        if m and prev_version < int(m.group(1)) < version:
+            prev_version = int(m.group(1))
+            prev_path = status.getPath().toString()
+    if prev_path is not None:
+        prev_manifest = json.loads(fs_read_text(spark, prev_path))
+        live_tx |= {
+            rel.split("/")[1] for rel in prev_manifest["buckets"].values()
+        }
+    # Manifests 2+ generations old are dropped, and the tx dirs ONLY they
+    # referenced go with them immediately — those are known-superseded
+    # data, not unknown staging. Refs are collected before deletion.
+    dead_tx: set[str] = set()
+    for status in fs.globStatus(
+        hadoop_path(spark, f"{table_path}/_MANIFEST-v*.json")
+    ) or []:
+        m = _MANIFEST_RE.search(status.getPath().getName())
+        if m and int(m.group(1)) < prev_version:
+            try:
+                old = json.loads(
+                    fs_read_text(spark, status.getPath().toString())
+                )
+                dead_tx |= {
+                    rel.split("/")[1] for rel in old["buckets"].values()
+                }
+            except Exception:  # noqa: BLE001 - unreadable old manifest
+                pass
             fs.delete(status.getPath(), False)
-    for status in fs.globStatus(hadoop_path(spark, f"{table_path}/_tmp_manifest_*")) or []:
-        fs.delete(status.getPath(), False)
+    now_ms = int(_time.time() * 1000)
+    for status in fs.globStatus(
+        hadoop_path(spark, f"{table_path}/_tmp_manifest_*")
+    ) or []:
+        if now_ms - status.getModificationTime() > ORPHAN_GRACE_MS:
+            fs.delete(status.getPath(), False)
     for status in fs.globStatus(hadoop_path(spark, f"{table_path}/data/tx_*")) or []:
-        if status.getPath().getName() not in live_tx:
+        name = status.getPath().getName()
+        if name in live_tx:
+            continue
+        if name in dead_tx or (
+            now_ms - status.getModificationTime() > ORPHAN_GRACE_MS
+        ):
             fs.delete(status.getPath(), True)
 
 
@@ -177,6 +232,8 @@ def upsert_parquet(
     key: str,
     *,
     num_buckets: int = 64,
+    max_attempts: int = 5,
+    _before_commit=None,
 ) -> None:
     """Keyed upsert into a parquet table: last-writer-wins per ``key``
     (reference PostgREST ``upsert(records, on_conflict=key)``,
@@ -199,73 +256,92 @@ def upsert_parquet(
     data is invisible (no manifest references it) and is GC'd by the next
     successful upsert.
 
+    CONCURRENT writers are handled by optimistic concurrency: the whole
+    merge-stage-commit sequence runs in a loop; a writer that loses the
+    version CAS (rename fails because the version exists) discards its
+    staged tx dir, re-reads the new latest manifest, RE-MERGES its
+    updates against the new table state, and retries at the next version
+    — so both commits land and the result equals sequential application
+    in commit order (Delta-style OCC). ``max_attempts`` bounds livelock
+    under sustained contention.
+
+    ``_before_commit`` is a test seam invoked after staging and before
+    each commit attempt (used to interleave a concurrent writer
+    deterministically).
+
     100 TB note: this is a miniature of exactly what Delta/Iceberg do
-    (immutable data files + atomic metadata pointer). With delta-spark on
-    the classpath the body becomes ``DeltaTable.merge(...)`` and gains
-    file-level skipping; the bucket layout below already bounds the
-    rewrite to (touched buckets / num_buckets) of the table.
+    (immutable data files + atomic metadata pointer + OCC commit). With
+    delta-spark on the classpath the body becomes
+    ``DeltaTable.merge(...)`` and gains file-level skipping; the bucket
+    layout below already bounds the rewrite to (touched buckets /
+    num_buckets) of the table.
     """
-    from .hadoop import hadoop_fs
+    from .hadoop import hadoop_fs, hadoop_path
 
     fs = hadoop_fs(spark, table_path)
-    version, manifest = _latest_manifest(spark, fs, table_path)
-    if manifest is not None:
-        # Bucketing must stay consistent with the existing table.
-        num_buckets = int(manifest["num_buckets"])
+    for _attempt in range(max_attempts):
+        version, manifest = _latest_manifest(spark, fs, table_path)
+        nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
 
-    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
-    updates = updates.withColumn("__bucket", bucket)
-    touched = [r[0] for r in updates.select("__bucket").distinct().collect()]
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        bucketed = updates.withColumn("__bucket", bucket)
+        touched = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
 
-    if manifest is not None:
-        old_paths = [
-            f"{table_path}/{manifest['buckets'][str(b)]}"
-            for b in touched
-            if str(b) in manifest["buckets"]
-        ]
+        if manifest is not None:
+            old_paths = [
+                f"{table_path}/{manifest['buckets'][str(b)]}"
+                for b in touched
+                if str(b) in manifest["buckets"]
+            ]
+        else:
+            old_paths = []
         if old_paths:
             # Bucket dirs are read directly (no partition discovery);
             # recompute __bucket from the key — same deterministic hash.
             old = spark.read.parquet(*old_paths).withColumn(
                 "__bucket",
-                F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int"),
+                F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
+            )
+            # Last-writer-wins: updates rank before existing rows per key.
+            merged = (
+                bucketed.withColumn("__rank", F.lit(0))
+                .unionByName(old.withColumn("__rank", F.lit(1)))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(key).orderBy("__rank")
+                    ),
+                )
+                .where(F.col("__rn") == 1)
+                .drop("__rank", "__rn")
             )
         else:
-            old = None
-    else:
-        old = None
-
-    if old is not None:
-        # Last-writer-wins: updates rank before existing rows per key.
-        merged = (
-            updates.withColumn("__rank", F.lit(0))
-            .unionByName(old.withColumn("__rank", F.lit(1)))
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(key).orderBy("__rank")
-                ),
-            )
-            .where(F.col("__rn") == 1)
-            .drop("__rank", "__rn")
+            merged = bucketed
+        txid = uuid.uuid4().hex[:12]
+        tx_dir = f"{table_path}/data/tx_{txid}"
+        (
+            merged.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tx_dir)
         )
-    else:
-        merged = updates
-    txid = uuid.uuid4().hex[:12]
-    tx_dir = f"{table_path}/data/tx_{txid}"
-    (
-        merged.repartition("__bucket")
-        .write.mode("overwrite")
-        .partitionBy("__bucket")
-        .parquet(tx_dir)
-    )
 
-    buckets = dict(manifest["buckets"]) if manifest is not None else {}
-    for b in touched:
-        buckets[str(b)] = f"data/tx_{txid}/__bucket={b}"
-    new_manifest = {"num_buckets": num_buckets, "buckets": buckets}
-    _commit_manifest(spark, fs, table_path, version + 1, new_manifest)
-    _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
+        buckets = dict(manifest["buckets"]) if manifest is not None else {}
+        for b in touched:
+            buckets[str(b)] = f"data/tx_{txid}/__bucket={b}"
+        new_manifest = {"num_buckets": nb, "buckets": buckets}
+        if _before_commit is not None:
+            _before_commit()
+        if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
+            _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
+            return
+        # Lost the version CAS to a concurrent writer: our merge is based
+        # on a stale table state. Drop the staged attempt and re-merge.
+        fs.delete(hadoop_path(spark, tx_dir), True)
+    raise RuntimeError(
+        f"upsert at {table_path} lost the commit race {max_attempts} times"
+        " — giving up (sustained writer contention)"
+    )
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:

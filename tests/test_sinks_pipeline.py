@@ -88,9 +88,11 @@ def test_upsert_bounded_file_count(spark, tmp_path):
     for bucket_dir in glob.glob(f"{path}/data/tx_*/__bucket=*"):
         n_files = len(glob.glob(f"{bucket_dir}/*.parquet"))
         assert n_files == 1, f"{bucket_dir} has {n_files} files"
-    # every batch touches every bucket, so only the final tx dir survives
-    assert len(glob.glob(f"{path}/data/tx_*")) == 1
-    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 1
+    # every batch touches every bucket; GC keeps the current generation
+    # plus ONE previous (retention grace for concurrent readers), so the
+    # final two tx dirs / manifests survive and older ones are dropped.
+    assert len(glob.glob(f"{path}/data/tx_*")) == 2
+    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 2
     assert not glob.glob(f"{path}/_tmp_manifest_*"), "tmp manifest debris"
     got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
     assert got == {i: 5.0 for i in range(20)}
@@ -98,8 +100,11 @@ def test_upsert_bounded_file_count(spark, tmp_path):
 
 def test_upsert_clears_uncommitted_debris(spark, tmp_path):
     # Debris of a crashed prior upsert — a staged-but-never-committed tx
-    # dir and a tmp manifest — must be invisible to readers and removed
-    # by the next successful upsert, not accreted.
+    # dir and a tmp manifest — must be invisible to readers, SURVIVE the
+    # orphan grace window while fresh (it could be a live concurrent
+    # writer's staging area), and be removed once aged past the grace.
+    import time
+
     path = str(tmp_path / "kpi4")
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     upsert_parquet(spark, df, path, "id")
@@ -107,10 +112,17 @@ def test_upsert_clears_uncommitted_debris(spark, tmp_path):
     with open(f"{path}/_tmp_manifest_dead.json", "w") as f:
         f.write("{not even json")
     assert read_upsert_table(spark, path).count() == 1  # junk invisible
+    # Fresh debris is retained (might be a concurrent writer staging).
     upsert_parquet(spark, spark.createDataFrame([(2, 2.0)], "id long, v double"), path, "id")
+    assert glob.glob(f"{path}/data/tx_deadbeef")
+    # Aged debris is collected by the next upsert's GC.
+    stale = time.time() - 3600
+    os.utime(f"{path}/data/tx_deadbeef", (stale, stale))
+    os.utime(f"{path}/_tmp_manifest_dead.json", (stale, stale))
+    upsert_parquet(spark, spark.createDataFrame([(3, 3.0)], "id long, v double"), path, "id")
     assert not glob.glob(f"{path}/data/tx_deadbeef")
     assert not glob.glob(f"{path}/_tmp_manifest_*")
-    assert read_upsert_table(spark, path).count() == 2
+    assert read_upsert_table(spark, path).count() == 3
 
 
 def test_upsert_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
@@ -156,7 +168,88 @@ def test_upsert_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
     )
     got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
     assert got == {1: 1.0, 2: 99.0, 3: 3.0}
-    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 1
+    # current + one retained previous generation
+    assert len(glob.glob(f"{path}/_MANIFEST-v*.json")) == 2
+
+
+def test_upsert_concurrent_writers_occ(spark, tmp_path):
+    # Two interleaved writers: writer A stages its merge, then writer B
+    # runs a COMPLETE upsert (stealing A's version), then A attempts to
+    # commit, loses the CAS, re-merges against B's table state, and
+    # commits at the next version. BOTH commits must land and the final
+    # table must equal sequential application (base, then B, then A) —
+    # including B's rows in buckets A never touched.
+    path = str(tmp_path / "kpi6")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        path,
+        "id",
+    )
+
+    fired = []
+
+    def interleave_writer_b():
+        if fired:
+            return
+        fired.append(1)
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(2, 50.0), (4, 4.0)], "id long, v double"),
+            path,
+            "id",
+        )
+
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(2, 99.0), (3, 3.0)], "id long, v double"),
+        path,
+        "id",
+        _before_commit=interleave_writer_b,
+    )
+    assert fired, "interleaved writer never ran"
+    got = {r.id: r.v for r in read_upsert_table(spark, path).collect()}
+    # key 2: A committed after B, so A's value wins; key 4 (B-only
+    # bucket) must survive A's re-merge.
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0, 4: 4.0}
+    # three committed generations: base(v1), B(v2), A(v3); GC keeps 2.
+    versions = sorted(glob.glob(f"{path}/_MANIFEST-v*.json"))
+    assert len(versions) == 2 and versions[-1].endswith("v00000003.json")
+
+
+def test_upsert_contention_gives_up_bounded(spark, tmp_path):
+    # A writer that loses the CAS on EVERY attempt must raise after
+    # max_attempts, not loop forever.
+    path = str(tmp_path / "kpi7")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        path,
+        "id",
+    )
+    counter = [0]
+
+    def always_steal():
+        counter[0] += 1
+        upsert_parquet(
+            spark,
+            spark.createDataFrame(
+                [(1, float(counter[0]))], "id long, v double"
+            ),
+            path,
+            "id",
+        )
+
+    with pytest.raises(RuntimeError, match="lost the commit race"):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(9, 9.0)], "id long, v double"),
+            path,
+            "id",
+            max_attempts=2,
+            _before_commit=always_steal,
+        )
+    assert counter[0] == 2
 
 
 def test_silver_chunks_batch_id_replay_idempotent(spark, tmp_path):
