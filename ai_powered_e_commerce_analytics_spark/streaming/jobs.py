@@ -210,32 +210,66 @@ def near_dedup_stream(
     band rows, so its band-0 row always supplies the text downstream —
     the payload crosses the stateful shuffle once per doc, never
     ``LSH_BANDS`` times.
+
+    SHORT-DOC GUARD: a doc with fewer than ``SHINGLE_K`` words (or
+    null/empty text) has an EMPTY shingle-hash array — every minhash
+    would be null and all such docs would collapse onto one identical
+    band signature, silently dropping every short doc after the first.
+    The batch ``_lsh_verified_pairs`` filters ``size(sh) > 0`` before
+    banding, so short docs carry no near-dup signal there either and
+    always survive. Parity: short rows bypass the LSH keys entirely —
+    each rides ONE ``(band=-1, band_sig="short:<id>")`` row keyed by its
+    own ``id_col``, which never collides, and unions back with the
+    banded rows (exact dedup of short docs belongs upstream in
+    :func:`dedup_stream`, same as the batch pipeline). Every row also
+    carries ``__n_bands`` (LSH_BANDS for banded docs, 1 for short docs)
+    so :func:`near_dedup_survivors` can require the full set back.
     """
     from ..plans.textops import LSH_BANDS, minhash_band_sig_cols, shingle_hashes
 
     carried = [c for c in docs.columns if c != text_col]
-    sig = docs.withColumn("hs", shingle_hashes(text_col)).select(
+    if id_col not in carried:
+        raise ValueError(
+            f"id_col {id_col!r} must be a non-payload column of the input "
+            f"(got {docs.columns})"
+        )
+    payload = [F.col(text_col)] if keep_text else []
+    # coalesce: size(null_array) is NULL (ANSI) or -1 (legacy) — null-text
+    # docs must land in the short branch, not vanish from both.
+    n_sh = F.coalesce(F.size("hs"), F.lit(0))
+    sig = docs.withColumn("hs", shingle_hashes(text_col))
+    banded = sig.where(n_sh > 0).select(
         *carried,
-        *([F.col(text_col)] if keep_text else []),
+        *payload,
         *minhash_band_sig_cols("hs"),
     )
-    bands = sig.select(
+    bands = banded.select(
         *carried,
-        *([F.col(text_col)] if keep_text else []),
+        *payload,
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
         ).alias("band", "band_sig"),
-    )
+    ).withColumn("__n_bands", F.lit(LSH_BANDS).cast("long"))
     if keep_text:
         bands = bands.withColumn(
             text_col,
             F.when(F.col("band") == 0, F.col(text_col)),
         )
+    short = sig.where(n_sh <= 0).select(
+        *carried,
+        *payload,
+        F.lit(-1).alias("band"),
+        F.concat(F.lit("short:"), F.col(id_col).cast("string")).alias(
+            "band_sig"
+        ),
+        F.lit(1).cast("long").alias("__n_bands"),
+    )
+    all_bands = bands.unionByName(short)
     if event_time:
-        return bands.withWatermark(
+        return all_bands.withWatermark(
             event_time, watermark
         ).dropDuplicatesWithinWatermark(["band", "band_sig"])
-    return bands.dropDuplicates(["band", "band_sig"])
+    return all_bands.dropDuplicates(["band", "band_sig"])
 
 
 def documents_ingest_stream(
@@ -257,7 +291,16 @@ def documents_ingest_stream(
     the payload on each doc's band-0 row only (once per doc through the
     stateful shuffle, never ×bands); ``foreachBatch`` reduces the
     surviving band rows to whole-doc survivors — text recovered by the
-    per-doc ``max`` — and appends them to the corpus parquet.
+    per-doc ``max`` — and writes them to the corpus.
+
+    The sink is REPLAY-IDEMPOTENT: ``foreachBatch`` is at-least-once, so
+    a crash between the corpus write and the checkpoint commit re-runs
+    the same micro-batch on restart. Each batch therefore OVERWRITES its
+    own ``batch_id={N}`` partition directory (same pattern as
+    ``write_silver_chunks``) instead of appending to a flat dir — a
+    replay rewrites identical content in place and the corpus never
+    gains duplicate rows. Readers ``spark.read.parquet(out_dir)`` as
+    usual; partition discovery surfaces ``batch_id`` as a column.
     """
     schema = T.StructType(
         [
@@ -276,7 +319,11 @@ def documents_ingest_stream(
     )
 
     def process(band_batch: DataFrame, batch_id: int) -> None:
-        near_dedup_survivors(band_batch).write.mode("append").parquet(out_dir)
+        if band_batch.isEmpty():
+            return
+        near_dedup_survivors(band_batch).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = deduped.writeStream.option("checkpointLocation", checkpoint_dir)
     writer = writer.foreachBatch(process)
@@ -288,24 +335,29 @@ def documents_ingest_stream(
 def near_dedup_survivors(band_batch: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Reduce :func:`near_dedup_stream`'s surviving band rows to whole-doc
     survivors (run inside ``foreachBatch``): a doc is unique iff ALL of
-    its band rows survived the stateful band-key dedup — any lost band
-    means a band collided with an earlier doc (in this batch or in
-    watermark state), i.e. a near-dup. All of a doc's band rows travel in
-    the same micro-batch (they come from one input row), so the per-batch
+    the band rows it emitted survived the stateful band-key dedup — any
+    lost band means a band collided with an earlier doc (in this batch or
+    in watermark state), i.e. a near-dup. The per-doc expected count
+    rides the ``__n_bands`` column (LSH_BANDS for banded docs, 1 for the
+    short-doc pass-through rows). All of a doc's band rows travel in the
+    same micro-batch (they come from one input row), so the per-batch
     count is complete."""
-    from ..plans.textops import LSH_BANDS
-
-    extra = [c for c in band_batch.columns if c not in (id_col, "band", "band_sig")]
+    extra = [
+        c
+        for c in band_batch.columns
+        if c not in (id_col, "band", "band_sig", "__n_bands")
+    ]
     # max() recovers each carried column's single non-null value per doc
     # (payload columns under keep_text ride only the band-0 row).
     return (
         band_batch.groupBy(id_col)
         .agg(
-            F.count("*").alias("__bands"),
+            F.count("*").alias("__kept"),
+            F.max("__n_bands").alias("__want"),
             *[F.max(c).alias(c) for c in extra],
         )
-        .where(F.col("__bands") == LSH_BANDS)
-        .drop("__bands")
+        .where(F.col("__kept") == F.col("__want"))
+        .drop("__kept", "__want")
     )
 
 
@@ -339,6 +391,7 @@ _SESSION_STATE = T.StructType(
         T.StructField("session_start_us", T.LongType()),
         T.StructField("last_seen_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("revenue_cents", T.LongType()),
     ]
 )
 _SESSION_OUT = T.StructType(
@@ -347,72 +400,87 @@ _SESSION_OUT = T.StructType(
         T.StructField("session_start_us", T.LongType()),
         T.StructField("session_end_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("revenue", T.DoubleType()),
     ]
 )
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches the batch query
 
 
+def _session_row(user_id, start, last, n, cents):
+    return {
+        "user_id": user_id,
+        "session_start_us": start,
+        "session_end_us": last,
+        "n_events": n,
+        # integer cents in state; dollars only at emission (float policy)
+        "revenue": cents / 100.0,
+    }
+
+
 def _session_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Custom stateful operator: gap-based session windows per user.
+    """Custom stateful operator: gap-based session windows per user, with
+    per-session purchase-revenue attribution folded into the state.
 
-    The deterministic batch twin is plans/relational.py
-    events_user_sessions; this is the streaming form with explicit state
-    (survey §2.9 note: applyInPandasWithState for custom stateful ops).
+    The deterministic batch twins are plans/relational.py
+    events_user_sessions (session boundaries) and events_session_revenue
+    (revenue fold — same integer-cents rule: ``round(value*100)`` summed
+    over purchase events, emitted as dollars). Inputs may omit
+    event_type/value, in which case revenue is 0 (pure sessionization).
     """
     (user_id,) = key
     if state.hasTimedOut:
-        start, last, n = state.get
+        start, last, n, cents = state.get
         state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_start_us": start,
-                    "session_end_us": last,
-                    "n_events": n,
-                }
-            ]
-        )
+        yield pd.DataFrame([_session_row(user_id, start, last, n, cents)])
         return
 
-    ts = sorted(
-        int(v) for pdf in pdfs for v in pdf["ts_us"].tolist()
-    )
+    rows = []
+    for pdf in pdfs:
+        has_rev = "event_type" in pdf.columns and "value" in pdf.columns
+        for i in range(len(pdf)):
+            if has_rev and pdf["event_type"].iloc[i] == "purchase":
+                v = pdf["value"].iloc[i]
+                c = 0 if pd.isna(v) else int(round(float(v) * 100))
+            else:
+                c = 0
+            rows.append((int(pdf["ts_us"].iloc[i]), c))
+    rows.sort()
     closed = []
     if state.exists:
-        start, last, n = state.get
+        start, last, n, cents = state.get
     else:
         start = last = None
-        n = 0
-    for v in ts:
+        n = cents = 0
+    for v, c in rows:
         if last is not None and v - last > SESSION_GAP_US:
-            closed.append(
-                {
-                    "user_id": user_id,
-                    "session_start_us": start,
-                    "session_end_us": last,
-                    "n_events": n,
-                }
-            )
-            start, n = v, 0
+            closed.append(_session_row(user_id, start, last, n, cents))
+            start, n, cents = v, 0, 0
         if start is None:
             start = v
         last = v
         n += 1
-    state.update((start, last, n))
+        cents += c
+    state.update((start, last, n, cents))
     state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions after 1h
     if closed:
         yield pd.DataFrame(closed)
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
-    """Gap-based sessionization over a stream of (user_id, ts_us) rows —
+    """Gap-based sessionization (with per-session revenue attribution
+    when ``event_type``/``value`` columns are present) over a stream of
+    (user_id, ts_us[, event_type, value]) rows —
     ``applyInPandasWithState`` custom stateful operator."""
+    cols = [
+        c
+        for c in ("user_id", "ts_us", "event_type", "value")
+        if c in events.columns
+    ]
     return (
-        events.select("user_id", "ts_us")
+        events.select(*cols)
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
@@ -449,7 +517,20 @@ def _funnel_fn(
     first purchase after that (same ordering rule as the batch
     events_funnel). Emits the user's progress row whenever a batch
     advances (or first touches) their state — a funnel-progress stream
-    the dashboard can upsert by user_id."""
+    the dashboard can upsert by user_id.
+
+    ARRIVAL-ORDER ASSUMPTION: events are folded greedily in event-time
+    order WITHIN each micro-batch, but state never rewinds across
+    batches — a click arriving in a later batch than a view that
+    event-time-precedes it still advances the funnel (both orderings
+    fold the same), while a click whose matching view arrives only in a
+    LATER batch is lost (the view cannot retroactively claim it). Exact
+    agreement with the batch twin therefore requires cross-batch
+    in-event-time-order arrival per user (true for the FIFO file source
+    fed by time-ordered drops). For heavily out-of-order streams, buffer
+    by watermark upstream before folding, or re-run the batch
+    ``events_funnel`` at compaction time — same greedy-vs-closure
+    tradeoff as :func:`near_dedup_stream` vs ``dedup_survivors_cc``."""
     (user_id,) = key
     if state.hasTimedOut:  # pragma: no cover - no timeout configured
         state.remove()

@@ -240,6 +240,189 @@ def test_near_dedup_stream_across_batches(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4}
 
 
+def test_near_dedup_stream_short_docs_pass_through(spark, tmp_path):
+    # Docs with < SHINGLE_K words have an EMPTY shingle set, hence no LSH
+    # signal. Regression: their band signatures used to collapse onto one
+    # identical empty-string key, so every short doc after the first was
+    # silently dropped. They must now pass through as unique (batch
+    # parity: _lsh_verified_pairs filters size(sh) > 0, so short docs
+    # always survive the batch dedup too), while long near-dups still
+    # drop via band state.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        near_dedup_stream,
+        near_dedup_survivors,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "c")
+    long_a = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the plain in spain and stars shine bright above the quiet town"
+    )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts string")
+            .json(src)
+            .withColumn("ts_utc", F.to_timestamp("ts"))
+            .drop("ts")
+        )
+        deduped = near_dedup_stream(stream, event_time="ts_utc")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda b, bid: near_dedup_survivors(b)
+                .select("doc_id")
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    spark.createDataFrame(
+        [
+            (1, "hello world", "2024-01-01 00:00:00"),
+            (2, "hi", "2024-01-01 00:00:30"),
+            (3, long_a, "2024-01-01 00:01:00"),
+            (6, None, "2024-01-01 00:01:30"),
+        ],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    run_stream()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 6}
+
+    # later batch: two more short docs + one true near-dup of doc 3
+    near = long_a.replace("quiet town", "quiet dawn")
+    spark.createDataFrame(
+        [
+            (4, "ok bye", "2024-01-01 00:02:00"),
+            (5, near, "2024-01-01 00:03:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("append").json(src)
+    run_stream()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        1, 2, 3, 4, 6,
+    }
+
+
+def test_documents_ingest_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: a crash between the corpus write and
+    # the checkpoint commit replays the batch. The batch_id-keyed
+    # partition dir must make that replay rewrite-in-place — corpus rows
+    # must NOT duplicate. Simulated by deleting the last commit marker
+    # and restarting from the same checkpoint.
+    import os
+    import shutil
+
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    docs = [
+        (1, "structured streaming state stores keep band keys inside the "
+            "watermark window for near duplicate detection at ingest time",
+         "2024-01-01 00:00:00"),
+        (2, "a completely different document about optimistic concurrency "
+            "manifest commits and one generation retention grace windows",
+         "2024-01-01 00:01:00"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, ts string"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    _await(documents_ingest_stream(spark, src, out, ckpt))
+    first = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert [d for d, _ in first] == [1, 2]
+
+    # crash simulation: the sink ran but the commit marker was lost
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):  # local checksum-fs sibling
+        os.remove(crc)
+    _await(documents_ingest_stream(spark, src, out, ckpt))
+    replayed = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first, "replay duplicated corpus rows"
+
+
+def test_session_revenue_stream_matches_batch(spark, tmp_path):
+    # Batch/stream parity for per-session revenue attribution: the same
+    # planted event sequence through (a) the batch events_session_revenue
+    # plan and (b) the stateful sessionize_stream fold must yield the
+    # same (user, start, end, n_events, revenue) sessions. Far-future
+    # sentinel events close each user's final real session in the stream;
+    # the sentinel's own (still-open) session is excluded from expected.
+    from ai_powered_e_commerce_analytics_spark.plans.relational import (
+        events_session_revenue,
+    )
+
+    sentinel_us = 10_000_000_000_000
+    rows = [
+        # user 7, session 1: 3 events, revenue 12.34 + 5.00
+        (1, 7, "view", None, 0),
+        (2, 7, "purchase", 12.34, 60_000_000),
+        (3, 7, "purchase", 5.0, 120_000_000),
+        # gap 2000 s > 1800 s: session 2: 2 events, revenue 2.50
+        (4, 7, "view", None, 2_120_000_000),
+        (5, 7, "purchase", 2.5, 2_180_000_000),
+        (6, 7, "view", None, sentinel_us),
+        # user 8: single-event purchase session
+        (7, 8, "purchase", 9.99, 0),
+        (8, 8, "view", None, sentinel_us),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+
+    sf = str(tmp_path / "sfE")
+    df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_micros("ts_us").alias("ts"),
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.revenue)
+        for r in events_session_revenue(spark, sf).collect()
+        if r.start_us != sentinel_us  # stream's still-open sentinel session
+    }
+
+    src = str(tmp_path / "sev")
+    df.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, ts_us long"
+    ).json(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rev_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.revenue)
+        for r in spark.table("rev_sessions").collect()
+    }
+    assert got == batch
+    assert (7, 0, 120_000_000, 3, 17.34) in got
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     # applyInPandasWithState: sessions close when a later event arrives
     # beyond the gap (same 30-min rule as the batch query).
