@@ -28,11 +28,15 @@ ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # Representative of every engine path: scan+agg (q1), shuffle join (q3/q5),
 # KPI fold (user/shop/date), window (sessions, top3), temporal joins
-# (as-of union+window, bucketed range join), funnel (chained user-keyed
-# aggs), text map+LSH join (minhash), simhash dedup (16-bit demo + 60-bit
-# banded), iterative connected components, hash dedup, ANN (knn brute
-# force / map-side partial top-k / LSH bucket join / IVF), multimodal
-# mapInPandas.
+# (as-of union+window, bucketed range join), funnel + session-revenue
+# (chained user-keyed aggs), basket pair expansion (copurchase), cohort
+# self-join (retention), salted skew aggregation, text map+LSH join
+# (minhash), simhash dedup (16-bit demo + 60-bit banded), iterative
+# connected components, hash dedup at doc and chunk grain, containment /
+# edit-distance verification axes, ANN (knn brute force / map-side partial
+# top-k / LSH bucket join / IVF), multimodal mapInPandas, and the
+# bounded-shuffle per-source selections (top-k quota, token-budget
+# curriculum, sequence packing).
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -43,13 +47,20 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_user_sessions",
     "events_funnel",
+    "events_session_revenue",
     "asof_last_click_before_purchase",
     "range_join_clicks_before_purchase",
     "top3_orders_per_customer",
+    "copurchase_pairs",
+    "retention_cohorts",
+    "salted_distinct_quantities",
     "text_quality",
     "tfidf_top_terms",
     "dedup_exact",
+    "chunk_dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_edit_distance_verify",
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_components",
@@ -61,6 +72,9 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "doc_chunk_tokens",
     "source_mix_rebalance",
+    "per_source_topk_sample",
+    "token_budget_curriculum",
+    "pack_sequences_greedy",
 ]
 
 
