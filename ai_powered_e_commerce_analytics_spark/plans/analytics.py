@@ -244,19 +244,25 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n, Σx, Σx², Σy, Σy², Σxy in exact integer units (price in cents,
     # quantity in units) — one map-side-combinable pass. Variance and
     # correlation come from the closed form evaluated in double on
-    # those exact longs; the SQL mirror is the IDENTICAL expression, so
+    # those exact sums; the SQL mirror is the IDENTICAL expression, so
     # both engines run the same IEEE ops in the same order (built-in
     # stddev/corr would differ in accumulation order between engines).
+    # The squared-term sums accumulate as DECIMAL(38,0): each product
+    # fits a long, but Σx² is ~1e14 per row — a long accumulator wraps
+    # past ~100k rows (sf0.1+) while DuckDB auto-promotes sums to
+    # HUGEINT. Decimal keeps Spark exact to match; the closed form then
+    # casts the identical exact integer to double in both engines.
     li = t(spark, sf_dir, "lineitem")
     x = cents("l_extendedprice")
     y = F.round("l_quantity").cast("long")
+    big = "decimal(38,0)"
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(x.cast(big)).alias("sx"),
+        F.sum((x * x).cast(big)).alias("sxx"),
+        F.sum(y.cast(big)).alias("sy"),
+        F.sum((y * y).cast(big)).alias("syy"),
+        F.sum((x * y).cast(big)).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -302,6 +308,77 @@ FROM s
 """
 
 
+# 1.5σ: the synthetic totalprice distribution is a bounded sum of
+# uniforms (max |z| ≈ 1.8 at sf0.01), so a 2σ gate would select nothing.
+Z_THRESHOLD = 1.5
+
+
+def order_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flagging: orders whose total price is more than
+    ``Z_THRESHOLD`` standard deviations from their priority group's mean
+    — the grouped z-score outlier report a monitoring pipeline runs over
+    any numeric fact column.
+
+    Plan: one map-side-combinable stats pass per group (n, Σx, Σx² in
+    exact integer cents; Σx² accumulates as DECIMAL(38,0) — the long
+    accumulator would wrap at scale while DuckDB auto-promotes), then
+    the group-cardinality stats table broadcasts back onto the fact scan
+    — the facts are never shuffled. Mean/std/z evaluate the identical
+    IEEE double chain in both engines on identical exact integers (+,-,
+    ×,÷,√ are all correctly-rounded ops), so the z-score is bit-stable
+    cross-engine and the hash gate proves the values.
+    """
+    orders = t(spark, sf_dir, "orders")
+    x = cents("o_totalprice")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    stats = per.select(
+        "o_orderpriority",
+        (sx / n).alias("mean_c"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1.0)).alias("std_c"),
+    )
+    z = (x.cast("double") - F.col("mean_c")) / F.col("std_c")
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(z, 6).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > Z_THRESHOLD)
+    )
+
+
+ORDER_VALUE_OUTLIERS_SQL = f"""
+WITH s AS (
+    SELECT o_orderpriority,
+           count(*)::DOUBLE AS n,
+           sum({cents_sql('o_totalprice')})::DOUBLE AS sx,
+           sum({cents_sql('o_totalprice')} * {cents_sql('o_totalprice')})::DOUBLE
+               AS sxx
+    FROM orders GROUP BY 1
+),
+st AS (
+    SELECT o_orderpriority, sx / n AS mean_c,
+           sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_c
+    FROM s
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       round(({cents_sql('o_totalprice')}::DOUBLE - st.mean_c) / st.std_c, 6)
+           AS zscore
+FROM orders o JOIN st USING (o_orderpriority)
+WHERE abs(round(({cents_sql('o_totalprice')}::DOUBLE - st.mean_c) / st.std_c, 6))
+      > {Z_THRESHOLD}
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -321,4 +398,6 @@ ANALYTICS_SPECS = [
               CUSTOMERS_BOTH_YEARS_SQL, ("set-intersect",)),
     QuerySpec("customers_1996_only", customers_1996_only,
               CUSTOMERS_1996_ONLY_SQL, ("set-except",)),
+    QuerySpec("order_value_outliers_zscore", order_value_outliers_zscore,
+              ORDER_VALUE_OUTLIERS_SQL, ("grouped-zscore-outliers",)),
 ]

@@ -456,6 +456,69 @@ FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
 """
 
 
+SNIPPET_TOKENS = 2
+
+
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second decontamination axis: EXACT-substring hits of benchmark
+    snippets inside corpus documents (the n-gram overlap check above is
+    fuzzy/aggregate; eval-suite leakage screens also grep for verbatim
+    prompt prefixes). Emits each contaminated doc with its hit count and
+    one sample snippet.
+
+    The benchmark side contributes one ``SNIPPET_TOKENS``-token prefix
+    per eval doc — an eval-suite-sized set (KBs), broadcast. The corpus
+    side is a single scan probed by a broadcast nested-loop ``contains``
+    join: O(corpus × |snippets|) per-row substring checks, bounded by
+    the eval-set size, never a corpus shuffle. (At very large snippet
+    counts the production swap is a single Aho-Corasick automaton per
+    task via mapInPandas — same broadcast shape, one text pass for all
+    snippets.)
+    """
+    docs = t(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
+    toks = tokens("text")
+    snippets = (
+        docs.where(is_bench)
+        .select(
+            F.array_join(F.slice(toks, 1, SNIPPET_TOKENS), " ").alias(
+                "snippet"
+            ),
+            F.size(toks).alias("nt"),
+        )
+        .where(F.col("nt") >= SNIPPET_TOKENS)
+        .select("snippet")
+        .distinct()
+    )
+    corpus = docs.where(~is_bench).select("doc_id", "text")
+    return (
+        corpus.join(
+            F.broadcast(snippets), F.col("text").contains(F.col("snippet"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_snippets_hit"),
+            F.min("snippet").alias("sample_snippet"),
+        )
+    )
+
+
+DECONTAMINATE_SUBSTRING_SQL = f"""
+WITH b AS (
+    SELECT DISTINCT array_to_string(list_slice(toks, 1, {SNIPPET_TOKENS}), ' ')
+               AS snippet
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE doc_id % {BENCH_MOD} = 0)
+    WHERE len(toks) >= {SNIPPET_TOKENS}
+),
+c AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS n_snippets_hit,
+       min(b.snippet) AS sample_snippet
+FROM c JOIN b ON contains(c.text, b.snippet)
+GROUP BY c.doc_id
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -486,5 +549,11 @@ PRETRAIN_SPECS = [
         source_mix_rebalance,
         SOURCE_MIX_SQL,
         ("mix-rebalance",),
+    ),
+    QuerySpec(
+        "decontaminate_exact_substring",
+        decontaminate_exact_substring,
+        DECONTAMINATE_SUBSTRING_SQL,
+        ("decontamination-substring",),
     ),
 ]

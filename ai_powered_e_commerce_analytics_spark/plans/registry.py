@@ -13,6 +13,7 @@ from .pretrain import PRETRAIN_SPECS
 from .relational import RELATIONAL_SPECS
 from .relational_tpch import RELATIONAL_TPCH_SPECS
 from .relational_tpch2 import RELATIONAL_TPCH2_SPECS
+from .retrieval import RETRIEVAL_SPECS
 from .sampling import SAMPLING_SPECS
 from .simsearch import SIMSEARCH_SPECS
 from .spec import QuerySpec
@@ -31,6 +32,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + TEMPORAL_SPECS
     + RELATIONAL_TPCH_SPECS
     + RELATIONAL_TPCH2_SPECS
+    + RETRIEVAL_SPECS
 )
 
 # Driver-verification history, one set per round, used to rotate the
@@ -153,7 +155,13 @@ _R4_DRIVER_VERIFIED = {
 # window must re-certify the 50 queries whose evidence is now 2 rounds
 # old (keeping every row ≤2 rounds stale); the additions enter the
 # window next round, ahead of the then-stale r4 group.
-_R5_ADDED: set[str] = set()
+_R5_ADDED: set[str] = {
+    "bm25_rank_topk",
+    "neardup_threshold_sweep",
+    "dedup_cluster_size_histogram",
+    "order_value_outliers_zscore",
+    "decontaminate_exact_substring",
+}
 
 
 # Order matters: the external driver verifies the FIRST 50 entries against

@@ -1,0 +1,203 @@
+"""Full-text relevance ranking over ``documents`` (retrieval family).
+
+The retrieval step a RAG / search pipeline runs against a curated
+corpus: score every document for a query with BM25 and return the top-K.
+Complements the embedding-side ANN family (plans/simsearch.py) with the
+lexical axis — production retrieval stacks run BOTH and fuse.
+
+Reference parity note: the reference has no retrieval surface; this is a
+north-star family addition (SURVEY.md) on the shared ``documents``
+table, built from the same tokenizer contract as plans/textops.py.
+
+Determinism contract (cross-engine hash gate): tf / df / dl / N are
+exact integers; the score expression is written with the IDENTICAL
+operation order in Spark and DuckDB so both run the same IEEE double
+chain, and the emitted score is rounded to 6 dp with doc_id tiebreak —
+same policy as the cosine scores in plans/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from .spec import QuerySpec, t
+from .textops import _TOKS_SQL
+
+# Fixed query: mid/high-frequency corpus terms — differentiation comes
+# from tf saturation and length normalization, which is exactly what the
+# oracle must agree on.
+BM25_QUERY_TERMS = ["vector", "stream", "merge", "filter"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+
+
+def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K documents for the fixed query ``BM25_QUERY_TERMS``.
+
+    ``score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                  · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))``
+
+    Plan shape (the 100 TB path):
+
+    - **per-row map**: ``tf_t`` per query term via ``size(filter(toks))``
+      (no explode — the query is fixed and small), plus ``dl``. One
+      tokenization per doc.
+    - **corpus stats**: N, avgdl, and every ``df_t`` come from ONE
+      1-row aggregate (sums of narrow per-row flags with map-side
+      combine), broadcast back onto the corpus as a literal-free
+      cross join — the corpus itself is never shuffled.
+    - **top-K**: ``orderBy(...).limit(K)`` compiles to
+      ``TakeOrderedAndProject`` — Spark's built-in map-side partial
+      top-K + single bounded merge; no window, no corpus sort. (Same
+      contraction shape as ``per_source_topk_sample``, provided by the
+      engine because the K is global.)
+
+    Docs matching no query term are excluded (score 0 carries no
+    ranking information and would make the K-boundary a tie pile).
+    """
+    def _tf(term: str):
+        # one-arg lambda: a two-arg HOF lambda would bind (element, index)
+        return F.size(
+            F.filter(F.col("toks"), lambda x: x == F.lit(term))
+        ).cast("long")
+
+    docs = t(spark, sf_dir, "documents")
+    # The repartition is an exchange barrier: ``toked`` feeds BOTH the
+    # 1-row stats aggregate and the scoring probe; without it each
+    # consumer replans scan+tokenize (two reads of the wide text
+    # column). With it, ReuseExchange serves both from one tokenization
+    # and the exchange carries only narrow integer rows. For the reuse
+    # to fire the two subtrees must stay structurally IDENTICAL, so the
+    # barrier frame carries exactly (doc_id, dl, tf_*) and the stats agg
+    # counts doc_id (not *) — column pruning then cannot specialize
+    # either side (same rationale as source_mix_rebalance's barrier).
+    # The payload column ``source`` is recovered AFTER the top-K
+    # contraction by a K-row broadcast join — payload never rides the
+    # corpus pass.
+    # The explicit isnotnull(doc_id) mirrors what the final inner join
+    # infers on its probe side only; applying it BEFORE the barrier
+    # keeps both consumer subtrees canonically identical so the runtime
+    # reuses one shuffle stage instead of tokenizing twice.
+    toked = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            tokens("text").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            *[
+                _tf(term).alias(f"tf_{i}")
+                for i, term in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
+        .repartition("doc_id")
+    )
+    stats = toked.agg(
+        F.count("doc_id").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("doc_id")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = toked.crossJoin(F.broadcast(stats))
+    # One addend per term, written in the same op order as the SQL twin.
+    addends = [
+        F.log(
+            1.0
+            + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        * (F.col(f"tf_{i}").cast("double") * (BM25_K1 + 1.0))
+        / (
+            F.col(f"tf_{i}").cast("double")
+            + BM25_K1
+            * (
+                1.0
+                - BM25_B
+                + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    score = addends[0]
+    for a in addends[1:]:
+        score = score + a
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("long")
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    # No matched>0 pre-filter: Catalyst would push it below the barrier
+    # into the probe branch only (re-running the tf HOFs on raw text and
+    # breaking the exchange reuse). Zero-score docs sort last under the
+    # total order and only surface if fewer than K docs match at all.
+    topk = (
+        scored.select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    return docs.select("doc_id", "source").join(
+        F.broadcast(topk), "doc_id"
+    ).select("doc_id", "source", "n_terms_matched", "score")
+
+
+def _tf_sql(i: int) -> str:
+    return f"len(list_filter(toks, x -> x = '{BM25_QUERY_TERMS[i]}'))::BIGINT"
+
+
+_BM25_ADDEND_SQL = " + ".join(
+    f"(ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0})"
+    f" / (tf_{i}::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+    f" * dl::DOUBLE / avgdl)))"
+    for i in range(len(BM25_QUERY_TERMS))
+)
+
+_BM25_MATCHED_SQL = " + ".join(
+    f"(tf_{i} > 0)::BIGINT" for i in range(len(BM25_QUERY_TERMS))
+)
+
+BM25_RANK_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, len(toks)::BIGINT AS dl,
+           {", ".join(f"{_tf_sql(i)} AS tf_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE doc_id IS NOT NULL)
+),
+stats AS (
+    SELECT count(doc_id)::DOUBLE AS n,
+           sum(dl)::DOUBLE / count(doc_id) AS avgdl,
+           {", ".join(f"sum((tf_{i} > 0)::INT)::DOUBLE AS df_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM toked
+),
+topk AS (
+    SELECT doc_id,
+           ({_BM25_MATCHED_SQL}) AS n_terms_matched,
+           round({_BM25_ADDEND_SQL}, 6) AS score
+    FROM toked CROSS JOIN stats
+    ORDER BY round({_BM25_ADDEND_SQL}, 6) DESC, doc_id
+    LIMIT {BM25_TOP_K}
+)
+SELECT d.doc_id, d.source, k.n_terms_matched, k.score
+FROM documents d JOIN topk k ON d.doc_id = k.doc_id
+"""
+
+
+RETRIEVAL_SPECS = [
+    QuerySpec(
+        "bm25_rank_topk",
+        bm25_rank_topk,
+        BM25_RANK_SQL,
+        ("retrieval-bm25",),
+    ),
+]

@@ -470,6 +470,57 @@ FROM ({_LSH_VERIFIED_SQL})
 """
 
 
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tuning telemetry: for each Jaccard threshold 0.1..0.9, how
+    many verified candidate pairs would count as near-duplicates — the
+    one-pass sweep an operator reads before picking JACCARD_THRESHOLD
+    for a corpus (too low → over-merging, too high → missed dups).
+
+    Plan: the shared verified-pair list (O(dups) rows) cross-joins a
+    broadcast 9-row threshold frame and folds to 9 counters — the
+    corpus-side work is entirely the already-shared LSH chain; the sweep
+    itself costs O(pairs × 9) comparisons and one tiny aggregation.
+    """
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("threshold"))
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("jaccard") >= F.col("threshold")).cast("int"))
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+NEARDUP_THRESHOLD_SWEEP_SQL = f"""
+SELECT t.threshold, sum((v.jaccard >= t.threshold)::INT)::BIGINT AS n_pairs
+FROM ({_LSH_VERIFIED_SQL}) v
+CROSS JOIN (SELECT unnest(range(1, 10)) / 10.0 AS threshold) t
+GROUP BY t.threshold
+"""
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the transitive dedup components:
+    (cluster_size, n_clusters) — the shape report a curation pipeline
+    checks after clustering (a fat head of giant clusters means the
+    threshold over-merges; web-scale dedup reports this histogram as a
+    standard health metric).
+
+    Plan: two narrow groupBys on top of the shared
+    :func:`dedup_components` labels — O(docs) then O(clusters) rows.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+
+
 def _simhash_docs(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): Charikar bit-vote signatures, one md5 per token.
 
@@ -1382,6 +1433,15 @@ JOIN sigs mb ON mb.doc_id = p.doc_b
 """
 
 
+DEDUP_CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL}),
+sizes AS (
+    SELECT component, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1
+"""
+
+
 TEXTOPS_SPECS = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
@@ -1432,5 +1492,17 @@ TEXTOPS_SPECS = [
         minhash_estimate_error,
         MINHASH_ESTIMATE_ERROR_SQL,
         ("minhash-estimator-quality",),
+    ),
+    QuerySpec(
+        "neardup_threshold_sweep",
+        neardup_threshold_sweep,
+        NEARDUP_THRESHOLD_SWEEP_SQL,
+        ("dedup-threshold-sweep",),
+    ),
+    QuerySpec(
+        "dedup_cluster_size_histogram",
+        dedup_cluster_size_histogram,
+        DEDUP_CLUSTER_SIZE_HISTOGRAM_SQL,
+        ("dedup-cluster-histogram",),
     ),
 ]

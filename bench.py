@@ -75,6 +75,8 @@ HEADLINE = [
     "per_source_topk_sample",
     "token_budget_curriculum",
     "pack_sequences_greedy",
+    "bm25_rank_topk",
+    "order_value_outliers_zscore",
 ]
 
 
