@@ -527,10 +527,12 @@ def _funnel_fn(
     LATER batch is lost (the view cannot retroactively claim it). Exact
     agreement with the batch twin therefore requires cross-batch
     in-event-time-order arrival per user (true for the FIFO file source
-    fed by time-ordered drops). For heavily out-of-order streams, buffer
-    by watermark upstream before folding, or re-run the batch
-    ``events_funnel`` at compaction time — same greedy-vs-closure
-    tradeoff as :func:`near_dedup_stream` vs ``dedup_survivors_cc``."""
+    fed by time-ordered drops). For out-of-order streams use
+    :func:`funnel_stream_watermarked` (buffers by watermark before
+    folding, at the cost of O(lateness-window) state per user), or
+    re-run the batch ``events_funnel`` at compaction time — same
+    greedy-vs-closure tradeoff as :func:`near_dedup_stream` vs
+    ``dedup_survivors_cc``."""
     (user_id,) = key
     if state.hasTimedOut:  # pragma: no cover - no timeout configured
         state.remove()
@@ -571,6 +573,109 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             stateStructType=_FUNNEL_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_FUNNEL_WM_STATE = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_et", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _funnel_wm_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered funnel fold: the out-of-order-safe form of
+    :func:`_funnel_fn`.
+
+    Incoming events are BUFFERED in state; only events whose event time
+    has been passed by the watermark are folded (in event-time order).
+    The watermark guarantees no still-earlier event can arrive later, so
+    the greedy fold is deterministic under ANY cross-batch arrival order
+    within the allowed lateness — the in-order arrival assumption
+    documented on :func:`_funnel_fn` is discharged rather than assumed.
+    State is O(events inside the watermark horizon) per user, bounded by
+    the lateness window — the standard buffer-vs-exactness trade.
+    """
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        t1, t2, t3, buf_ts, buf_et = state.get
+        pending = list(zip(buf_ts or [], buf_et or []))
+    else:
+        t1 = t2 = t3 = None
+        pending = []
+    # A timed-out invocation (buffered events whose fold-time arrived
+    # with no new data for this key) has empty `pdfs`; both paths share
+    # the same fold below.
+    for pdf in pdfs:
+        pending.extend(
+            (int(ts), str(et))
+            for ts, et in zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist())
+        )
+    pending.sort()
+    ready = [(ts, et) for ts, et in pending if ts <= wm_us]
+    keep = [(ts, et) for ts, et in pending if ts > wm_us]
+    changed = False
+    for ts, et in ready:
+        if et == "view" and t1 is None:
+            t1, changed = ts, True
+        elif et == "click" and t1 is not None and ts > t1 and t2 is None:
+            t2, changed = ts, True
+        elif et == "purchase" and t2 is not None and ts > t2 and t3 is None:
+            t3, changed = ts, True
+    state.update(
+        (t1, t2, t3, [ts for ts, _ in keep], [et for _, et in keep])
+    )
+    if keep:
+        # Re-arm on EVERY invocation (timeouts clear per call): revisit
+        # this key once the watermark passes its earliest buffered event,
+        # even if no further data arrives for it.
+        state.setTimeoutTimestamp(keep[0][0] // 1000)
+    if changed:
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1
+        yield pd.DataFrame(
+            [{"user_id": user_id, "t1": t1, "t2": t2, "t3": t3, "stage": stage}]
+        )
+
+
+def funnel_stream_watermarked(
+    events: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Out-of-order-safe streaming funnel: events buffer in state and
+    fold only once the event-time watermark passes them, so a click
+    arriving a batch BEFORE its user's earlier view still folds in the
+    correct event-time order (within the lateness window). Input must
+    carry ``user_id``, ``event_type``, and an event-time ``ts_utc``;
+    ``ts_us`` is derived for the integer-µs fold shared with the batch
+    ``events_funnel``. See :func:`funnel_stream` for the cheaper
+    in-order-arrival form (no buffer, zero lateness tolerance)."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        # ts_utc must flow INTO the stateful operator — projecting it
+        # away detaches the watermark and getCurrentWatermarkMs raises.
+        .select(
+            "user_id",
+            "event_type",
+            "ts_utc",
+            F.unix_micros("ts_utc").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_wm_fn,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_WM_STATE,
+            outputMode="append",
+            # event-time timeout: a key with only buffered events is
+            # re-invoked when the watermark passes them, without needing
+            # new data for that key in the batch.
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -546,6 +546,85 @@ def test_funnel_stream_stages_across_batches(spark, tmp_path):
     assert (7, 3) in rows and (9, 1) in rows
 
 
+def test_funnel_stream_watermarked_out_of_order(spark, tmp_path):
+    # The watermark-buffered funnel must fold in EVENT-TIME order even
+    # when arrival order is scrambled across micro-batches: user 7's
+    # click+purchase arrive in batch 1, the earlier view only in batch 2.
+    # The plain greedy funnel would lose the click+purchase forever
+    # (state never rewinds); the buffered form folds all three correctly
+    # once the watermark passes them.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        funnel_stream_watermarked,
+    )
+
+    src = str(tmp_path / "wmev")
+    out = str(tmp_path / "wmprog")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, ts string"
+            )
+            .json(src)
+            .withColumn("ts_utc", F.to_timestamp("ts"))
+        )
+        q = (
+            funnel_stream_watermarked(stream, watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    import glob as _glob
+
+    def folded():
+        if not _glob.glob(f"{out}/*/*.parquet") and not _glob.glob(
+            f"{out}/*.parquet"
+        ):
+            return {}
+        return {r.user_id: r.stage for r in spark.read.parquet(out).collect()}
+
+    # batch 1: click+purchase arrive FIRST (view not yet); watermark is
+    # still 0 during this batch, so everything buffers, nothing folds.
+    batch1 = [
+        (7, "click", "2024-01-01 00:03:20"),
+        (7, "purchase", "2024-01-01 00:05:00"),
+        (99, "view", "2024-01-01 00:10:00"),
+    ]
+    spark.createDataFrame(
+        batch1, "user_id long, event_type string, ts string"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    run_stream()
+    assert 7 not in folded()
+
+    # batch 2: the EARLIER view arrives out of order — admissible, since
+    # the watermark is only 00:00:00 (batch-1 max 00:10 − 10 min), and
+    # 00:01:40 is not late. Still nothing folds (all events > watermark).
+    batch2 = [(7, "view", "2024-01-01 00:01:40")]
+    spark.createDataFrame(
+        batch2, "user_id long, event_type string, ts string"
+    ).coalesce(1).write.mode("append").json(src)
+    run_stream()
+    assert 7 not in folded()
+
+    # batch 3: an advancer event pushes the watermark past user 7's
+    # events (02:10 − 10 min = 02:00) — the buffer folds in EVENT-TIME
+    # order: view(00:01:40) → click(00:03:20) → purchase(00:05:00).
+    batch3 = [(99, "view", "2024-01-01 02:10:00")]
+    spark.createDataFrame(
+        batch3, "user_id long, event_type string, ts string"
+    ).coalesce(1).write.mode("append").json(src)
+    run_stream()
+    rows = {
+        (r.user_id, r.stage) for r in spark.read.parquet(out).collect()
+    }
+    assert (7, 3) in rows, rows
+
+
 def test_interval_join_stream(spark, tmp_path):
     # Streaming twin of the batch bucketed range join: purchases pick up
     # same-user clicks from the trailing hour; zero-click purchases
