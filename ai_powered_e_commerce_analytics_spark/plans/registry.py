@@ -161,6 +161,7 @@ _R5_ADDED: set[str] = {
     "dedup_cluster_size_histogram",
     "order_value_outliers_zscore",
     "decontaminate_exact_substring",
+    "events_transition_matrix",
 }
 
 

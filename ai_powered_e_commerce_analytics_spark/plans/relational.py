@@ -973,6 +973,45 @@ GROUP BY p_brand
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: counts of consecutive
+    (prev_event → next_event) pairs within each user's event-time
+    stream — the Markov-chain input behind path analysis and funnel
+    discovery (which transitions actually happen, vs the funnel's
+    assumed view→click→purchase ordering).
+
+    Plan: ONE shuffle on ``user_id`` (high-cardinality key — no
+    low-cardinality window hazard) for the lag, then a tiny
+    (|event_types|²)-group aggregation with map-side combine. Ordering
+    is the same total (ts_us, event_id) key as the sessionization
+    family, so the matrix is deterministic cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    raw = t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", "event_type", event_ts_us(raw).alias("ts_us")
+    ).withColumn("prev_event", F.lag("event_type").over(w))
+    return (
+        ev.where(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("next_event"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH g AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+               AS prev_event
+    FROM events
+)
+SELECT prev_event, event_type AS next_event, count(*)::BIGINT AS n_transitions
+FROM g WHERE prev_event IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_SPECS = [
     QuerySpec("user_kpis", user_kpis, USER_KPIS_SQL, ("A2", "A4", "C1", "C2", "A5")),
     QuerySpec("shop_kpis", shop_kpis, SHOP_KPIS_SQL, ("A1", "A4", "C1", "C2")),
@@ -1024,6 +1063,12 @@ RELATIONAL_SPECS = [
         events_session_revenue,
         EVENTS_SESSION_REVENUE_SQL,
         ("session-revenue",),
+    ),
+    QuerySpec(
+        "events_transition_matrix",
+        events_transition_matrix,
+        EVENTS_TRANSITION_MATRIX_SQL,
+        ("path-analysis",),
     ),
     QuerySpec(
         "salted_distinct_quantities",

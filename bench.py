@@ -77,6 +77,7 @@ HEADLINE = [
     "pack_sequences_greedy",
     "bm25_rank_topk",
     "order_value_outliers_zscore",
+    "events_transition_matrix",
 ]
 
 
