@@ -316,7 +316,6 @@ def test_documents_ingest_replay_idempotent(spark, tmp_path):
     # must NOT duplicate. Simulated by deleting the last commit marker
     # and restarting from the same checkpoint.
     import os
-    import shutil
 
     from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
         documents_ingest_stream,
