@@ -162,6 +162,7 @@ _R5_ADDED: set[str] = {
     "order_value_outliers_zscore",
     "decontaminate_exact_substring",
     "events_transition_matrix",
+    "events_hourly_gapfill",
 }
 
 

@@ -973,6 +973,84 @@ GROUP BY p_brand
 """
 
 
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series resampling: the hourly rollup joined onto a
+    COMPLETE hour × event-type spine, zero-filling hours with no events
+    — the gap-filling step every downstream forecaster/alerting system
+    needs (a missing hour must read as 0, not as an absent row), and an
+    operator Spark has no native verb for.
+
+    Plan: the spine derives from a 1-row (min, max) hour-index
+    aggregate exploded through ``sequence`` and cross-joined with the
+    distinct event types — ALL dimension-sized frames (hours × types),
+    joined LEFT against the already-aggregated rollup, which is itself
+    O(hours × types). The corpus-scale work is exactly the rollup's one
+    exchange; the gap-fill adds only tiny-frame joins. Hour strings are
+    rebuilt from the integer hour index with pure date arithmetic
+    (date_add from epoch + lpad), timezone-independent in both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    us = ev.select(event_ts_us(ev).alias("us"))
+    bounds = us.agg(
+        F.expr("min(us DIV 3600000000)").alias("min_h"),
+        F.expr("max(us DIV 3600000000)").alias("max_h"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("min_h", "max_h")).alias("h")
+    )
+    types = (
+        ev.where(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+    )
+    hour_str = F.concat(
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.expr("CAST(h DIV 24 AS INT)"),
+            ),
+            "yyyy-MM-dd",
+        ),
+        F.lit(" "),
+        F.lpad(F.pmod(F.col("h"), F.lit(24)).cast("string"), 2, "0"),
+        F.lit(":00:00"),
+    )
+    grid = spine.crossJoin(types).select(
+        hour_str.alias("hour"), "event_type"
+    )
+    roll = events_hourly_rollup(spark, sf_dir).select(
+        "hour", "event_type", "n_events", "sum_value"
+    )
+    return grid.join(roll, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+EVENTS_HOURLY_GAPFILL_SQL = f"""
+WITH r AS ({EVENTS_HOURLY_ROLLUP_SQL}),
+b AS (
+    SELECT min(epoch_us(ts) // 3600000000) AS min_h,
+           max(epoch_us(ts) // 3600000000) AS max_h
+    FROM events
+),
+spine AS (SELECT unnest(range(min_h, max_h + 1)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+grid AS (
+    SELECT strftime(DATE '1970-01-01' + (h // 24)::INT, '%Y-%m-%d')
+               || ' ' || lpad((h % 24)::VARCHAR, 2, '0') || ':00:00' AS hour,
+           t.event_type
+    FROM spine s CROSS JOIN types t
+)
+SELECT g.hour, g.event_type,
+       coalesce(r.n_events, 0)::BIGINT AS n_events,
+       coalesce(r.sum_value, 0.0)::DOUBLE AS sum_value
+FROM grid g LEFT JOIN r ON r.hour = g.hour AND r.event_type = g.event_type
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix: counts of consecutive
     (prev_event → next_event) pairs within each user's event-time
@@ -1069,6 +1147,12 @@ RELATIONAL_SPECS = [
         events_transition_matrix,
         EVENTS_TRANSITION_MATRIX_SQL,
         ("path-analysis",),
+    ),
+    QuerySpec(
+        "events_hourly_gapfill",
+        events_hourly_gapfill,
+        EVENTS_HOURLY_GAPFILL_SQL,
+        ("timeseries-gapfill",),
     ),
     QuerySpec(
         "salted_distinct_quantities",

@@ -78,6 +78,7 @@ HEADLINE = [
     "bm25_rank_topk",
     "order_value_outliers_zscore",
     "events_transition_matrix",
+    "events_hourly_gapfill",
 ]
 
 

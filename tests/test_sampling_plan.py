@@ -113,6 +113,88 @@ def test_curriculum_matches_window_form(spark, sf_dir):
     )
 
 
+def test_curriculum_contraction_edge_cases(spark, tmp_path):
+    # The contraction must equal the window form on the awkward inputs:
+    # (a) quality-score TIES broken only by doc_id, (b) a doc straddling
+    # the budget boundary exactly, (c) single-doc sources, (d) a source
+    # whose total tokens are under budget (everything selected).
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ai_powered_e_commerce_analytics_spark.functions import tokens
+    from ai_powered_e_commerce_analytics_spark.plans import sampling
+    from ai_powered_e_commerce_analytics_spark.plans.spec import t as t_
+    from ai_powered_e_commerce_analytics_spark.plans.textops import STOPWORDS
+
+    rows = []
+    # (a) ties: 40 docs with IDENTICAL text (same quality, same tokens)
+    for i in range(40):
+        rows.append((100 + i, "alpha beta gamma delta epsilon " * 10, "ties"))
+    # (b) boundary: docs of exactly 100 tokens each; budget 500 → the
+    # 5th doc ENDS exactly at 500 and the 6th must be excluded
+    for i in range(8):
+        rows.append((200 + i, " ".join(f"w{j}" for j in range(100)), "edge"))
+    # (c) single-doc source
+    rows.append((300, "lonely document with some words here", "solo"))
+    # (d) tiny source fully under budget
+    for i in range(3):
+        rows.append((400 + i, "short text", "tiny"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = os.path.join(str(tmp_path), "sfZ")
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).repartition(7).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    got = sorted(
+        map(tuple, sampling.token_budget_curriculum(spark, sf).collect())
+    )
+
+    docs = t_(spark, sf, "documents")
+    toks = tokens("text")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)) * (
+        1 - stop_ratio
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(
+            tuple,
+            scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(
+                F.col("cum_tokens") - F.col("n_tokens")
+                < sampling.TOKEN_BUDGET
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # sanity on the planted semantics: the 'edge' source keeps exactly 5
+    # docs (5 × 100 tokens fills the 500 budget; doc 6 starts AT 500)
+    edge_rows = [r for r in got if r[1] == "edge"]
+    assert len(edge_rows) == 5
+    # the tiny source keeps everything
+    assert len([r for r in got if r[1] == "tiny"]) == 3
+
+
 def test_curriculum_contraction_under_skewed_partitioning(spark):
     # The superset property must hold under ANY physical partitioning:
     # plant a corpus where one source's best docs are scattered across
