@@ -298,14 +298,25 @@ def upsert_parquet(
         if old_paths:
             # Bucket dirs are read directly (no partition discovery);
             # recompute __bucket from the key — same deterministic hash.
-            old = spark.read.parquet(*old_paths).withColumn(
-                "__bucket",
-                F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
+            # mergeSchema + allowMissingColumns = schema EVOLUTION: an
+            # upsert may add columns (old rows read as null for them) or
+            # omit columns older tx files carry — rewritten buckets then
+            # converge on the union schema, Delta mergeSchema-style.
+            old = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*old_paths)
+                .withColumn(
+                    "__bucket",
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
+                )
             )
             # Last-writer-wins: updates rank before existing rows per key.
             merged = (
                 bucketed.withColumn("__rank", F.lit(0))
-                .unionByName(old.withColumn("__rank", F.lit(1)))
+                .unionByName(
+                    old.withColumn("__rank", F.lit(1)),
+                    allowMissingColumns=True,
+                )
                 .withColumn(
                     "__rn",
                     F.row_number().over(
@@ -344,19 +355,39 @@ def upsert_parquet(
     )
 
 
-def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read back an upsert table through its current manifest (the ONLY
-    path to the data — staging/uncommitted files are never visible)."""
-    from .hadoop import hadoop_fs
+def read_upsert_table(
+    spark: SparkSession, table_path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read back an upsert table through its committed manifest (the ONLY
+    path to the data — staging/uncommitted files are never visible).
+
+    ``version`` selects a specific committed manifest — Delta-style time
+    travel, bounded by the GC retention window (:func:`_gc_upsert_table`
+    keeps the current and one previous generation, so the previous
+    version is always readable; older versions raise once collected).
+    ``mergeSchema`` tolerates bucket files written before a column was
+    added (see the schema-evolution note on :func:`upsert_parquet`).
+    """
+    from .hadoop import fs_read_text, hadoop_fs, hadoop_path
 
     fs = hadoop_fs(spark, table_path)
-    _, manifest = _latest_manifest(spark, fs, table_path)
-    if manifest is None:
-        raise FileNotFoundError(
-            f"no committed manifest under {table_path} — not an upsert table"
-        )
+    if version is None:
+        _, manifest = _latest_manifest(spark, fs, table_path)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path} — not an upsert table"
+            )
+    else:
+        vpath = f"{table_path}/_MANIFEST-v{version:08d}.json"
+        if not fs.exists(hadoop_path(spark, vpath)):
+            raise FileNotFoundError(
+                f"version {version} of {table_path} is not available "
+                "(never committed, or garbage-collected past the "
+                "one-generation retention window)"
+            )
+        manifest = json.loads(fs_read_text(spark, vpath))
     paths = [f"{table_path}/{rel}" for rel in manifest["buckets"].values()]
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def upsert_kpi_tables(

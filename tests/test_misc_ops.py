@@ -332,3 +332,53 @@ def test_dedup_family_joins_carry_no_broadcast_hint(spark):
     b = F.broadcast(spark.range(10))
     hinted = a.join(b, "id")._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in hinted
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    # Engine-level complement to the manual salting queries
+    # (salted_skew_join_brand_revenue / salted_distinct_quantities): for
+    # sort-merge joins, AQE's skew-join splits an oversized partition at
+    # runtime. Thresholds are lowered so the planted hot key (one key
+    # carrying ~100x the others) trips the splitter at test scale; the
+    # final adaptive plan must mark the join skew=true and the result
+    # must be exact.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(1, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+        )
+        fact = hot.unionByName(cold)
+        dim = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        joined = fact.join(dim, "k")
+        # collect() executes joined's OWN queryExecution (count() builds
+        # a separate one whose adaptive plan we could not inspect)
+        n = len(joined.collect())
+        assert n == 200_000 + 1_999
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

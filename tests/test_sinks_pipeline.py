@@ -252,6 +252,56 @@ def test_upsert_contention_gives_up_bounded(spark, tmp_path):
     assert counter[0] == 2
 
 
+def test_upsert_time_travel_within_retention(spark, tmp_path):
+    # version= reads the previous committed generation (guaranteed by the
+    # one-generation GC retention); versions collected past retention
+    # raise rather than silently reading partial state.
+    path = str(tmp_path / "kpi8")
+    upsert_parquet(spark, spark.createDataFrame([(1, 1.0)], "id long, v double"), path, "id")
+    upsert_parquet(spark, spark.createDataFrame([(1, 2.0)], "id long, v double"), path, "id")
+    upsert_parquet(spark, spark.createDataFrame([(1, 3.0)], "id long, v double"), path, "id")
+    assert {r.v for r in read_upsert_table(spark, path).collect()} == {3.0}
+    assert {
+        r.v for r in read_upsert_table(spark, path, version=2).collect()
+    } == {2.0}
+    with pytest.raises(FileNotFoundError, match="garbage-collected|not available"):
+        read_upsert_table(spark, path, version=1)
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    # An upsert may ADD columns: pre-existing rows read back with null
+    # for the new column; keyed merge still last-writer-wins; and a
+    # later upsert missing the new column must not drop it for rows
+    # that carry it.
+    path = str(tmp_path / "kpi9")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        path,
+        "id",
+    )
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(2, 20.0, "x"), (3, 30.0, "y")], "id long, v double, tag string"
+        ),
+        path,
+        "id",
+    )
+    got = {
+        r.id: (r.v, r.tag) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {1: (1.0, None), 2: (20.0, "x"), 3: (30.0, "y")}
+    # narrower writer after the widening: its rows get null tag, others keep theirs
+    upsert_parquet(
+        spark, spark.createDataFrame([(1, 9.0)], "id long, v double"), path, "id"
+    )
+    got = {
+        r.id: (r.v, r.tag) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got[1] == (9.0, None) and got[3] == (30.0, "y")
+
+
 def test_silver_chunks_batch_id_replay_idempotent(spark, tmp_path):
     # Streaming replay of the same micro-batch must rewrite its own dir.
     silver_dir = str(tmp_path / "silver_replay")
