@@ -577,6 +577,76 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_TRANSITION_STATE = T.StructType(
+    [
+        T.StructField("last_event", T.StringType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+_TRANSITION_OUT = T.StructType(
+    [
+        T.StructField("prev_event", T.StringType()),
+        T.StructField("next_event", T.StringType()),
+        T.StructField("n_transitions", T.LongType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental event-bigram counting per user: each batch folds the
+    user's new events (event-time order) against the carried last event
+    and emits per-(prev, next) INCREMENTS — an additive delta stream the
+    consumer folds with a sum, so the running totals equal the batch
+    ``events_transition_matrix`` over everything seen. Same cross-batch
+    in-order-arrival contract as :func:`_funnel_fn` (state carries only
+    the last event; it cannot rewind) — buffer upstream via the
+    :func:`funnel_stream_watermarked` pattern for disordered streams."""
+    state.hasTimedOut  # NoTimeout configured; no timeout branch needed
+    rows = sorted(
+        (int(ts), str(et))
+        for pdf in pdfs
+        for ts, et in zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist())
+    )
+    if not rows:
+        return
+    last_et, last_ts = state.get if state.exists else (None, None)
+    counts: dict = {}
+    for ts, et in rows:
+        if last_et is not None:
+            pair = (last_et, et)
+            counts[pair] = counts.get(pair, 0) + 1
+        last_et, last_ts = et, ts
+    state.update((last_et, last_ts))
+    if counts:
+        yield pd.DataFrame(
+            [
+                {"prev_event": p, "next_event": n, "n_transitions": c}
+                for (p, n), c in counts.items()
+            ]
+        )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_transition_matrix``
+    (plans/relational.py): per-user last-event state folds each batch
+    into (prev, next) count increments; summing all emitted increments
+    reproduces the batch matrix. State is TWO fields per user —
+    O(users), never O(events)."""
+    return (
+        events.select("user_id", "event_type", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=_TRANSITION_OUT,
+            stateStructType=_TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _FUNNEL_WM_STATE = T.StructType(
     [
         T.StructField("t1", T.LongType()),

@@ -545,6 +545,83 @@ def test_funnel_stream_stages_across_batches(spark, tmp_path):
     assert (7, 3) in rows and (9, 1) in rows
 
 
+def test_transition_stream_matches_batch_matrix(spark, tmp_path):
+    # Summing the streaming increments over two in-order batches (one
+    # user's stream SPLIT across the batch boundary) must equal the
+    # batch events_transition_matrix over the full event set — including
+    # the boundary bigram (last event of batch 1 → first of batch 2).
+    from ai_powered_e_commerce_analytics_spark.plans.relational import (
+        events_transition_matrix,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        transition_stream,
+    )
+
+    rows = [
+        (1, 7, "view", 100),
+        (2, 7, "click", 200),
+        (3, 8, "view", 150),
+        # batch boundary for user 7 between event 2 and 4
+        (4, 7, "purchase", 300),
+        (5, 7, "view", 400),
+        (6, 8, "view", 250),
+    ]
+    batch1, batch2 = rows[:3], rows[3:]
+
+    src = str(tmp_path / "tev")
+    out = str(tmp_path / "tinc")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        ).json(src)
+        q = (
+            transition_stream(stream)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    run_stream()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run_stream()
+
+    got = {
+        (r.prev_event, r.next_event): r.total
+        for r in spark.read.parquet(out)
+        .groupBy("prev_event", "next_event")
+        .agg(F.sum("n_transitions").alias("total"))
+        .collect()
+    }
+
+    sf = str(tmp_path / "sfT")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(rows, schema).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    want = {
+        (r.prev_event, r.next_event): r.n_transitions
+        for r in events_transition_matrix(spark, sf).collect()
+    }
+    assert got == want
+    assert got[("click", "purchase")] == 1  # the boundary bigram
+
+
 def test_funnel_stream_watermarked_out_of_order(spark, tmp_path):
     # The watermark-buffered funnel must fold in EVENT-TIME order even
     # when arrival order is scrambled across micro-batches: user 7's
