@@ -379,6 +379,123 @@ WHERE abs(round(({cents_sql('o_totalprice')}::DOUBLE - st.mean_c) / st.std_c, 6)
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+# Shared CASE expressions (ANSI text evaluated by BOTH engines): quartile
+# scores 1-4 per axis — recency inverted (recent = good) — and the named
+# segment off the (r, f) grid.
+_RFM_SCORES = [
+    "CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3"
+    " WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score",
+    "CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2"
+    " WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score",
+    "CASE WHEN monetary_cents <= m25 THEN 1 WHEN monetary_cents <= m50 THEN 2"
+    " WHEN monetary_cents <= m75 THEN 3 ELSE 4 END AS m_score",
+]
+_RFM_SEGMENT = (
+    "CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'"
+    " WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'"
+    " WHEN r_score >= 3 THEN 'promising'"
+    " WHEN f_score >= 3 THEN 'at_risk'"
+    " ELSE 'hibernating' END AS segment"
+)
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary, scored
+    1-4 against the EXACT quartiles of the customer population, plus the
+    named (r, f)-grid segment — the canonical CRM rollup.
+
+    Plan (100 TB): ONE o_custkey shuffle for the per-customer fold, then
+    everything downstream is customer-grain or smaller: the reference
+    date and the 9 quartile thresholds are 1-row aggregates cross-joined
+    back as broadcasts (no global window anywhere — the naive form ranks
+    customers with ntile() OVER (), a single-partition sort). Exact
+    ``percentile`` over the customer grain is fine at KPI scale;
+    approx_percentile is the documented swap if even the customer
+    dimension outgrows a per-group sort. Money stays in integer cents
+    through every sum (spec.py float policy); quartile thresholds are
+    interpolated doubles, round(…,6) per policy, proven cross-engine by
+    order_value_percentiles.
+    """
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    )
+    ref = per_cust.agg(F.max("last_order").alias("__ref"))
+    rfm = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("__ref", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    pct = lambda col, p, out: F.round(  # noqa: E731
+        F.expr(f"percentile({col}, {p})"), 6
+    ).alias(out)
+    thresholds = rfm.agg(
+        pct("recency_days", 0.25, "r25"),
+        pct("recency_days", 0.50, "r50"),
+        pct("recency_days", 0.75, "r75"),
+        pct("frequency", 0.25, "f25"),
+        pct("frequency", 0.50, "f50"),
+        pct("frequency", 0.75, "f75"),
+        pct("monetary_cents", 0.25, "m25"),
+        pct("monetary_cents", 0.50, "m50"),
+        pct("monetary_cents", 0.75, "m75"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(thresholds))
+        .selectExpr(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            # CAST: Spark parses the bare literal 100.0 as DECIMAL(4,1),
+            # which would type the ratio DECIMAL, not DOUBLE like DuckDB.
+            "monetary_cents / CAST(100 AS DOUBLE) AS monetary",
+            *_RFM_SCORES,
+        )
+        .selectExpr("*", _RFM_SEGMENT)
+    )
+
+
+_RFM_PCT_SQL = ", ".join(
+    f"round(quantile_cont({col}, {p}), 6) AS {a}{int(p * 100)}"
+    for col, a in (
+        ("recency_days", "r"), ("frequency", "f"), ("monetary_cents", "m")
+    )
+    for p in (0.25, 0.50, 0.75)
+)
+
+RFM_CUSTOMER_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, max(o_orderdate) AS last_order,
+           count(*)::BIGINT AS frequency,
+           sum({cents_sql('o_totalprice')})::BIGINT AS monetary_cents
+    FROM orders GROUP BY 1
+),
+ref AS (SELECT max(last_order) AS ref_d FROM per_cust),
+rfm AS (
+    SELECT o_custkey,
+           date_diff('day', last_order::DATE, ref_d::DATE)::BIGINT
+               AS recency_days,
+           frequency, monetary_cents
+    FROM per_cust CROSS JOIN ref
+),
+th AS (SELECT {_RFM_PCT_SQL} FROM rfm),
+scored AS (
+    SELECT o_custkey, recency_days, frequency,
+           monetary_cents / 100.0 AS monetary,
+           {", ".join(_RFM_SCORES)}
+    FROM rfm CROSS JOIN th
+)
+SELECT s.*, {_RFM_SEGMENT} FROM scored s
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -400,4 +517,6 @@ ANALYTICS_SPECS = [
               CUSTOMERS_1996_ONLY_SQL, ("set-except",)),
     QuerySpec("order_value_outliers_zscore", order_value_outliers_zscore,
               ORDER_VALUE_OUTLIERS_SQL, ("grouped-zscore-outliers",)),
+    QuerySpec("rfm_customer_segments", rfm_customer_segments,
+              RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",)),
 ]

@@ -1,0 +1,177 @@
+"""Heuristic quality-filter battery over the ``documents`` table.
+
+The rule set a pretraining corpus actually ships through before
+tokenization (Gopher/C4-style): token-count bounds, mean-token-length
+bounds, type-token-ratio floor, top-token repetition ceiling, and a
+stopword-presence check. Every signal is a pure Column expression over
+the token array — JVM-side, whole-stage codegen, zero Python — and the
+rule verdicts are exact-integer-derived booleans/ratios, so the DuckDB
+oracle replays them bit-identically (spec.py float policy: exact-integer
+ratios emit raw).
+
+Scale design: both queries are one scan + per-row maps. The battery has
+NO shuffle at all; the funnel is one tree-reduced global aggregate over
+seven boolean columns (map-side combine → a single 1-row result). The
+token array is referenced by several HOFs, which re-evaluates the split
+per reference — deliberately: re-running a regex split per row is
+cheaper at 100 TB than materializing wide token arrays through an
+exchange barrier (the alternative documented in
+``pretrain.source_mix_rebalance``, where a barrier pays off only because
+the array would otherwise be recomputed across SHUFFLE stages, not
+within one projection).
+
+Thresholds are tuned on the synthetic corpus so every rule fires on a
+real subset (sf0.01: short 19, long 99, low-diversity 172, repetitive
+39, no-stopword 47, token-length 21 → 252/500 kept) — the battery is
+exercised, not vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from .spec import QuerySpec, t
+from .textops import STOPWORDS, _STOP_SQL, _TOKS_SQL
+
+MIN_TOKENS = 15          # r_too_short
+MAX_TOKENS = 80          # r_too_long
+MIN_TTR = 0.40           # r_low_diversity: distinct/total floor
+MAX_TOP_TOKEN_RATIO = 0.15   # r_repetitive: most-common-token ceiling
+MIN_AVG_TOKEN_LEN = 4.1  # r_token_len band (word-salad corpus sits ~4.5)
+MAX_AVG_TOKEN_LEN = 5.0
+
+
+def _doc_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc quality signals as exact-integer-derived columns."""
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    distinct_toks = F.array_distinct(toks)
+    top_freq = F.array_max(
+        F.transform(
+            distinct_toks,
+            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+        )
+    ).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.size(distinct_toks).cast("long").alias("n_distinct"),
+        top_freq.alias("top_token_freq"),
+        stop_hits.alias("stop_hits"),
+        sum_len.alias("sum_token_len"),
+    )
+
+
+# The rules exist ONCE, as ANSI expression strings: Spark evaluates them
+# via selectExpr, DuckDB via the oracle's SELECT — no drift possible.
+_RULE_EXPRS = [
+    f"(n_tokens < {MIN_TOKENS}) AS r_too_short",
+    f"(n_tokens > {MAX_TOKENS}) AS r_too_long",
+    f"(CAST(n_distinct AS DOUBLE) / n_tokens < {MIN_TTR})"
+    " AS r_low_diversity",
+    f"(CAST(top_token_freq AS DOUBLE) / n_tokens > {MAX_TOP_TOKEN_RATIO})"
+    " AS r_repetitive",
+    "(stop_hits = 0) AS r_no_stopword",
+    f"(CAST(sum_token_len AS DOUBLE) / n_tokens < {MIN_AVG_TOKEN_LEN}"
+    f" OR CAST(sum_token_len AS DOUBLE) / n_tokens > {MAX_AVG_TOKEN_LEN})"
+    " AS r_token_len",
+]
+
+_KEEP_EXPR = (
+    "NOT (r_too_short OR r_too_long OR r_low_diversity OR r_repetitive "
+    "OR r_no_stopword OR r_token_len) AS keep"
+)
+
+
+def quality_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rule verdicts + the keep decision.
+
+    Emits the raw signals alongside the booleans so downstream audits
+    (and the value-hash gate) bind to the evidence, not just the
+    verdicts.
+    """
+    m = _doc_metrics(t(spark, sf_dir, "documents"))
+    return m.selectExpr("*", *_RULE_EXPRS).selectExpr("*", _KEEP_EXPR)
+
+
+_METRICS_SQL = f"""
+SELECT doc_id, source,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       list_max(list_transform(list_distinct(toks),
+                d -> len(list_filter(toks, x -> x = d))))::BIGINT
+           AS top_token_freq,
+       len(list_filter(toks, x -> x IN {_STOP_SQL}))::BIGINT AS stop_hits,
+       list_sum(list_transform(toks, x -> length(x)))::BIGINT
+           AS sum_token_len
+FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+QUALITY_FILTER_BATTERY_SQL = f"""
+SELECT m.*, {_KEEP_EXPR}
+FROM (SELECT b.*, {", ".join(_RULE_EXPRS)} FROM ({_METRICS_SQL}) b) m
+"""
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level drop funnel: per-source doc counts, how many docs
+    each rule flagged, the kept count, and the kept token mass — the
+    monitoring rollup a filtering stage publishes every run.
+
+    One narrow agg over booleans; output is |sources| rows.
+    """
+    battery = quality_filter_battery(spark, sf_dir)
+    b = lambda c: F.sum(F.col(c).cast("long")).alias(f"n_{c}")  # noqa: E731
+    return battery.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        b("r_too_short"),
+        b("r_too_long"),
+        b("r_low_diversity"),
+        b("r_repetitive"),
+        b("r_no_stopword"),
+        b("r_token_len"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )
+
+
+QUALITY_FILTER_FUNNEL_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(r_too_short::INT)::BIGINT AS n_r_too_short,
+       sum(r_too_long::INT)::BIGINT AS n_r_too_long,
+       sum(r_low_diversity::INT)::BIGINT AS n_r_low_diversity,
+       sum(r_repetitive::INT)::BIGINT AS n_r_repetitive,
+       sum(r_no_stopword::INT)::BIGINT AS n_r_no_stopword,
+       sum(r_token_len::INT)::BIGINT AS n_r_token_len,
+       sum(keep::INT)::BIGINT AS n_kept,
+       sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+FROM ({QUALITY_FILTER_BATTERY_SQL})
+GROUP BY source
+"""
+
+
+FILTERING_SPECS = [
+    QuerySpec(
+        "quality_filter_battery",
+        quality_filter_battery,
+        QUALITY_FILTER_BATTERY_SQL,
+        ("quality-filter-rules",),
+    ),
+    QuerySpec(
+        "quality_filter_funnel",
+        quality_filter_funnel,
+        QUALITY_FILTER_FUNNEL_SQL,
+        ("quality-filter-monitoring",),
+    ),
+]

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import ANALYTICS_SPECS
 from .approx import APPROX_SPECS
+from .filtering import FILTERING_SPECS
 from .multimodal import MULTIMODAL_SPECS
 from .pretrain import PRETRAIN_SPECS
 from .relational import RELATIONAL_SPECS
@@ -33,6 +34,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + RELATIONAL_TPCH_SPECS
     + RELATIONAL_TPCH2_SPECS
     + RETRIEVAL_SPECS
+    + FILTERING_SPECS
 )
 
 # Driver-verification history, one set per round, used to rotate the
@@ -156,6 +158,9 @@ _R4_DRIVER_VERIFIED = {
 # old (keeping every row ≤2 rounds stale); the additions enter the
 # window next round, ahead of the then-stale r4 group.
 _R5_ADDED: set[str] = {
+    "quality_filter_battery",
+    "quality_filter_funnel",
+    "rfm_customer_segments",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
