@@ -503,6 +503,82 @@ FROM embeddings v LEFT JOIN minreach m ON v.vec_id = m.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization + reconstruction-error audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric quantization audit: scale =
+    max(|x|)/127, q = round(x/scale), and the reconstruction errors
+    (max |x - q*scale| and MSE) a vector store publishes before
+    swapping float32 for int8 (4x smaller, SIMD-friendly distance).
+
+    Pure per-row map — zero shuffle at any scale. Determinism: every
+    element op (cast, /, round-to-integer, *) runs on identical operands
+    in both engines → identical doubles; ``max_abs_err``/``scale`` emit
+    raw per the float policy (single-op derived, never accumulated);
+    ``mse`` is a left fold (Spark ``aggregate`` init 0.0 ≡ DuckDB
+    ``list_reduce`` first-element seed, since 0.0 + e1 == e1 exactly) —
+    same order, same operands, but rounded to 1e-6 per policy as it is
+    genuinely float-accumulated. Zero vectors (scale = 0) quantize to
+    themselves: errors defined as 0 on both sides.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.withColumn(
+        "scale", F.array_max(F.transform("emb", F.abs)) / F.lit(127.0)
+    )
+
+    def deq_err(x: Column) -> Column:
+        s = F.col("scale")
+        return F.abs(x - F.round(x / s, 0) * s)
+
+    err = F.when(
+        F.col("scale") == 0.0, F.lit(0.0)
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        err.otherwise(
+            F.array_max(F.transform("emb", deq_err))
+        ).alias("max_abs_err"),
+        err.otherwise(
+            F.round(
+                F.aggregate(
+                    F.transform("emb", lambda x: deq_err(x) * deq_err(x)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("emb"),
+                6,
+            )
+        ).alias("mse"),
+    )
+
+
+_DEQ_ERR_SQL = "abs(x - round(x / scale) * scale)"
+
+EMBEDDING_QUANTIZE_ERROR_SQL = f"""
+WITH q AS (
+    SELECT vec_id, label, emb,
+           list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+    FROM ({_EMB_SQL})
+)
+SELECT vec_id, label, scale,
+       CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_max(list_transform(emb, x -> {_DEQ_ERR_SQL}))
+       END AS max_abs_err,
+       CASE WHEN scale = 0 THEN 0.0 ELSE
+           round(list_reduce(
+                     list_transform(emb,
+                         x -> {_DEQ_ERR_SQL} * {_DEQ_ERR_SQL}),
+                     (acc, x) -> acc + x) / len(emb), 6)
+       END AS mse
+FROM q
+"""
+
+
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
@@ -517,5 +593,11 @@ SIMSEARCH_SPECS = [
         embedding_dedup_components,
         EMBEDDING_DEDUP_COMPONENTS_SQL,
         ("dedup-embedding-components",),
+    ),
+    QuerySpec(
+        "embedding_quantize_error",
+        embedding_quantize_error,
+        EMBEDDING_QUANTIZE_ERROR_SQL,
+        ("embedding-int8-quantization",),
     ),
 ]
