@@ -162,6 +162,7 @@ _R5_ADDED: set[str] = {
     "quality_filter_funnel",
     "rfm_customer_segments",
     "embedding_quantize_error",
+    "kmeans_lloyd_clusters",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

@@ -579,6 +579,227 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) with exact fixed-point centroid accumulation
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_UPDATES = 2          # Lloyd centroid updates before the report
+KMEANS_FP = 1 << 20         # fixed-point grid for exact centroid sums
+_INERTIA_GRID = 1_000_000   # micro-units: exact long inertia accumulation
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via Lloyd iterations (K=8, 2 centroid updates, init =
+    the vectors with vec_id < K), reporting per-cluster size, inertia,
+    and label purity — the clustering rollup an embedding pipeline
+    publishes to sanity-check a codebook / IVF partitioning.
+
+    Iterative-algorithm determinism (the reason this is oracle-gated at
+    all): naive double-sum centroid updates are order-dependent, so two
+    engines (or two Spark runs with different partitioning) drift in the
+    last ulps and can flip boundary assignments. Instead every
+    accumulation is EXACT:
+
+    - centroid sums run in fixed-point longs (``round(x * 2^20)`` per
+      element — x*2^20 is a pure exponent shift of the float32-exact
+      input, so the grid loses nothing it needs); long sums are
+      associative → any partitioning, same centroid;
+    - the mean back to double is ``(sum / n) / 2^20`` on identical
+      operands → bit-identical in both engines;
+    - inertia sums ``round(dist * 1e6)`` micro-unit longs, emitted as
+      the exact ratio ``micro / 1e6``.
+
+    Assignment is a pure per-row expression over the K centroid vectors
+    inlined as literals (argmin via ``least`` on (dist, cid) structs —
+    cid breaks exact ties), collected driver-side between iterations:
+    O(K × dim) scalars per round, the same driver-scalar pattern as the
+    connected-components convergence checks. Per iteration the corpus
+    is ONE scan + a posexplode → groupBy(cid, dim) update agg whose
+    map-side combine contracts each task to ≤ K × dim rows before the
+    shuffle — the corpus itself never shuffles, at any scale.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    init = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in e.where(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "emb")
+        .collect()
+    ]
+    cents = sorted(init)
+
+    def argmin_struct(cents_list) -> Column:
+        structs = []
+        for cid, vec in cents_list:
+            lit = F.array(*[F.lit(v) for v in vec])
+            structs.append(
+                F.struct(
+                    _sqdist(F.col("emb"), lit).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+            )
+        return F.least(*structs)
+
+    for _ in range(KMEANS_UPDATES):
+        assigned = e.withColumn("cid", argmin_struct(cents)["cid"])
+        upd = (
+            assigned.select(
+                "cid",
+                F.posexplode(
+                    F.transform(
+                        "emb",
+                        lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
+                    )
+                ).alias("dim", "v_fp"),
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("v_fp").alias("s"), F.count("*").alias("n")
+            )
+            # identical operand order to the oracle: (sum / n) / FP
+            .select(
+                "cid",
+                "dim",
+                (
+                    F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_FP)
+                ).alias("mean"),
+            )
+        )
+        rows = upd.collect()
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), [0.0] * len(cents[0][1]))[
+                int(r["dim"])
+            ] = float(r["mean"])
+        cents = sorted(by_cid.items())
+
+    m = argmin_struct(cents)
+    final = e.select(
+        "vec_id",
+        "label",
+        m["cid"].alias("cid"),
+        F.round(m["d"] * _INERTIA_GRID, 0).cast("long").alias("d_micro"),
+    )
+    sizes = final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        (
+            F.sum("d_micro").cast("double") / F.lit(float(_INERTIA_GRID))
+        ).alias("inertia"),
+    )
+    label_top = (
+        final.groupBy("cid", "label")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("cid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("label").alias("lbl")
+                )
+            ).alias("m")
+        )
+        .select(
+            "cid",
+            F.col("m.lbl").alias("top_label"),
+            (-F.col("m.neg")).cast("long").alias("top_label_n"),
+        )
+    )
+    return (
+        sizes.join(label_top, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            "top_label",
+            "top_label_n",
+            (
+                F.col("top_label_n").cast("double") / F.col("n_members")
+            ).alias("purity"),
+        )
+    )
+
+
+def _km_sql() -> str:
+    dim_range = "range(1, 65)"
+    dist = (
+        "list_reduce(list_transform(" + dim_range + ", "
+        "i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i])), "
+        "(a, b) -> a + b)"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+{out} AS (
+    SELECT e.vec_id, e.label, e.emb, e.emb_fp,
+           first(c.cid ORDER BY {dist}, c.cid) AS cid,
+           min({dist}) AS dist
+    FROM e CROSS JOIN {cent_cte} c
+    GROUP BY e.vec_id, e.label, e.emb, e.emb_fp
+)"""
+
+    def update(assign_cte: str, out: str) -> str:
+        return f"""
+{out} AS (
+    SELECT cid, list((s / n) / {KMEANS_FP} ORDER BY dim) AS cemb
+    FROM (
+        SELECT a.cid, i.i AS dim,
+               sum(a.emb_fp[i.i])::DOUBLE AS s, count(*)::DOUBLE AS n
+        FROM {assign_cte} a CROSS JOIN {dim_range} i(i)
+        GROUP BY a.cid, i.i
+    ) GROUP BY cid
+)"""
+
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           list_transform(embedding::DOUBLE[],
+                          x -> round(x * {KMEANS_FP})::BIGINT) AS emb_fp
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {KMEANS_K}),
+{assign("c0", "a1")},
+{update("a1", "c1")},
+{assign("c1", "a2")},
+{update("a2", "c2")},
+{assign("c2", "a3")},
+fin AS (
+    SELECT vec_id, label, cid,
+           round(dist * {_INERTIA_GRID})::BIGINT AS d_micro
+    FROM a3
+),
+sizes AS (
+    SELECT cid, count(*)::BIGINT AS n_members,
+           sum(d_micro)::DOUBLE / {float(_INERTIA_GRID)} AS inertia
+    FROM fin GROUP BY cid
+),
+tops AS (
+    SELECT cid, first(label ORDER BY cnt DESC, label) AS top_label,
+           max(cnt)::BIGINT AS top_label_n
+    FROM (SELECT cid, label, count(*) AS cnt FROM fin GROUP BY cid, label)
+    GROUP BY cid
+)
+SELECT s.cid AS cluster_id, s.n_members, s.inertia,
+       t.top_label, t.top_label_n,
+       t.top_label_n::DOUBLE / s.n_members AS purity
+FROM sizes s JOIN tops t USING (cid)
+"""
+
+
+KMEANS_LLOYD_SQL = _km_sql()
+
+
 SIMSEARCH_SPECS = [
     QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL, ("ann",)),
     QuerySpec("embedding_knn_bruteforce", embedding_knn_bruteforce, EMBEDDING_KNN_SQL, ("ann-bruteforce",)),
@@ -599,5 +820,11 @@ SIMSEARCH_SPECS = [
         embedding_quantize_error,
         EMBEDDING_QUANTIZE_ERROR_SQL,
         ("embedding-int8-quantization",),
+    ),
+    QuerySpec(
+        "kmeans_lloyd_clusters",
+        kmeans_lloyd_clusters,
+        KMEANS_LLOYD_SQL,
+        ("kmeans-lloyd-iterative",),
     ),
 ]
