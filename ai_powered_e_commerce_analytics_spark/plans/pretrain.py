@@ -535,6 +535,95 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual-LM style, q_s ∝ p_s^α)
+# ---------------------------------------------------------------------------
+
+MIX_TEMPERATURE_ALPHA = 0.7   # the standard multilingual upsampling exponent
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source: p_s = token share,
+    q_s = p_s^α / Σ p_s^α (α = 0.7) — the upsampling rule multilingual /
+    multi-source pretraining uses to lift low-resource sources without
+    letting the head dominate. Emits p, q, and the sampling weight
+    q_s / p_s each source's gate would be scaled by.
+
+    Plan: one corpus agg to source grain, then everything is
+    |sources|-sized. Determinism: token counts are exact longs; ``pow``
+    may differ between engines in the final ulp, so every pow-derived
+    emission is round(…, 6) per the float policy, and the Σ p^α
+    denominator is a left fold over the weights sorted by source (both
+    engines fold the same values in the same order) rather than an
+    unordered SUM whose accumulation order is engine-dependent.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.where(F.col("source").isNotNull())
+        .select("source", F.size(tokens("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("src_tokens"),
+        )
+    )
+    totals = per_source.agg(F.sum("src_tokens").alias("total_tokens"))
+    with_p = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / F.col("total_tokens")).alias(
+            "p_raw"
+        ),
+    )
+    weighted = with_p.withColumn(
+        "w", F.pow("p_raw", F.lit(MIX_TEMPERATURE_ALPHA))
+    )
+    denom = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("w_sum")
+    )
+    return weighted.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round("p_raw", 6).alias("p"),
+        F.round(F.col("w") / F.col("w_sum"), 6).alias("q"),
+        F.round(F.col("w") / F.col("w_sum") / F.col("p_raw"), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+SOURCE_TEMPERATURE_MIX_SQL = f"""
+WITH per_source AS (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len({_TOKS_SQL}))::BIGINT AS src_tokens
+    FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+tot AS (SELECT sum(src_tokens) AS total_tokens FROM per_source),
+weighted AS (
+    SELECT source, n_docs, src_tokens,
+           src_tokens::DOUBLE / total_tokens AS p_raw,
+           pow(src_tokens::DOUBLE / total_tokens,
+               {MIX_TEMPERATURE_ALPHA}) AS w
+    FROM per_source CROSS JOIN tot
+),
+denom AS (
+    SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS w_sum
+    FROM weighted
+)
+SELECT source, n_docs, src_tokens,
+       round(p_raw, 6) AS p,
+       round(w / w_sum, 6) AS q,
+       round(w / w_sum / p_raw, 6) AS sample_weight
+FROM weighted CROSS JOIN denom
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -571,5 +660,11 @@ PRETRAIN_SPECS = [
         decontaminate_exact_substring,
         DECONTAMINATE_SUBSTRING_SQL,
         ("decontamination-substring",),
+    ),
+    QuerySpec(
+        "source_temperature_mix",
+        source_temperature_mix,
+        SOURCE_TEMPERATURE_MIX_SQL,
+        ("mix-temperature-sampling",),
     ),
 ]

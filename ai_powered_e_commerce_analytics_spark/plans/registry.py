@@ -163,6 +163,7 @@ _R5_ADDED: set[str] = {
     "rfm_customer_segments",
     "embedding_quantize_error",
     "kmeans_lloyd_clusters",
+    "source_temperature_mix",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
