@@ -164,6 +164,7 @@ _R5_ADDED: set[str] = {
     "embedding_quantize_error",
     "kmeans_lloyd_clusters",
     "source_temperature_mix",
+    "session_path_topk",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

@@ -703,6 +703,105 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+SESSION_PATH_LEN = 3
+SESSION_PATH_TOPK = 10
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K session-opening paths: the ordered first 3 event types of
+    each session (30-min gap rule shared with events_user_sessions),
+    ranked by how many sessions open that way — the entry-path rollup a
+    product-analytics dashboard leads with.
+
+    Plan: the same ONE user_id shuffle serves the gap window, the
+    session counter, and the within-session row_number; the path fold is
+    a (user, session)-grain groupBy (map-side combined), and the global
+    top-K is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject,
+    a per-partition partial top-K merged on the driver, never a global
+    sort. Path strings are exact; counts are exact longs; ties break on
+    the path string, so the K-boundary is deterministic cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    raw = t(spark, sf_dir, "events")
+    ev = (
+        raw.select(
+            "user_id", "event_id", "event_type",
+            event_ts_us(raw).alias("ts_us"),
+        )
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_id").orderBy(
+                    "ts_us", "event_id"
+                )
+            ),
+        )
+        .where(F.col("rn") <= SESSION_PATH_LEN)
+    )
+    paths = ev.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(SESSION_PATH_TOPK)
+    )
+
+
+SESSION_PATH_TOPK_SQL = f"""
+WITH g AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+    SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                       THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS session_id
+    FROM g
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts_us, event_id) AS rn
+    FROM s
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+    FROM r WHERE rn <= {SESSION_PATH_LEN}
+    GROUP BY user_id, session_id
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {SESSION_PATH_TOPK}
+"""
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON path extraction from the props column (semi-structured scan).
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1147,6 +1246,12 @@ RELATIONAL_SPECS = [
         events_transition_matrix,
         EVENTS_TRANSITION_MATRIX_SQL,
         ("path-analysis",),
+    ),
+    QuerySpec(
+        "session_path_topk",
+        session_path_topk,
+        SESSION_PATH_TOPK_SQL,
+        ("path-analysis-topk",),
     ),
     QuerySpec(
         "events_hourly_gapfill",
