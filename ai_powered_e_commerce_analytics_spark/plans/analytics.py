@@ -421,10 +421,21 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_value_percentiles.
     """
     orders = t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").cast("long").alias("frequency"),
-        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    # localCheckpoint: per_cust feeds THREE consumers (reference date,
+    # quartile thresholds, and the scored emission). Without the
+    # barrier each consumer replans the orders scan + o_custkey
+    # exchange (observed 4x in the physical plan — column pruning
+    # specializes the subtrees, so ReuseExchange can't fire).
+    # Materializing the CUSTOMER-grain fold once (~1% of the fact
+    # table) keeps the 100 TB orders scan single-pass.
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     ref = per_cust.agg(F.max("last_order").alias("__ref"))
     rfm = per_cust.crossJoin(F.broadcast(ref)).select(

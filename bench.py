@@ -79,6 +79,12 @@ HEADLINE = [
     "order_value_outliers_zscore",
     "events_transition_matrix",
     "events_hourly_gapfill",
+    "quality_filter_battery",
+    "rfm_customer_segments",
+    "embedding_quantize_error",
+    "kmeans_lloyd_clusters",
+    "source_temperature_mix",
+    "session_path_topk",
 ]
 
 
