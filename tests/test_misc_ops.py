@@ -382,3 +382,51 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_partition_invariant(spark):
+    # The fixed-point design claim: centroid sums accumulate in exact
+    # longs, so the clustering result must be BIT-IDENTICAL under any
+    # shuffle partitioning (a double-sum Lloyd would drift in the last
+    # ulps and could flip boundary assignments between layouts).
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        kmeans_lloyd_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return sorted(
+            (
+                r.cluster_id, r.n_members, r.inertia,
+                r.top_label, r.top_label_n, r.purity,
+            )
+            for r in kmeans_lloyd_clusters(spark, sf).collect()
+        )
+
+    base = run()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        relaid = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == relaid
+    assert sum(n for _, n, *_ in base) == 500  # every vector assigned
+
+
+def test_session_path_topk_plan_contractions(spark):
+    # Regression-pin the two contractions that make the query scale:
+    # WindowGroupLimit (rank pushdown prunes each session to its first
+    # 3 rows BEFORE the row_number materializes) and
+    # TakeOrderedAndProject (global top-K as per-partition partial
+    # top-K, never a global sort).
+    from ai_powered_e_commerce_analytics_spark.plans.relational import (
+        session_path_topk,
+    )
+
+    df = session_path_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
