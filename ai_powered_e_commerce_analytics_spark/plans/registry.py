@@ -165,6 +165,7 @@ _R5_ADDED: set[str] = {
     "kmeans_lloyd_clusters",
     "source_temperature_mix",
     "session_path_topk",
+    "term_cooccurrence_pmi",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

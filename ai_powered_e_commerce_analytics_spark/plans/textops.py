@@ -1442,6 +1442,132 @@ SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI term co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_DOCS = 5   # support floor before a pair is scored
+PMI_TOP_K = 20
+
+
+def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K term pairs by pointwise mutual information over document
+    co-occurrence: PMI(a,b) = ln(df_ab * N / (df_a * df_b)) — the
+    collocation score a phrase/topic miner starts from.
+
+    Plan: one doc_id-barrier tokenization serves the doc count, the
+    per-term marginals, and the pair counts (ReuseExchange — same
+    pattern as source_mix_rebalance). Pairs come from IN-ROW expansion
+    of each doc's sorted distinct-token array (the copurchase_pairs
+    no-self-join shape): O(distinct²) per doc, bounded by per-doc
+    vocabulary, never a corpus self-join. Marginals are vocabulary-
+    sized → both PMI joins broadcast. The global top-K is
+    TakeOrderedAndProject over the vocabulary²-bounded scored pairs.
+    Determinism: counts are exact longs; the PMI ratio is a single
+    division of exact products; ``ln`` may differ in the last ulp
+    between libm builds → round(…,6) per policy, with (term_a, term_b)
+    breaking rank ties.
+    """
+    docs = t(spark, sf_dir, "documents")
+    dt = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.array_sort(F.array_distinct(tokens("text"))).alias("dt"),
+        )
+        .repartition("doc_id")
+    )
+    total = dt.agg(F.count("doc_id").alias("n_docs"))
+    marg = (
+        dt.select(F.explode("dt").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("dt"),
+                    lambda x: F.transform(
+                        F.col("dt"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    )
+    pairs = (
+        dt.select(pair.alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("df_ab"))
+        .where(F.col("df_ab") >= PMI_MIN_PAIR_DOCS)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                marg.select(
+                    F.col("term").alias("term_a"), F.col("df").alias("df_a")
+                )
+            ),
+            "term_a",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("term").alias("term_b"), F.col("df").alias("df_b")
+                )
+            ),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "df_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("df_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "term_a", "term_b"
+    ).limit(PMI_TOP_K)
+
+
+TERM_COOCCURRENCE_PMI_SQL = f"""
+WITH dt AS (
+    SELECT doc_id, list_sort(list_distinct({_TOKS_SQL})) AS dt
+    FROM documents WHERE doc_id IS NOT NULL
+),
+tot AS (SELECT count(doc_id)::BIGINT AS n_docs FROM dt),
+ex AS (SELECT doc_id, unnest(dt) AS term FROM dt),
+marg AS (SELECT term, count(*)::BIGINT AS df FROM ex GROUP BY term),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS df_ab
+    FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+)
+SELECT p.term_a, p.term_b, p.df_ab, ma.df AS df_a, mb.df AS df_b,
+       round(ln((p.df_ab * t.n_docs)::DOUBLE / (ma.df * mb.df)::DOUBLE), 6)
+           AS pmi
+FROM pairs p
+JOIN marg ma ON p.term_a = ma.term
+JOIN marg mb ON p.term_b = mb.term
+CROSS JOIN tot t
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {PMI_TOP_K}
+"""
+
+
 TEXTOPS_SPECS = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
@@ -1504,5 +1630,11 @@ TEXTOPS_SPECS = [
         dedup_cluster_size_histogram,
         DEDUP_CLUSTER_SIZE_HISTOGRAM_SQL,
         ("dedup-cluster-histogram",),
+    ),
+    QuerySpec(
+        "term_cooccurrence_pmi",
+        term_cooccurrence_pmi,
+        TERM_COOCCURRENCE_PMI_SQL,
+        ("collocation-pmi",),
     ),
 ]
