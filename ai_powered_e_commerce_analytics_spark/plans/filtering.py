@@ -161,6 +161,94 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (perplexity-filter family)
+# ---------------------------------------------------------------------------
+
+_LNP_GRID = 1_000_000   # micro-nat grid: exact long accumulation per doc
+
+
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM
+    (CCNet-style perplexity filtering: documents whose token
+    distribution is far from the corpus read as noise/boilerplate).
+
+    ce(d) = -(1/|d|) Σ ln p(w), p(w) = corpus count / total tokens.
+
+    Plan: one explode pass feeds BOTH the vocabulary counts and the
+    per-doc fold (doc_id barrier → ReuseExchange); the ln p table is
+    vocabulary-sized and broadcasts back onto the token stream; the
+    per-doc aggregation partial-sums map-side. Determinism: a per-doc
+    SUM of doubles would be accumulation-order-dependent, so ln p is
+    quantized ONCE per vocabulary term to micro-nat longs
+    (``round(ln(p)*1e6)``) — identical in both engines — and each doc
+    sums exact longs (associative, any partitioning). The emitted
+    cross-entropy is a pure division chain on exact operands;
+    perplexity exponentiates it (libm ulp → round 6 per policy).
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).repartition("doc_id")
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n_total"))
+            * F.lit(_LNP_GRID),
+            0,
+        )
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lnp_micro").alias("s_micro"),
+        )
+    )
+    ce = (
+        -(F.col("s_micro").cast("double") / F.lit(float(_LNP_GRID)))
+        / F.col("n_tokens")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
+
+
+DOC_UNIGRAM_SURPRISAL_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term
+    FROM documents WHERE doc_id IS NOT NULL
+),
+freq AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c)::BIGINT AS n_total FROM freq),
+lp AS (
+    SELECT term,
+           round(ln(c::DOUBLE / n_total) * {_LNP_GRID})::BIGINT AS lnp_micro
+    FROM freq CROSS JOIN tot
+),
+per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(lnp_micro)::BIGINT AS s_micro
+    FROM tok JOIN lp USING (term)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(-(s_micro::DOUBLE / {float(_LNP_GRID)}) / n_tokens, 6)
+           AS cross_entropy,
+       round(exp(-(s_micro::DOUBLE / {float(_LNP_GRID)}) / n_tokens), 6)
+           AS perplexity
+FROM per_doc
+"""
+
+
 FILTERING_SPECS = [
     QuerySpec(
         "quality_filter_battery",
@@ -173,5 +261,11 @@ FILTERING_SPECS = [
         quality_filter_funnel,
         QUALITY_FILTER_FUNNEL_SQL,
         ("quality-filter-monitoring",),
+    ),
+    QuerySpec(
+        "doc_unigram_surprisal",
+        doc_unigram_surprisal,
+        DOC_UNIGRAM_SURPRISAL_SQL,
+        ("perplexity-filter-unigram",),
     ),
 ]

@@ -166,6 +166,7 @@ _R5_ADDED: set[str] = {
     "source_temperature_mix",
     "session_path_topk",
     "term_cooccurrence_pmi",
+    "doc_unigram_surprisal",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

@@ -85,6 +85,7 @@ HEADLINE = [
     "kmeans_lloyd_clusters",
     "source_temperature_mix",
     "session_path_topk",
+    "term_cooccurrence_pmi",
 ]
 
 
