@@ -167,6 +167,7 @@ _R5_ADDED: set[str] = {
     "session_path_topk",
     "term_cooccurrence_pmi",
     "doc_unigram_surprisal",
+    "lang_id_confusion",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

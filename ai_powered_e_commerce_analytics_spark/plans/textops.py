@@ -154,6 +154,62 @@ FROM s
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the
+    labeled ``lang`` column, with per-cell recall (share of the true
+    language) and precision (share of the prediction) — the monitoring
+    rollup that tells a curation team when a classifier threshold has
+    drifted.
+
+    Plan: one scan + a (lang, predicted) groupBy (map-side combined to
+    |langs|² rows); the row/column marginals join back as broadcasts of
+    the ALREADY-AGGREGATED cells — no second corpus pass, no window.
+    Ratios are exact-integer divisions → raw doubles per the policy.
+    """
+    cells = (
+        lang_id_heuristic(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)  # 3 consumers; cells are |langs|² rows
+    )
+    truth = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_true"))
+    pred = cells.groupBy("predicted_lang").agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(truth), "lang")
+        .join(F.broadcast(pred), "predicted_lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_true")).alias(
+                "recall"
+            ),
+            (F.col("n_docs").cast("double") / F.col("n_pred")).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH cells AS (
+    SELECT lang, predicted_lang, count(*)::BIGINT AS n_docs
+    FROM ({LANG_ID_SQL}) GROUP BY lang, predicted_lang
+),
+truth AS (SELECT lang, sum(n_docs) AS n_true FROM cells GROUP BY lang),
+pred AS (SELECT predicted_lang, sum(n_docs) AS n_pred
+         FROM cells GROUP BY predicted_lang)
+SELECT c.lang, c.predicted_lang, c.n_docs,
+       c.n_docs::DOUBLE / t.n_true AS recall,
+       c.n_docs::DOUBLE / p.n_pred AS precision
+FROM cells c
+JOIN truth t ON c.lang = t.lang
+JOIN pred p ON c.predicted_lang = p.predicted_lang
+"""
+
+
 def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(tokens("text")).cast("long")
     return (
@@ -1636,5 +1692,11 @@ TEXTOPS_SPECS = [
         term_cooccurrence_pmi,
         TERM_COOCCURRENCE_PMI_SQL,
         ("collocation-pmi",),
+    ),
+    QuerySpec(
+        "lang_id_confusion",
+        lang_id_confusion,
+        LANG_ID_CONFUSION_SQL,
+        ("langid-confusion-monitoring",),
     ),
 ]
