@@ -86,6 +86,7 @@ HEADLINE = [
     "source_temperature_mix",
     "session_path_topk",
     "term_cooccurrence_pmi",
+    "doc_unigram_surprisal",
 ]
 
 
