@@ -43,9 +43,17 @@ MIN_AVG_TOKEN_LEN = 4.1  # r_token_len band (word-salad corpus sits ~4.5)
 MAX_AVG_TOKEN_LEN = 5.0
 
 
-def _doc_metrics(docs: DataFrame) -> DataFrame:
-    """Per-doc quality signals as exact-integer-derived columns."""
-    toks = tokens("text")
+#: metric column names, in emission order (shared by the batch battery
+#: and the streaming gate's cleanup drop)
+METRIC_COLS = (
+    "n_tokens", "n_distinct", "top_token_freq", "stop_hits",
+    "sum_token_len",
+)
+
+
+def _metric_exprs(text_col: str = "text"):
+    """The per-doc quality signals as named Column expressions."""
+    toks = tokens(text_col)
     n = F.size(toks).cast("long")
     distinct_toks = F.array_distinct(toks)
     top_freq = F.array_max(
@@ -60,14 +68,20 @@ def _doc_metrics(docs: DataFrame) -> DataFrame:
     sum_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     ).cast("long")
+    return {
+        "n_tokens": n,
+        "n_distinct": F.size(distinct_toks).cast("long"),
+        "top_token_freq": top_freq,
+        "stop_hits": stop_hits,
+        "sum_token_len": sum_len,
+    }
+
+
+def _doc_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc quality signals as exact-integer-derived columns."""
+    m = _metric_exprs()
     return docs.select(
-        "doc_id",
-        "source",
-        n.alias("n_tokens"),
-        F.size(distinct_toks).cast("long").alias("n_distinct"),
-        top_freq.alias("top_token_freq"),
-        stop_hits.alias("stop_hits"),
-        sum_len.alias("sum_token_len"),
+        "doc_id", "source", *[expr.alias(name) for name, expr in m.items()]
     )
 
 
@@ -90,6 +104,19 @@ _KEEP_EXPR = (
     "NOT (r_too_short OR r_too_long OR r_low_diversity OR r_repetitive "
     "OR r_no_stopword OR r_token_len) AS keep"
 )
+
+
+def with_quality_verdict(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the metric, rule, and ``keep`` columns to ANY frame with a
+    text column — the streaming-safe form of the battery (stateless
+    per-row maps, usable inside a Structured Streaming plan). Batch and
+    stream evaluate the SAME ``_RULE_EXPRS`` strings, so the two
+    surfaces cannot drift.
+    """
+    out = df
+    for name, expr in _metric_exprs(text_col).items():
+        out = out.withColumn(name, expr)
+    return out.selectExpr("*", *_RULE_EXPRS).selectExpr("*", _KEEP_EXPR)
 
 
 def quality_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -281,11 +281,20 @@ def documents_ingest_stream(
     watermark: str = "2 hours",
     archive_dir: str | None = None,
     available_now: bool = True,
+    quality_gate: bool = False,
 ):
     """Deployable ingestion job for a document corpus: stream JSON files
-    of ``(doc_id, text, ts)`` rows, drop near-duplicates against
-    LSH band-key state within the watermark, and append only the unique
-    survivors (with their text) to the corpus parquet.
+    of ``(doc_id, text, ts)`` rows, optionally drop rule-battery
+    rejects, drop near-duplicates against LSH band-key state within the
+    watermark, and append only the unique survivors (with their text)
+    to the corpus parquet.
+
+    ``quality_gate=True`` applies the batch quality-filter battery
+    (plans/filtering.with_quality_verdict — the SAME rule expression
+    strings the oracle-gated ``quality_filter_battery`` evaluates, so
+    stream and batch agree on what "low quality" means) as a stateless
+    per-row filter BEFORE the stateful dedup: rejects never enter LSH
+    state, shrinking state by the drop rate for free.
 
     Composition: :func:`near_dedup_stream` with ``keep_text=True`` rides
     the payload on each doc's band-0 row only (once per doc through the
@@ -314,6 +323,15 @@ def documents_ingest_stream(
         .withColumn("ts_utc", F.to_timestamp("ts"))
         .drop("ts")
     )
+    if quality_gate:
+        from ..plans.filtering import METRIC_COLS, with_quality_verdict
+
+        stream = (
+            with_quality_verdict(stream)
+            .where(F.col("keep"))
+            .select("doc_id", "text", "ts_utc")
+        )
+        assert not set(METRIC_COLS) & set(stream.columns)
     deduped = near_dedup_stream(
         stream, event_time="ts_utc", watermark=watermark, keep_text=True
     )

@@ -762,3 +762,40 @@ def test_interval_join_stream(spark, tmp_path):
         (102, 4.0),
         (103, None),
     }
+
+
+def test_documents_ingest_stream_quality_gate(spark, tmp_path):
+    # quality_gate=True: rule-battery rejects never reach the corpus (or
+    # LSH state); the stream applies the SAME rule expressions as the
+    # batch battery, so the corpus must equal the batch keep-set.
+    from ai_powered_e_commerce_analytics_spark.plans.filtering import (
+        with_quality_verdict,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    docs = [
+        # passes every rule: 20 distinct words, stopword present,
+        # avg token length 4.9, no repetition
+        (1, "the quick brown goats wander north beyond amber ridge while "
+            "seven misty rivers braid under pale light near stone arch",
+         "2024-01-01 00:00:00"),
+        # r_too_short (2 tokens) — also a SHINGLE_K short doc, so it
+        # exercises the gate, not the short-doc dedup pass-through
+        (2, "tiny doc", "2024-01-01 00:01:00"),
+        # r_repetitive + r_low_diversity + r_no_stopword
+        (3, " ".join(["spam"] * 30), "2024-01-01 00:02:00"),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id long, text string, ts string")
+    expected = {
+        r.doc_id for r in with_quality_verdict(frame).where("keep").collect()
+    }
+    assert 1 in expected and 2 not in expected and 3 not in expected
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "corpus", "ck"))
+    frame.coalesce(1).write.mode("overwrite").json(src)
+    q = documents_ingest_stream(spark, src, out, ckpt, quality_gate=True)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expected == {1}
