@@ -168,6 +168,7 @@ _R5_ADDED: set[str] = {
     "term_cooccurrence_pmi",
     "doc_unigram_surprisal",
     "lang_id_confusion",
+    "copurchase_pagerank",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

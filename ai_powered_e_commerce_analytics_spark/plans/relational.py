@@ -874,6 +874,145 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph (iterative, exact fixed-point)
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 2
+PAGERANK_TOP_K = 20
+_PR_GRID = 1_000_000   # micro-rank units: exact long mass accumulation
+
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph (edges =
+    ``copurchase_pairs``, both directions, weight = co-order count):
+    the product-centrality score behind "customers also buy" ranking.
+
+    Iterative-determinism contract (same discipline as
+    ``kmeans_lloyd_clusters``): rank mass lives in micro-units LONGS.
+    Per edge, the routed mass ``round(r*w/W)`` rounds ONCE on identical
+    operands in both engines (degree W stays an exact long — a double
+    degree would be accumulation-order-dependent); per node the damped
+    update ``round(0.15e6/N) + round(0.85*Σ)`` rounds once more. All
+    sums are associative long sums → identical ranks under any
+    partitioning, micro-exact across engines — no float tolerance in
+    the gate.
+
+    Plan: edges + degrees build once (localCheckpoint — part-grain,
+    tiny next to lineitem) with ONE l_orderkey shuffle from the basket
+    expansion; each iteration is an edges⋈ranks hash join on ``src``
+    plus a ``dst`` partial-agg — node-keyed shuffles of edge-grain
+    rows, the canonical distributed-PageRank shape (pre-partitioning
+    edges by src makes the per-round join exchange-free at cluster
+    scale). Top-K via TakeOrderedAndProject; ``node`` breaks exact
+    rank ties.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("part_a").alias("src"),
+            F.col("part_b").alias("dst"),
+            F.col("n_orders").alias("w"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("part_b").alias("src"),
+                F.col("part_a").alias("dst"),
+                F.col("n_orders").alias("w"),
+            )
+        )
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    edges_w = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # O(1) driver scalar, like the CC convergence
+
+    init = F.round(F.lit(float(_PR_GRID)) / F.lit(n_nodes), 0).cast("long")
+    teleport = F.round(
+        F.lit((1.0 - PAGERANK_DAMPING) * _PR_GRID) / F.lit(n_nodes), 0
+    ).cast("long")
+    ranks = nodes.select("node", init.alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = edges_w.join(
+            ranks, edges_w["src"] == ranks["node"]
+        ).select(
+            "dst",
+            F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
+            .cast("long")
+            .alias("c"),
+        )
+        insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.round(
+                        F.lit(PAGERANK_DAMPING) * F.coalesce("m", F.lit(0)),
+                        0,
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.col("r").alias("rank_micro"),
+            (F.col("r").cast("double") / F.lit(float(_PR_GRID))).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.desc("rank_micro"), "part_key")
+        .limit(PAGERANK_TOP_K)
+    )
+
+
+def _pr_sql() -> str:
+    def step(prev: str, out: str) -> str:
+        return f"""
+c_{out} AS (
+    SELECT e.dst, sum(round(p.r * e.w / e.wdeg)::BIGINT)::BIGINT AS m
+    FROM ew e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+),
+{out} AS (
+    SELECT n.node,
+           (round({(1.0 - PAGERANK_DAMPING) * _PR_GRID} / nn.n)::BIGINT
+            + round({PAGERANK_DAMPING} * coalesce(c.m, 0))::BIGINT) AS r
+    FROM nodes n CROSS JOIN nn LEFT JOIN c_{out} c ON n.node = c.dst
+)"""
+
+    return f"""
+WITH pairs AS ({COPURCHASE_PAIRS_SQL}),
+edges AS (
+    SELECT part_a AS src, part_b AS dst, n_orders AS w FROM pairs
+    UNION ALL
+    SELECT part_b, part_a, n_orders FROM pairs
+),
+deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, d.wdeg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (
+    SELECT node, round({float(_PR_GRID)} / nn.n)::BIGINT AS r
+    FROM nodes CROSS JOIN nn
+),
+{step("r0", "r1")},
+{step("r1", "r2")}
+SELECT node AS part_key, r AS rank_micro,
+       r::DOUBLE / {float(_PR_GRID)} AS rank
+FROM r2
+ORDER BY rank_micro DESC, part_key
+LIMIT {PAGERANK_TOP_K}
+"""
+
+
+COPURCHASE_PAGERANK_SQL = _pr_sql()
+
+
 def salted_distinct_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase hot-key ``collect_set`` under the oracle gate:
     ``l_returnflag`` has only 3 values, so a plain
@@ -1252,6 +1391,12 @@ RELATIONAL_SPECS = [
         session_path_topk,
         SESSION_PATH_TOPK_SQL,
         ("path-analysis-topk",),
+    ),
+    QuerySpec(
+        "copurchase_pagerank",
+        copurchase_pagerank,
+        COPURCHASE_PAGERANK_SQL,
+        ("graph-pagerank-iterative",),
     ),
     QuerySpec(
         "events_hourly_gapfill",
