@@ -87,6 +87,7 @@ HEADLINE = [
     "session_path_topk",
     "term_cooccurrence_pmi",
     "doc_unigram_surprisal",
+    "copurchase_pagerank",
 ]
 
 
