@@ -923,8 +923,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # shuffle_hash hints on every node-grain side: Catalyst cannot
+    # estimate the post-expansion edge list (observed: AQE broadcast the
+    # 2M-row sf0.1 edge side and OOM'd the driver build), and at cluster
+    # scale the node dimension itself outgrows a broadcast. Node-keyed
+    # shuffle joins are the canonical distributed-PageRank shape.
     deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    edges_w = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges_w = (
+        edges.join(deg.hint("shuffle_hash"), "src")
+        .localCheckpoint(eager=True)
+    )
     nodes = edges_w.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # O(1) driver scalar, like the CC convergence
 
@@ -935,7 +943,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", init.alias("r"))
     for _ in range(PAGERANK_ITERS):
         contribs = edges_w.join(
-            ranks, edges_w["src"] == ranks["node"]
+            ranks.hint("shuffle_hash"), edges_w["src"] == ranks["node"]
         ).select(
             "dst",
             F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
@@ -944,7 +952,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
         ranks = (
-            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            nodes.join(
+                insum.hint("shuffle_hash"),
+                nodes["node"] == insum["dst"],
+                "left",
+            )
             .select(
                 "node",
                 (

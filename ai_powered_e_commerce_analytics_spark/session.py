@@ -38,6 +38,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # -- Driver heap: local mode runs driver + all executor threads in
+        # ONE JVM, so the 1g default is the binding constraint for every
+        # broadcast build and localCheckpoint block. Size it like the
+        # single combined executor it actually is (env-overridable; no
+        # effect if a JVM already exists in-process).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # -- Adaptive execution: runtime coalescing, skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -101,6 +101,15 @@ def main() -> None:
     def run(name: str) -> None:
         df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
+        # localCheckpoint hygiene: iterative queries (CC, k-means,
+        # PageRank, RFM) pin materialized RDD blocks that outlive the
+        # query. Across a 50-query suite the leaked blocks crowd the
+        # unified memory region until broadcast builds fail and every
+        # later query slows down (observed: a mid-suite OOM degraded the
+        # whole tail by ~15%). Safe to drop HERE because the query's
+        # consumption is complete.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise.
