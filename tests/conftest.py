@@ -18,6 +18,20 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _checkpoint_hygiene(request):
+    """Drop localCheckpoint blocks left by iterative queries (CC,
+    k-means, PageRank, RFM) after each test — the session is shared
+    across ~200 tests and leaked blocks would otherwise crowd the
+    unified memory region (same hygiene as bench.py's per-query
+    unpersist). Only runs when the test actually used the session."""
+    yield
+    if "spark" in request.fixturenames:
+        spark = request.getfixturevalue("spark")
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
