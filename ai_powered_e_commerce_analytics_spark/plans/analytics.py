@@ -507,6 +507,61 @@ SELECT s.*, {_RFM_SEGMENT} FROM scored s
 """
 
 
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain revenue with month-over-month growth and a trailing
+    3-month average — the seasonality strip every revenue dashboard
+    leads with.
+
+    Plan: one (month) groupBy contracts the fact table to ~tens of
+    rows; the lag/trailing windows then run over that MONTH-GRAIN frame
+    in a single partition — deliberate and safe, because the windowed
+    input is dimension-sized (months), never the corpus (contrast with
+    the per-source selections, where the window input was the corpus
+    and had to become a contraction). Money stays in integer cents:
+    MoM and the trailing mean are exact-integer ratios → raw doubles.
+    """
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("month")
+    frame3 = w.rowsBetween(-2, 0)
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        (
+            (F.col("rev_cents") - prev).cast("double") / prev
+        ).alias("mom_growth"),
+        (
+            F.sum("rev_cents").over(frame3).cast("double")
+            / F.count("rev_cents").over(frame3)
+            / 100.0
+        ).alias("trailing3_avg"),
+    )
+
+
+MONTHLY_REVENUE_MOM_SQL = f"""
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           sum({cents_sql('o_totalprice')})::BIGINT AS rev_cents
+    FROM orders GROUP BY 1
+)
+SELECT month,
+       rev_cents::DOUBLE / 100.0 AS revenue,
+       (rev_cents - lag(rev_cents) OVER w)::DOUBLE
+           / lag(rev_cents) OVER w AS mom_growth,
+       sum(rev_cents) OVER w3::DOUBLE / count(rev_cents) OVER w3 / 100.0
+           AS trailing3_avg
+FROM monthly
+WINDOW w AS (ORDER BY month),
+       w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -530,4 +585,6 @@ ANALYTICS_SPECS = [
               ORDER_VALUE_OUTLIERS_SQL, ("grouped-zscore-outliers",)),
     QuerySpec("rfm_customer_segments", rfm_customer_segments,
               RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",)),
+    QuerySpec("monthly_revenue_mom", monthly_revenue_mom,
+              MONTHLY_REVENUE_MOM_SQL, ("seasonality-mom-trailing",)),
 ]

@@ -169,6 +169,8 @@ _R5_ADDED: set[str] = {
     "doc_unigram_surprisal",
     "lang_id_confusion",
     "copurchase_pagerank",
+    "embedding_dim_stats",
+    "monthly_revenue_mom",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

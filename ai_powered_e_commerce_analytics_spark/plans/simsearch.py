@@ -580,6 +580,77 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# Per-dimension feature-health statistics
+# ---------------------------------------------------------------------------
+
+_DIM_FP = 1 << 20   # fixed-point grid (pure exponent shift of float32)
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / variance / min / max over the corpus — the
+    feature-health dashboard that catches dead dimensions, scale drift,
+    and train/serve skew in an embedding pipeline.
+
+    Plan: posexplode → groupBy(dim); map-side combine contracts every
+    task to ≤ dim rows before the shuffle, so the corpus never moves.
+    Determinism: elements scale to fixed-point longs (``x * 2^20`` is an
+    exact exponent shift of the float32-exact input) and Σx, Σx² run as
+    associative long sums; mean and the closed-form variance are then
+    division chains on identical operands — bit-identical cross-engine,
+    no rounding needed. Σx² of fp values fits long through ~10⁸ rows
+    per dimension (2^42-bounded squares); the DECIMAL(38) accumulator
+    swap is the same one order_value_outliers_zscore documents.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _DIM_FP, 0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "v_fp")
+    )
+    n = F.count("*").cast("double")
+    s = F.sum("v_fp").cast("double")
+    ss = F.sum(F.col("v_fp") * F.col("v_fp")).cast("double")
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            ((s / n) / F.lit(float(_DIM_FP))).alias("mean"),
+            (
+                ((ss - s * s / n) / n)
+                / F.lit(float(_DIM_FP) * float(_DIM_FP))
+            ).alias("variance"),
+            (
+                F.min("v_fp").cast("double") / F.lit(float(_DIM_FP))
+            ).alias("min_v"),
+            (
+                F.max("v_fp").cast("double") / F.lit(float(_DIM_FP))
+            ).alias("max_v"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH ex AS (
+    SELECT i.i - 1 AS dim,
+           round(embedding[i.i]::DOUBLE * {_DIM_FP})::BIGINT AS v_fp
+    FROM embeddings CROSS JOIN range(1, {EMBED_DIM + 1}) i(i)
+)
+SELECT dim, count(*)::BIGINT AS n,
+       (sum(v_fp)::DOUBLE / count(*)::DOUBLE) / {float(_DIM_FP)} AS mean,
+       ((sum(v_fp * v_fp)::DOUBLE
+         - sum(v_fp)::DOUBLE * sum(v_fp)::DOUBLE / count(*)::DOUBLE)
+        / count(*)::DOUBLE) / {float(_DIM_FP) * float(_DIM_FP)} AS variance,
+       min(v_fp)::DOUBLE / {float(_DIM_FP)} AS min_v,
+       max(v_fp)::DOUBLE / {float(_DIM_FP)} AS max_v
+FROM ex GROUP BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-means (Lloyd) with exact fixed-point centroid accumulation
 # ---------------------------------------------------------------------------
 
@@ -826,5 +897,11 @@ SIMSEARCH_SPECS = [
         kmeans_lloyd_clusters,
         KMEANS_LLOYD_SQL,
         ("kmeans-lloyd-iterative",),
+    ),
+    QuerySpec(
+        "embedding_dim_stats",
+        embedding_dim_stats,
+        EMBEDDING_DIM_STATS_SQL,
+        ("embedding-feature-health",),
     ),
 ]
