@@ -56,11 +56,27 @@ def _metric_exprs(text_col: str = "text"):
     toks = tokens(text_col)
     n = F.size(toks).cast("long")
     distinct_toks = F.array_distinct(toks)
-    top_freq = F.array_max(
-        F.transform(
-            distinct_toks,
-            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+    # Most-frequent-token count as a run-length fold over the SORTED
+    # token array: O(n log n) per row vs the naive
+    # count-each-distinct-token-against-the-array form (O(distinct·n),
+    # measured 4.6x slower at sf0.1 and the suite's steepest scale
+    # curve). The oracle keeps the naive form — same value, and the
+    # O(d·n) cost is irrelevant at oracle scale.
+    sorted_toks = F.array_sort(toks)
+    _acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _rl_merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_freq = F.aggregate(
+        sorted_toks, _acc0, _rl_merge, lambda acc: acc["best"]
     ).cast("long")
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
         "long"
