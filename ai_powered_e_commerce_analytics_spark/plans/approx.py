@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import tokens
 from .spec import QuerySpec, t
+from .textops import _TOKS_SQL
 
 PCT_ACCURACY = 10_000        # GK rank error <= 1e-4 of each group
 PCT_RANK_SLACK = 0.005       # GK eps + >=1 interpolation step at every SF
@@ -96,6 +98,141 @@ FROM orders GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (deterministic, fully oracle-replayable)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4        # hash rows
+CMS_WIDTH = 64       # counters per row (small => real collisions to verify)
+CMS_SEED0 = 101      # portable_hash64 seeds CMS_SEED0..CMS_SEED0+DEPTH-1
+CMS_TOP_K = 10
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies from a count-min sketch, verified
+    against exact counts — the mergeable-sketch path for streaming /
+    federated term counting where the vocabulary doesn't fit a groupBy.
+
+    Unlike GK/HLL (engine-internal randomness → verdict-only gating,
+    see module docstring), CMS here is built on the portable md5 hash:
+    every counter is a deterministic integer sum, so the ORACLE REBUILDS
+    THE ENTIRE SKETCH and the estimates themselves hash-match — sketch,
+    estimate, and error all inside the exact gate. Emitted per top-K
+    term: exact count, CMS estimate, overestimate (≥0 by construction —
+    CMS never undercounts), and the Markov bound check
+    ``overestimate × width ≤ depth × N`` in pure integer arithmetic.
+
+    Plan: a term-barrier tokenization feeds both the exact counts and
+    the bucket rows; the sketch is a (depth × width)-row aggregate —
+    256 counters regardless of corpus size, the whole point — and the
+    top-K probe joins candidate bucket rows against it. At 100 TB the
+    sketch is a map-side-combined agg whose shuffle carries ≤ d·w rows
+    per task; the exact-count side exists only to VERIFY and would be
+    dropped in production.
+    """
+    from ..functions import portable_hash64
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(F.explode(tokens("text")).alias("term"))
+        .repartition("term")
+    )
+
+    def bucket_structs(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(
+                        portable_hash64(col, seed=CMS_SEED0 + j),
+                        F.lit(CMS_WIDTH),
+                    ).alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+
+    exact = tok.groupBy("term").agg(F.count("*").alias("true_count"))
+    cms = (
+        tok.select(F.explode(bucket_structs(F.col("term"))).alias("b"))
+        .select("b.j", "b.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    total = exact.agg(F.sum("true_count").alias("n_total"))
+    cand = (
+        exact.orderBy(F.desc("true_count"), "term").limit(CMS_TOP_K)
+    )
+    est = (
+        cand.select(
+            "term",
+            "true_count",
+            F.explode(bucket_structs(F.col("term"))).alias("b"),
+        )
+        .select("term", "true_count", "b.j", "b.bucket")
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "term",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        (F.col("cms_estimate") >= F.col("true_count")).alias("never_under"),
+        (
+            (F.col("cms_estimate") - F.col("true_count")) * CMS_WIDTH
+            <= F.lit(CMS_DEPTH) * F.col("n_total")
+        ).alias("bound_ok"),
+    )
+
+
+def _cms_bucket_sql(term_expr: str, j: int) -> str:
+    from ..functions.core import portable_hash64_sql
+
+    return f"({portable_hash64_sql(term_expr, seed=CMS_SEED0 + j)} % {CMS_WIDTH})"
+
+
+def _cms_sql() -> str:
+    bucket_union = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql('term', j)} AS bucket FROM tok"
+        for j in range(CMS_DEPTH)
+    )
+    cand_buckets = "\nUNION ALL\n".join(
+        f"SELECT term, true_count, {j} AS j,"
+        f" {_cms_bucket_sql('term', j)} AS bucket FROM cand"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (
+    SELECT unnest({_TOKS_SQL}) AS term
+    FROM documents WHERE doc_id IS NOT NULL
+),
+exact AS (SELECT term, count(*)::BIGINT AS true_count FROM tok GROUP BY term),
+cms AS (
+    SELECT j, bucket, count(*)::BIGINT AS c
+    FROM ({bucket_union}) GROUP BY j, bucket
+),
+tot AS (SELECT sum(true_count)::BIGINT AS n_total FROM exact),
+cand AS (SELECT * FROM exact ORDER BY true_count DESC, term LIMIT {CMS_TOP_K}),
+est AS (
+    SELECT cb.term, cb.true_count, min(cms.c)::BIGINT AS cms_estimate
+    FROM ({cand_buckets}) cb JOIN cms USING (j, bucket)
+    GROUP BY cb.term, cb.true_count
+)
+SELECT term, true_count, cms_estimate,
+       (cms_estimate - true_count)::BIGINT AS overestimate,
+       cms_estimate >= true_count AS never_under,
+       (cms_estimate - true_count) * {CMS_WIDTH} <= {CMS_DEPTH} * n_total
+           AS bound_ok
+FROM est CROSS JOIN tot
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
 APPROX_SPECS = [
     QuerySpec(
         "order_value_percentiles_approx",
@@ -108,5 +245,11 @@ APPROX_SPECS = [
         approx_distinct_customers,
         APPROX_DISTINCT_CUSTOMERS_SQL,
         ("approx-distinct-hll",),
+    ),
+    QuerySpec(
+        "cms_heavy_hitters",
+        cms_heavy_hitters,
+        CMS_HEAVY_HITTERS_SQL,
+        ("approx-countmin-heavy-hitters",),
     ),
 ]

@@ -171,6 +171,7 @@ _R5_ADDED: set[str] = {
     "copurchase_pagerank",
     "embedding_dim_stats",
     "monthly_revenue_mom",
+    "cms_heavy_hitters",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
