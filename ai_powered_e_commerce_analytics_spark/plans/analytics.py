@@ -562,6 +562,123 @@ WINDOW w AS (ORDER BY month),
 """
 
 
+def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of each customer's
+    yearly spend tier: consecutive years in the same quartile tier
+    collapse into one versioned interval (valid_from / valid_to /
+    is_current) — the dimension-table build step of a warehouse ETL.
+
+    Tiering: per-year spend quartiles (exact ``percentile`` over the
+    customer grain per year — year count is tiny, so the threshold
+    table broadcasts). Interval collapse is the classic gaps-and-
+    islands shape: change flag via lag, run id via running sum, one
+    groupBy per run — all over a single o_custkey-keyed sort order, so
+    ONE shuffle carries the windows and the run fold. Everything
+    emitted is exact integers/booleans; tier comparisons run against
+    interpolated thresholds that are bit-identical cross-engine
+    (order_value_percentiles parity).
+    """
+    yearly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("spend_cents"))
+    )
+    th = yearly.groupBy("yr").agg(
+        *[
+            F.round(F.expr(f"percentile(spend_cents, {p})"), 6).alias(a)
+            for p, a in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"))
+        ]
+    )
+    tiered = yearly.join(F.broadcast(th), "yr").select(
+        "o_custkey",
+        "yr",
+        (
+            F.lit(1)
+            + (F.col("spend_cents") >= F.col("q25")).cast("int")
+            + (F.col("spend_cents") >= F.col("q50")).cast("int")
+            + (F.col("spend_cents") >= F.col("q75")).cast("int")
+        ).alias("tier"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    runs = tiered.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    intervals = runs.groupBy("o_custkey", "run_id").agg(
+        F.min("tier").alias("tier"),
+        F.min("yr").alias("valid_from"),
+        F.max("yr").alias("valid_to"),
+        F.count("*").alias("n_years"),
+    )
+    wc = Window.partitionBy("o_custkey")
+    return intervals.select(
+        "o_custkey",
+        "tier",
+        "valid_from",
+        "valid_to",
+        "n_years",
+        (F.col("valid_to") == F.max("valid_to").over(wc)).alias(
+            "is_current"
+        ),
+    )
+
+
+CUSTOMER_SEGMENT_SCD2_SQL = f"""
+WITH yearly AS (
+    SELECT o_custkey, date_part('year', o_orderdate)::INT AS yr,
+           sum({cents_sql('o_totalprice')})::BIGINT AS spend_cents
+    FROM orders GROUP BY 1, 2
+),
+th AS (
+    SELECT yr,
+           round(quantile_cont(spend_cents, 0.25), 6) AS q25,
+           round(quantile_cont(spend_cents, 0.50), 6) AS q50,
+           round(quantile_cont(spend_cents, 0.75), 6) AS q75
+    FROM yearly GROUP BY yr
+),
+tiered AS (
+    SELECT y.o_custkey, y.yr,
+           (1 + (y.spend_cents >= t.q25)::INT
+              + (y.spend_cents >= t.q50)::INT
+              + (y.spend_cents >= t.q75)::INT) AS tier
+    FROM yearly y JOIN th t USING (yr)
+),
+flags AS (
+    SELECT *,
+           CASE WHEN lag(tier) OVER w IS NULL
+                  OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+    FROM tiered
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY yr)
+),
+runs AS (
+    SELECT *,
+           sum(chg) OVER (PARTITION BY o_custkey ORDER BY yr
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+    FROM flags
+),
+intervals AS (
+    SELECT o_custkey, run_id, min(tier) AS tier,
+           min(yr) AS valid_from, max(yr) AS valid_to,
+           count(*)::BIGINT AS n_years
+    FROM runs GROUP BY o_custkey, run_id
+)
+SELECT o_custkey, tier, valid_from, valid_to, n_years,
+       valid_to = max(valid_to) OVER (PARTITION BY o_custkey) AS is_current
+FROM intervals
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -587,4 +704,6 @@ ANALYTICS_SPECS = [
               RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",)),
     QuerySpec("monthly_revenue_mom", monthly_revenue_mom,
               MONTHLY_REVENUE_MOM_SQL, ("seasonality-mom-trailing",)),
+    QuerySpec("customer_segment_scd2", customer_segment_scd2,
+              CUSTOMER_SEGMENT_SCD2_SQL, ("scd2-gaps-and-islands",)),
 ]

@@ -172,6 +172,7 @@ _R5_ADDED: set[str] = {
     "embedding_dim_stats",
     "monthly_revenue_mom",
     "cms_heavy_hitters",
+    "customer_segment_scd2",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
