@@ -88,6 +88,10 @@ HEADLINE = [
     "term_cooccurrence_pmi",
     "doc_unigram_surprisal",
     "copurchase_pagerank",
+    "embedding_dim_stats",
+    "monthly_revenue_mom",
+    "cms_heavy_hitters",
+    "customer_segment_scd2",
 ]
 
 
