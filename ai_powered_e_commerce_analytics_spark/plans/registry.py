@@ -173,6 +173,7 @@ _R5_ADDED: set[str] = {
     "monthly_revenue_mom",
     "cms_heavy_hitters",
     "customer_segment_scd2",
+    "referential_integrity_report",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
