@@ -92,6 +92,7 @@ HEADLINE = [
     "monthly_revenue_mom",
     "cms_heavy_hitters",
     "customer_segment_scd2",
+    "referential_integrity_report",
 ]
 
 
