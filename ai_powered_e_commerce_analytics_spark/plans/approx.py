@@ -108,6 +108,26 @@ CMS_SEED0 = 101      # portable_hash64 seeds CMS_SEED0..CMS_SEED0+DEPTH-1
 CMS_TOP_K = 10
 
 
+def cms_bucket_structs(col):
+    """array<struct<j,bucket>> of a term's CMS coordinates — shared by
+    the batch query and the streaming counter job (same seeds/width, so
+    their counters are mergeable by addition)."""
+    from ..functions import portable_hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    portable_hash64(col, seed=CMS_SEED0 + j),
+                    F.lit(CMS_WIDTH),
+                ).alias("bucket"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter frequencies from a count-min sketch, verified
     against exact counts — the mergeable-sketch path for streaming /
@@ -130,29 +150,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task; the exact-count side exists only to VERIFY and would be
     dropped in production.
     """
-    from ..functions import portable_hash64
-
     tok = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
         .select(F.explode(tokens("text")).alias("term"))
         .repartition("term")
     )
-
-    def bucket_structs(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.pmod(
-                        portable_hash64(col, seed=CMS_SEED0 + j),
-                        F.lit(CMS_WIDTH),
-                    ).alias("bucket"),
-                )
-                for j in range(CMS_DEPTH)
-            ]
-        )
-
+    bucket_structs = cms_bucket_structs
     exact = tok.groupBy("term").agg(F.count("*").alias("true_count"))
     cms = (
         tok.select(F.explode(bucket_structs(F.col("term"))).alias("b"))

@@ -403,3 +403,70 @@ def upsert_kpi_tables(
     keys = keys or {"user_kpis": "id", "shop_kpis": "shop_id", "date_kpis": "date"}
     for name, df in kpis.items():
         upsert_parquet(spark, df, f"{base_dir}/{name}", keys[name])
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction with a directory-swap commit — the
+    maintenance job every streaming parquet sink eventually needs
+    (``documents_ingest_stream``'s batch_id dirs accumulate one small
+    file per micro-batch; at 100 TB the NameNode/listing cost and
+    sub-split scan tasks dominate long before the data does).
+
+    Rewrites the dataset into ``ceil(total_bytes / target)`` files via
+    one ``repartition`` (full shuffle of the data being compacted —
+    unavoidable and proportional to the compacted bytes, not the
+    cluster's total data), then swaps directories: src→old, tmp→src,
+    delete old. The swap is two metadata renames; a crash between them
+    leaves both ``src.compact-old`` and the complete ``tmp`` on disk —
+    recovery is "rename either back", never data loss, and the
+    function refuses to run if leftovers from a previous crash exist.
+    Partition-discovery columns (``batch_id=N``) become regular data
+    columns in the compacted layout — same rows, same schema for every
+    reader that selects columns.
+
+    No-op (returns stats with ``compacted=False``) when the file count
+    is already at or below the target.
+    """
+    from .hadoop import hadoop_fs, hadoop_path
+
+    fs = hadoop_fs(spark, src_dir)
+    tmp, old = f"{src_dir}.compact-tmp", f"{src_dir}.compact-old"
+    for leftover in (tmp, old):
+        if fs.exists(hadoop_path(spark, leftover)):
+            raise RuntimeError(
+                f"compaction leftover {leftover} exists — recover it "
+                "(rename back or delete) before compacting again"
+            )
+    files = []
+    it = fs.listFiles(hadoop_path(spark, src_dir), True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            files.append(status.getLen())
+    total_bytes = sum(files)
+    n_target = max(1, -(-total_bytes // target_bytes_per_file))
+    stats = {
+        "n_files_before": len(files),
+        "total_bytes": total_bytes,
+        "n_files_target": n_target,
+        "compacted": False,
+    }
+    if len(files) <= n_target:
+        return stats
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(hadoop_path(spark, src_dir), hadoop_path(spark, old)):
+        raise RuntimeError(f"compaction commit failed: rename {src_dir} -> {old}")
+    if not fs.rename(hadoop_path(spark, tmp), hadoop_path(spark, src_dir)):
+        # roll back so the table is never missing
+        fs.rename(hadoop_path(spark, old), hadoop_path(spark, src_dir))
+        raise RuntimeError(f"compaction commit failed: rename {tmp} -> {src_dir}")
+    fs.delete(hadoop_path(spark, old), True)
+    stats["compacted"] = True
+    return stats

@@ -853,3 +853,71 @@ def collector_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_counters_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming count-min-sketch maintenance over a document stream:
+    each micro-batch folds its tokens into (j, bucket) counter
+    increments and writes them to a ``batch_id={N}`` partition
+    (OVERWRITE per batch — replay-idempotent, same contract as
+    ``documents_ingest_stream``'s sink). Because CMS merge is plain
+    counter ADDITION, the authoritative sketch is the sum over batch
+    partitions — :func:`read_cms_counters` folds it on read, so the
+    "merge" costs one d×w-row agg and no read-modify-write of shared
+    state. Seeds/width are shared with the batch ``cms_heavy_hitters``
+    query (plans/approx.cms_bucket_structs): a streamed sketch and a
+    batch sketch over the same rows are bit-identical — mergeability
+    is proven by equality in tests, not claimed.
+    """
+    from ..functions import tokens
+    from ..plans.approx import cms_bucket_structs
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(tokens("text"), cms_bucket_structs)
+                    )
+                ).alias("b")
+            )
+            .groupBy(F.col("b.j").alias("j"), F.col("b.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed CMS: sum counters across batch
+    partitions (CMS merge == addition). d×w rows out."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -439,3 +439,35 @@ def test_pretrain_pipeline_end_to_end(spark, tmp_path):
     assert extra.count() == 0
     # dedup actually removed something relative to the raw corpus
     assert stats["dedup_survivors"] < stats["total_docs"]
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from ai_powered_e_commerce_analytics_spark.sinks import compact_parquet_dir
+
+    d = str(tmp_path / "corpus")
+    # 6 tiny files across 3 batch_id partitions (streaming-sink layout)
+    for b in range(3):
+        spark.range(b * 100, b * 100 + 100).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/batch_id={b}")
+    before = spark.read.parquet(d)
+    expect = sorted(r.id for r in before.collect())
+    n_files_before = len(
+        [p for p in __import__("glob").glob(f"{d}/**/*.parquet", recursive=True)]
+    )
+    assert n_files_before == 6
+
+    stats = compact_parquet_dir(spark, d, target_bytes_per_file=1 << 30)
+    assert stats["compacted"] and stats["n_files_before"] == 6
+    assert stats["n_files_target"] == 1
+    after = spark.read.parquet(d)
+    assert sorted(r.id for r in after.collect()) == expect
+    assert "batch_id" in after.columns  # partition col preserved as data
+    n_files_after = len(
+        [p for p in __import__("glob").glob(f"{d}/*.parquet")]
+    )
+    assert n_files_after == 1
+
+    # idempotent no-op on an already-compacted dir
+    stats2 = compact_parquet_dir(spark, d, target_bytes_per_file=1 << 30)
+    assert not stats2["compacted"]

@@ -799,3 +799,55 @@ def test_documents_ingest_stream_quality_gate(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == expected == {1}
+
+
+def test_cms_counters_stream_merges_to_batch_sketch(spark, tmp_path):
+    # Mergeability proof: the streamed sketch (2 file drops, counters
+    # summed across batch partitions) must be BIT-IDENTICAL to the batch
+    # sketch computed over the union of the same texts — CMS merge is
+    # counter addition, same seeds/width on both paths.
+    from pyspark.sql import functions as F
+
+    from ai_powered_e_commerce_analytics_spark.functions import tokens
+    from ai_powered_e_commerce_analytics_spark.plans.approx import (
+        cms_bucket_structs,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        cms_counters_stream,
+        read_cms_counters,
+    )
+
+    batches = [
+        [(1, "spark shuffles hash joins and window functions", "2024-01-01 00:00:00"),
+         (2, "joins and hash tables and more joins", "2024-01-01 00:01:00")],
+        [(3, "window functions over hash partitions", "2024-01-01 01:00:00"),
+         (4, "spark spark spark", "2024-01-01 01:01:00")],
+    ]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "cms", "ck"))
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).coalesce(1).write.mode("overwrite").json(f"{src}/drop{i}")
+        q = cms_counters_stream(spark, src, out, ckpt)
+        q.awaitTermination(120)
+
+    streamed = {
+        (r.j, r.bucket): r.c for r in read_cms_counters(spark, out).collect()
+    }
+    batch = {
+        (r.j, r.bucket): r.c
+        for r in (
+            spark.createDataFrame(all_rows, "doc_id long, text string, ts string")
+            .select(
+                F.explode(
+                    F.flatten(F.transform(tokens("text"), cms_bucket_structs))
+                ).alias("b")
+            )
+            .groupBy(F.col("b.j").alias("j"), F.col("b.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
