@@ -624,6 +624,99 @@ FROM weighted CROSS JOIN denom
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source distribution drift (KL divergence from the corpus LM)
+# ---------------------------------------------------------------------------
+
+_KL_GRID = 1_000_000   # micro-nat grid: exact per-source accumulation
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram token distributions — the drift
+    diagnostic that tells a data-mixing team which source's language is
+    furthest from the blend (pairs with ``source_temperature_mix``:
+    one decides weights, this audits what the weights are blending).
+
+    KL_s = Σ_t p_s(t) · ln(p_s(t) / p(t)), summed over the source's
+    terms only (p_s(t) = 0 terms contribute 0; p(t) > 0 wherever
+    p_s(t) > 0 since the corpus contains the source).
+
+    Plan: ONE (source, term) count agg feeds everything
+    (localCheckpoint — vocabulary × sources rows, tiny); the term and
+    source marginals join back as broadcasts. Determinism: each term's
+    contribution quantizes ONCE to micro-nat longs on identical
+    operands, and the per-source fold is an exact long sum —
+    associative, partitioning-independent (same discipline as
+    doc_unigram_surprisal).
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("term"))
+    )
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)  # 3 downstream consumers
+    )
+    per_source = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    per_term = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    total = per_source.agg(F.sum("c_s").alias("n_total"))
+    contrib = (
+        st.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(per_term), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.round(
+                (F.col("c_st").cast("double") / F.col("c_s"))
+                * F.log(
+                    (F.col("c_st") * F.col("n_total")).cast("double")
+                    / (F.col("c_s") * F.col("c_t")).cast("double")
+                )
+                * F.lit(float(_KL_GRID)),
+                0,
+            )
+            .cast("long")
+            .alias("kl_micro"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        (
+            F.sum("kl_micro").cast("double") / F.lit(float(_KL_GRID))
+        ).alias("kl_divergence"),
+    )
+
+
+SOURCE_KL_DIVERGENCE_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest({_TOKS_SQL}) AS term
+    FROM documents WHERE source IS NOT NULL
+),
+st AS (SELECT source, term, count(*)::BIGINT AS c_st
+       FROM tok GROUP BY source, term),
+per_source AS (SELECT source, sum(c_st)::BIGINT AS c_s
+               FROM st GROUP BY source),
+per_term AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY term),
+tot AS (SELECT sum(c_s)::BIGINT AS n_total FROM per_source),
+contrib AS (
+    SELECT st.source,
+           round((st.c_st::DOUBLE / ps.c_s)
+                 * ln((st.c_st * t.n_total)::DOUBLE
+                      / (ps.c_s * pt.c_t)::DOUBLE)
+                 * {float(_KL_GRID)})::BIGINT AS kl_micro
+    FROM st
+    JOIN per_source ps USING (source)
+    JOIN per_term pt USING (term)
+    CROSS JOIN tot t
+)
+SELECT source, count(*)::BIGINT AS n_terms,
+       sum(kl_micro)::DOUBLE / {float(_KL_GRID)} AS kl_divergence
+FROM contrib GROUP BY source
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -666,5 +759,11 @@ PRETRAIN_SPECS = [
         source_temperature_mix,
         SOURCE_TEMPERATURE_MIX_SQL,
         ("mix-temperature-sampling",),
+    ),
+    QuerySpec(
+        "source_kl_divergence",
+        source_kl_divergence,
+        SOURCE_KL_DIVERGENCE_SQL,
+        ("mix-kl-drift",),
     ),
 ]

@@ -174,6 +174,7 @@ _R5_ADDED: set[str] = {
     "cms_heavy_hitters",
     "customer_segment_scd2",
     "referential_integrity_report",
+    "source_kl_divergence",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
