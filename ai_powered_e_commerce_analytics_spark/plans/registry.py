@@ -175,6 +175,7 @@ _R5_ADDED: set[str] = {
     "customer_segment_scd2",
     "referential_integrity_report",
     "source_kl_divergence",
+    "events_active_users",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

@@ -1223,6 +1223,99 @@ GROUP BY p_brand
 """
 
 
+WAU_DAYS = 7
+MAU_DAYS = 28
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU / MAU per day over a dense day spine — the
+    active-user strip at the top of every product dashboard, with
+    missing days reading 0.
+
+    Plan: activity contracts FIRST to distinct (user, day) — at 100 TB
+    of events that's the frame that moves, not events — then each
+    activity row fans out to the ≤MAU_DAYS spine days whose trailing
+    window contains it (broadcast day-spine band join, bounded
+    fan-out — the range_join pattern at day grain) and one groupBy(day)
+    computes all three distinct counts conditionally (Spark plans the
+    multi-distinct agg via a single Expand). Exact by construction;
+    the sketch swap at extreme scale is per-day HLL unions
+    (approx_distinct_customers shows the verified-bound pattern).
+    """
+    ev = t(spark, sf_dir, "events")
+    activity = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", event_date(ev).alias("act_date"))
+        .distinct()
+    )
+    bounds = activity.agg(
+        F.min("act_date").alias("min_d"), F.max("act_date").alias("max_d")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("min_d", "max_d", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    # INNER join with the broadcast spine (activity streams, spine
+    # builds — an outer join here would force the big side onto the
+    # build), then zero-fill empty days by LEFT-joining the day-grain
+    # aggregate back onto the spine — the gapfill pattern.
+    joined = activity.join(
+        F.broadcast(spine),
+        (F.col("act_date") <= F.col("day"))
+        & (F.col("act_date") > F.date_sub(F.col("day"), MAU_DAYS)),
+    )
+    per_day = joined.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("act_date") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("act_date") > F.date_sub(F.col("day"), WAU_DAYS),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return spine.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).alias("dau"),
+        F.coalesce("wau", F.lit(0)).alias("wau"),
+        F.coalesce("mau", F.lit(0)).alias("mau"),
+    )
+
+
+EVENTS_ACTIVE_USERS_SQL = f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, ts::DATE AS act_date
+    FROM events WHERE user_id IS NOT NULL
+),
+bounds AS (SELECT min(act_date) AS min_d, max(act_date) AS max_d
+           FROM activity),
+spine AS (
+    SELECT unnest(generate_series(min_d, max_d, INTERVAL 1 DAY))::DATE
+        AS day
+    FROM bounds
+),
+per_day AS (
+    SELECT s.day,
+           count(DISTINCT CASE WHEN a.act_date = s.day
+                               THEN a.user_id END)::BIGINT AS dau,
+           count(DISTINCT CASE WHEN a.act_date > s.day - {WAU_DAYS}
+                               THEN a.user_id END)::BIGINT AS wau,
+           count(DISTINCT a.user_id)::BIGINT AS mau
+    FROM activity a
+    JOIN spine s ON a.act_date <= s.day AND a.act_date > s.day - {MAU_DAYS}
+    GROUP BY s.day
+)
+SELECT s.day,
+       coalesce(p.dau, 0)::BIGINT AS dau,
+       coalesce(p.wau, 0)::BIGINT AS wau,
+       coalesce(p.mau, 0)::BIGINT AS mau
+FROM spine s LEFT JOIN per_day p USING (day)
+"""
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense time-series resampling: the hourly rollup joined onto a
     COMPLETE hour × event-type spine, zero-filling hours with no events
@@ -1409,6 +1502,12 @@ RELATIONAL_SPECS = [
         copurchase_pagerank,
         COPURCHASE_PAGERANK_SQL,
         ("graph-pagerank-iterative",),
+    ),
+    QuerySpec(
+        "events_active_users",
+        events_active_users,
+        EVENTS_ACTIVE_USERS_SQL,
+        ("dau-wau-mau",),
     ),
     QuerySpec(
         "events_hourly_gapfill",
