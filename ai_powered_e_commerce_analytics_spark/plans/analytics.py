@@ -756,6 +756,71 @@ REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
 )
 
 
+def monthly_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per month: orders and revenue split into first-time vs repeat
+    customers — the acquisition-vs-retention revenue mix every retail
+    dashboard tracks next to the MoM strip.
+
+    An order is "first" iff it is its customer's earliest (ties broken
+    by o_orderkey so exactly ONE order per customer is first, both
+    engines agreeing). Plan: one o_custkey window (min struct over the
+    customer's orders — high-cardinality key) flags first orders, then
+    one month groupBy; money in integer cents, shares are
+    exact-integer ratios.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        cents("o_totalprice").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    w = Window.partitionBy("o_custkey")
+    first_key = F.min(F.struct("o_orderdate", "o_orderkey")).over(w)[
+        "o_orderkey"
+    ]
+    flagged = orders.withColumn(
+        "is_first", F.col("o_orderkey") == first_key
+    )
+    return flagged.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("is_first").cast("long")).alias("n_first"),
+        (
+            F.sum(F.when(F.col("is_first"), F.col("price_cents")).otherwise(0))
+            .cast("double") / 100.0
+        ).alias("first_revenue"),
+        (
+            F.sum(
+                F.when(~F.col("is_first"), F.col("price_cents")).otherwise(0)
+            ).cast("double") / 100.0
+        ).alias("repeat_revenue"),
+        (
+            F.sum(F.col("is_first").cast("long")).cast("double")
+            / F.count("*")
+        ).alias("first_share"),
+    )
+
+
+MONTHLY_FIRST_VS_REPEAT_SQL = f"""
+WITH flagged AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           {cents_sql('o_totalprice')} AS price_cents,
+           (o_orderkey = first_value(o_orderkey) OVER
+                (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)) AS is_first
+    FROM orders
+)
+SELECT month, count(*)::BIGINT AS n_orders,
+       sum(is_first::INT)::BIGINT AS n_first,
+       sum(CASE WHEN is_first THEN price_cents ELSE 0 END)::DOUBLE / 100.0
+           AS first_revenue,
+       sum(CASE WHEN NOT is_first THEN price_cents ELSE 0 END)::DOUBLE / 100.0
+           AS repeat_revenue,
+       sum(is_first::INT)::DOUBLE / count(*) AS first_share
+FROM flagged GROUP BY month
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -785,4 +850,6 @@ ANALYTICS_SPECS = [
               CUSTOMER_SEGMENT_SCD2_SQL, ("scd2-gaps-and-islands",)),
     QuerySpec("referential_integrity_report", referential_integrity_report,
               REFERENTIAL_INTEGRITY_SQL, ("dq-relationship-tests",)),
+    QuerySpec("monthly_first_vs_repeat", monthly_first_vs_repeat,
+              MONTHLY_FIRST_VS_REPEAT_SQL, ("acquisition-retention-mix",)),
 ]

@@ -176,6 +176,7 @@ _R5_ADDED: set[str] = {
     "referential_integrity_report",
     "source_kl_divergence",
     "events_active_users",
+    "monthly_first_vs_repeat",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",
