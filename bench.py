@@ -93,6 +93,9 @@ HEADLINE = [
     "cms_heavy_hitters",
     "customer_segment_scd2",
     "referential_integrity_report",
+    "source_kl_divergence",
+    "events_active_users",
+    "monthly_first_vs_repeat",
 ]
 
 
