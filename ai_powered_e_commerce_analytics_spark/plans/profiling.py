@@ -1,0 +1,303 @@
+"""Data-quality / maintenance operators: table profiling, incremental
+aggregate maintenance, and statistical anomaly flagging (beyond-reference
+— the operational layer a production lakehouse runs around the analytics
+proper, complementing ``referential_integrity_report``).
+
+Scale design:
+
+- ``table_profile_orders`` is ONE full-table aggregate (every per-column
+  signal rides the same scan; nulls/min/max partial-aggregate map-side).
+  The exact ``count(distinct)`` battery is the oracle-parity form; its
+  documented 100 TB swap is ``approx_count_distinct`` (HLL, mergeable,
+  same single-scan shape — the exact form pays one expand per distinct
+  column).
+- ``incremental_daily_revenue`` is the incremental-view-maintenance
+  identity: yesterday's PARTIAL state (count + sum are commutative
+  monoids) merges with the delta's partial state instead of rescanning
+  history — the claim the oracle checks is merged == full recompute.
+  At 100 TB the base state is date-grain (tiny), so the daily refresh
+  touches only the delta partition.
+- ``daily_revenue_anomalies`` windows over the POST-AGGREGATE date-grain
+  series (O(days) rows — the single-task window is on contracted data,
+  not the corpus; the corpus-grain work is the one date groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .spec import QuerySpec, cents, cents_sql, t
+
+# ---------------------------------------------------------------------------
+# Column profiling (dbt-docs / Deequ-style table health report)
+# ---------------------------------------------------------------------------
+
+# (column, canonical-string min/max renderer) — money renders as exact
+# integer CENTS and timestamps as ISO dates so both engines produce
+# byte-identical representations (double->string and timestamp->string
+# formatting are engine-specific; these are not).
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _repr_col(name: str, kind: str):
+    if kind == "money":
+        return cents(name).cast("string")
+    if kind == "date":
+        return F.date_format(F.col(name), "yyyy-MM-dd")
+    return F.col(name).cast("string")
+
+
+def _repr_sql(name: str, kind: str) -> str:
+    if kind == "money":
+        return f"({cents_sql(name)})::VARCHAR"
+    if kind == "date":
+        return f"strftime({name}, '%Y-%m-%d')"
+    return f"{name}::VARCHAR"
+
+
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: row count, null count, exact
+    distinct count, and canonical min/max representations — the
+    freshness/health report a warehouse publishes per table per run.
+
+    ONE aggregate over one scan; the wide 1-row result explodes into the
+    long (column_name, ...) report driver-side shape (6 rows).
+    """
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, kind in _PROFILE_COLS:
+        r = _repr_col(name, kind)
+        aggs += [
+            F.count(F.col(name)).alias(f"nn_{name}"),
+            F.countDistinct(F.col(name)).alias(f"nd_{name}"),
+            F.min(r).alias(f"mn_{name}"),
+            F.max(r).alias(f"mx_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{name}")).alias("n_nulls"),
+                F.col(f"nd_{name}").alias("n_distinct"),
+                F.col(f"mn_{name}").alias("min_repr"),
+                F.col(f"mx_{name}").alias("max_repr"),
+            )
+            for name, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+TABLE_PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS column_name,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({name}))::BIGINT AS n_nulls,
+       count(DISTINCT {name})::BIGINT AS n_distinct,
+       min({_repr_sql(name, kind)}) AS min_repr,
+       max({_repr_sql(name, kind)}) AS max_repr
+FROM orders"""
+    for name, kind in _PROFILE_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (merge partial states vs recompute)
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT = "1997-01-01"   # base = strictly before; delta = on/after
+
+
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-grain revenue rollup maintained INCREMENTALLY: the historical
+    partition's partial state (n_orders, sum_cents — a commutative
+    monoid) merges with the fresh delta's partial state; no historical
+    rescan. The oracle recomputes from scratch — equality IS the IVM
+    correctness claim (count/sum merge losslessly; avg derives from the
+    merged sums, never from averaged averages).
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        cents("o_totalprice").alias("c"),
+    )
+    split = F.lit(_IVM_SPLIT)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_date").agg(
+            F.count("*").alias("n_orders"), F.sum("c").alias("s")
+        )
+
+    base = partial(o.where(F.col("o_date") < split))
+    delta = partial(o.where(F.col("o_date") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_date")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_date",
+        "n_orders",
+        (F.col("s").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("s").cast("double") / F.col("n_orders") / F.lit(100.0)).alias(
+            "avg_order_value"
+        ),
+    )
+
+
+INCREMENTAL_DAILY_REVENUE_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       count(*)::BIGINT AS n_orders,
+       sum({cents_sql('o_totalprice')})::DOUBLE / 100.0 AS revenue,
+       sum({cents_sql('o_totalprice')})::DOUBLE / count(*) / 100.0
+           AS avg_order_value
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly flags on the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ANOM_WIN = 7        # trailing window length (rows), incl. current day
+_ANOM_Z = 2.0        # |z| threshold
+
+
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue deviates > ``_ANOM_Z`` sigma from their own
+    trailing ``_ANOM_WIN``-day statistics — the standard ops-dashboard
+    spike/dip monitor.
+
+    Determinism contract for the windowed variance: a plain windowed
+    ``stddev`` folds doubles in engine-chosen order. Instead the window
+    materializes its 7 exact-cent LONGS as an ORDERED array
+    (``collect_list`` over the frame / DuckDB ``list()``), and both
+    engines run the identical explicit left fold over that array —
+    mean from the exact long sum, then Σ(x-μ)² term-by-term in frame
+    order → bit-identical z. Window partitions by nothing but runs on
+    the date-grain series (O(days) rows after the one corpus-grain
+    groupBy — fine in one task at any corpus scale; at a multi-year
+    horizon partition the window by year with a 6-day overlap pad).
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            cents("o_totalprice").alias("c"),
+        )
+        .groupBy("o_date")
+        .agg(F.sum("c").alias("day_c"))
+    )
+    w = Window.orderBy("o_date").rowsBetween(-(_ANOM_WIN - 1), 0)
+    arr = F.collect_list("day_c").over(w)
+    with_arr = daily.select(
+        "o_date", "day_c", arr.alias("win"), F.size(arr).alias("n_win")
+    )
+    n = F.col("n_win").cast("double")
+    mean_c = (
+        F.aggregate("win", F.lit(0).cast("long"), lambda a, x: a + x).cast(
+            "double"
+        )
+        / n
+    )
+    var_c = (
+        F.aggregate(
+            "win",
+            F.lit(0.0),
+            lambda a, x: a + (x.cast("double") - F.col("mean_c"))
+            * (x.cast("double") - F.col("mean_c")),
+        )
+        / n
+    )
+    scored = (
+        with_arr.withColumn("mean_c", mean_c)
+        .withColumn("var_c", var_c)
+        .withColumn(
+            "z",
+            F.when(
+                (F.col("n_win") == _ANOM_WIN) & (F.col("var_c") > 0),
+                F.round(
+                    (F.col("day_c").cast("double") - F.col("mean_c"))
+                    / F.sqrt(F.col("var_c")),
+                    6,
+                ),
+            ),
+        )
+    )
+    return scored.select(
+        "o_date",
+        (F.col("day_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        "z",
+        F.coalesce(F.abs(F.col("z")) > F.lit(_ANOM_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+DAILY_REVENUE_ANOMALIES_SQL = f"""
+WITH daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           sum({cents_sql('o_totalprice')})::BIGINT AS day_c
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT o_date, day_c,
+           list(day_c) OVER (ORDER BY o_date
+                             ROWS BETWEEN {_ANOM_WIN - 1} PRECEDING
+                             AND CURRENT ROW) AS w
+    FROM daily
+),
+m AS (
+    SELECT o_date, day_c, w, len(w) AS n_win,
+           list_reduce(w, (a, b) -> a + b)::DOUBLE / len(w) AS mean_c
+    FROM win
+),
+scored AS (
+    SELECT o_date, day_c, n_win, mean_c,
+           list_reduce(
+               list_transform(
+                   w, x -> (x::DOUBLE - mean_c) * (x::DOUBLE - mean_c)),
+               (a, b) -> a + b) / n_win AS var_c
+    FROM m
+)
+SELECT o_date, day_c::DOUBLE / 100.0 AS revenue,
+       CASE WHEN n_win = {_ANOM_WIN} AND var_c > 0
+            THEN round((day_c::DOUBLE - mean_c) / sqrt(var_c), 6) END AS z,
+       coalesce(abs(CASE WHEN n_win = {_ANOM_WIN} AND var_c > 0
+                         THEN round((day_c::DOUBLE - mean_c) / sqrt(var_c), 6)
+                    END) > {_ANOM_Z}, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
+PROFILING_SPECS = [
+    QuerySpec(
+        "table_profile_orders",
+        table_profile_orders,
+        TABLE_PROFILE_ORDERS_SQL,
+        ("table-profiling",),
+    ),
+    QuerySpec(
+        "incremental_daily_revenue",
+        incremental_daily_revenue,
+        INCREMENTAL_DAILY_REVENUE_SQL,
+        ("incremental-view-maintenance",),
+    ),
+    QuerySpec(
+        "daily_revenue_anomalies",
+        daily_revenue_anomalies,
+        DAILY_REVENUE_ANOMALIES_SQL,
+        ("anomaly-detection-zscore",),
+    ),
+]

@@ -9,8 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .analytics import ANALYTICS_SPECS
 from .approx import APPROX_SPECS
 from .filtering import FILTERING_SPECS
+from .graph import GRAPH_SPECS
 from .multimodal import MULTIMODAL_SPECS
 from .pretrain import PRETRAIN_SPECS
+from .profiling import PROFILING_SPECS
 from .relational import RELATIONAL_SPECS
 from .relational_tpch import RELATIONAL_TPCH_SPECS
 from .relational_tpch2 import RELATIONAL_TPCH2_SPECS
@@ -35,6 +37,8 @@ _ALL_SPECS: list[QuerySpec] = (
     + RELATIONAL_TPCH2_SPECS
     + RETRIEVAL_SPECS
     + FILTERING_SPECS
+    + GRAPH_SPECS
+    + PROFILING_SPECS
 )
 
 # Driver-verification history, one set per round, used to rotate the
@@ -185,6 +189,12 @@ _R5_ADDED: set[str] = {
     "decontaminate_exact_substring",
     "events_transition_matrix",
     "events_hourly_gapfill",
+    # round-5 session additions (same placement rationale)
+    "copurchase_triangles",
+    "semantic_dedup_semdedup",
+    "table_profile_orders",
+    "incremental_daily_revenue",
+    "daily_revenue_anomalies",
 }
 
 

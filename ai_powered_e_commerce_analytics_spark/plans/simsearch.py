@@ -668,42 +668,31 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means via Lloyd iterations (K=8, 2 centroid updates, init =
-    the vectors with vec_id < K), reporting per-cluster size, inertia,
-    and label purity — the clustering rollup an embedding pipeline
-    publishes to sanity-check a codebook / IVF partitioning.
+def _argmin_struct(cents_list) -> Column:
+    """Nearest-centroid assignment as a pure per-row expression over the
+    K centroid vectors inlined as literals (argmin via ``least`` on
+    (dist, cid) structs — cid breaks exact ties)."""
+    structs = []
+    for cid, vec in cents_list:
+        lit = F.array(*[F.lit(v) for v in vec])
+        structs.append(
+            F.struct(
+                _sqdist(F.col("emb"), lit).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    return F.least(*structs)
 
-    Iterative-algorithm determinism (the reason this is oracle-gated at
-    all): naive double-sum centroid updates are order-dependent, so two
-    engines (or two Spark runs with different partitioning) drift in the
-    last ulps and can flip boundary assignments. Instead every
-    accumulation is EXACT:
 
-    - centroid sums run in fixed-point longs (``round(x * 2^20)`` per
-      element — x*2^20 is a pure exponent shift of the float32-exact
-      input, so the grid loses nothing it needs); long sums are
-      associative → any partitioning, same centroid;
-    - the mean back to double is ``(sum / n) / 2^20`` on identical
-      operands → bit-identical in both engines;
-    - inertia sums ``round(dist * 1e6)`` micro-unit longs, emitted as
-      the exact ratio ``micro / 1e6``.
-
-    Assignment is a pure per-row expression over the K centroid vectors
-    inlined as literals (argmin via ``least`` on (dist, cid) structs —
-    cid breaks exact ties), collected driver-side between iterations:
-    O(K × dim) scalars per round, the same driver-scalar pattern as the
-    connected-components convergence checks. Per iteration the corpus
-    is ONE scan + a posexplode → groupBy(cid, dim) update agg whose
-    map-side combine contracts each task to ≤ K × dim rows before the
-    shuffle — the corpus itself never shuffles, at any scale.
-    """
+def _lloyd_state(spark: SparkSession, sf_dir: str):
+    """The corpus frame and the centroids after ``KMEANS_UPDATES`` exact
+    fixed-point Lloyd rounds (shared by the cluster report and the
+    SemDeDup query — one discipline, two consumers)."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-
     init = [
         (int(r["vec_id"]), list(r["emb"]))
         for r in e.where(F.col("vec_id") < KMEANS_K)
@@ -711,21 +700,8 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     cents = sorted(init)
-
-    def argmin_struct(cents_list) -> Column:
-        structs = []
-        for cid, vec in cents_list:
-            lit = F.array(*[F.lit(v) for v in vec])
-            structs.append(
-                F.struct(
-                    _sqdist(F.col("emb"), lit).alias("d"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-            )
-        return F.least(*structs)
-
     for _ in range(KMEANS_UPDATES):
-        assigned = e.withColumn("cid", argmin_struct(cents)["cid"])
+        assigned = e.withColumn("cid", _argmin_struct(cents)["cid"])
         upd = (
             assigned.select(
                 "cid",
@@ -756,8 +732,41 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(r["dim"])
             ] = float(r["mean"])
         cents = sorted(by_cid.items())
+    return e, cents
 
-    m = argmin_struct(cents)
+
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via Lloyd iterations (K=8, 2 centroid updates, init =
+    the vectors with vec_id < K), reporting per-cluster size, inertia,
+    and label purity — the clustering rollup an embedding pipeline
+    publishes to sanity-check a codebook / IVF partitioning.
+
+    Iterative-algorithm determinism (the reason this is oracle-gated at
+    all): naive double-sum centroid updates are order-dependent, so two
+    engines (or two Spark runs with different partitioning) drift in the
+    last ulps and can flip boundary assignments. Instead every
+    accumulation is EXACT:
+
+    - centroid sums run in fixed-point longs (``round(x * 2^20)`` per
+      element — x*2^20 is a pure exponent shift of the float32-exact
+      input, so the grid loses nothing it needs); long sums are
+      associative → any partitioning, same centroid;
+    - the mean back to double is ``(sum / n) / 2^20`` on identical
+      operands → bit-identical in both engines;
+    - inertia sums ``round(dist * 1e6)`` micro-unit longs, emitted as
+      the exact ratio ``micro / 1e6``.
+
+    Assignment is a pure per-row expression over the K centroid vectors
+    inlined as literals (argmin via ``least`` on (dist, cid) structs —
+    cid breaks exact ties), collected driver-side between iterations:
+    O(K × dim) scalars per round, the same driver-scalar pattern as the
+    connected-components convergence checks. Per iteration the corpus
+    is ONE scan + a posexplode → groupBy(cid, dim) update agg whose
+    map-side combine contracts each task to ≤ K × dim rows before the
+    shuffle — the corpus itself never shuffles, at any scale.
+    """
+    e, cents = _lloyd_state(spark, sf_dir)
+    m = _argmin_struct(cents)
     final = e.select(
         "vec_id",
         "label",
@@ -802,7 +811,10 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_sql() -> str:
+def _km_cte_prefix() -> str:
+    """The shared DuckDB CTE chain replaying the exact fixed-point Lloyd
+    rounds up to the final assignment ``a3`` (consumed by both the
+    cluster report and the SemDeDup oracle)."""
     dim_range = "range(1, 65)"
     dist = (
         "list_reduce(list_transform(" + dim_range + ", "
@@ -844,7 +856,11 @@ c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {KMEANS_K}),
 {update("a1", "c1")},
 {assign("c1", "a2")},
 {update("a2", "c2")},
-{assign("c2", "a3")},
+{assign("c2", "a3")}"""
+
+
+def _km_sql() -> str:
+    return f"""{_km_cte_prefix()},
 fin AS (
     SELECT vec_id, label, cid,
            round(dist * {_INERTIA_GRID})::BIGINT AS d_micro
@@ -869,6 +885,91 @@ FROM sizes s JOIN tops t USING (cid)
 
 
 KMEANS_LLOYD_SQL = _km_sql()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means partition + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4   # within-cluster cosine ceiling (matches the global
+                     # COSINE_DUP_THRESHOLD so the two axes are comparable)
+
+
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus with k-means, then search for semantic near-duplicates ONLY
+    within each cluster — the embedding-space analogue of LSH banding,
+    and the practical way to semantically dedup a web-scale corpus
+    without an all-pairs cosine join.
+
+    Keep rule (greedy keep-lowest, the same convention as the MinHash
+    survivor queries): a vector is a duplicate iff some LOWER vec_id in
+    its cluster has rounded cosine >= SEMDEDUP_TAU with it; ``dup_of``
+    is the smallest such witness, null for keepers.
+
+    Scale design: the cluster assignment reuses the exact fixed-point
+    Lloyd rounds of ``kmeans_lloyd_clusters`` (associative long sums →
+    any partitioning, both engines agree bit-exactly), so the only new
+    work is the WITHIN-CLUSTER pair join — a cid-equi self-join whose
+    cost is Σ|cluster|², not N². In production K grows with the corpus
+    (SemDeDup uses K ≈ N/10k), holding cluster size — and therefore
+    per-key join fan-out — constant as the corpus scales; skewed
+    clusters split by re-clustering, not salting, because the centroid
+    refinement IS the splitter. The witness agg is one narrow
+    pair-grain groupBy.
+    """
+    e, cents = _lloyd_state(spark, sf_dir)
+    assigned = e.select(
+        "vec_id",
+        _argmin_struct(cents)["cid"].alias("cluster_id"),
+        "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""{_km_cte_prefix()},
+v AS (
+    SELECT vec_id, cid AS cluster_id, emb,
+           sqrt(list_dot_product(emb, emb)) AS norm
+    FROM a3
+),
+w AS (
+    SELECT b.vec_id AS vec_id, min(a.vec_id)::BIGINT AS dup_of
+    FROM v a JOIN v b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+          >= {SEMDEDUP_TAU}
+    GROUP BY b.vec_id
+)
+SELECT v.vec_id, v.cluster_id, w.dup_of, (w.dup_of IS NULL) AS keep
+FROM v LEFT JOIN w ON v.vec_id = w.vec_id
+"""
 
 
 SIMSEARCH_SPECS = [
@@ -903,5 +1004,11 @@ SIMSEARCH_SPECS = [
         embedding_dim_stats,
         EMBEDDING_DIM_STATS_SQL,
         ("embedding-feature-health",),
+    ),
+    QuerySpec(
+        "semantic_dedup_semdedup",
+        semantic_dedup_semdedup,
+        SEMANTIC_DEDUP_SQL,
+        ("dedup-semantic-semdedup",),
     ),
 ]
