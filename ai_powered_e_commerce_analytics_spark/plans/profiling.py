@@ -281,6 +281,52 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-width value histogram (BI distribution strip)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH_C = 2_500_000   # bucket width: $25,000 in exact cents
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: bucket = integer division
+    of the exact cents by the $25k width — one groupBy on a derived
+    key, partial-aggregated map-side; O(buckets) output rows. Empty
+    buckets are absent by design (the gap-fill pattern lives in
+    ``events_hourly_gapfill``)."""
+    o = t(spark, sf_dir, "orders").select(cents("o_totalprice").alias("c"))
+    bucket = F.expr(f"c DIV {_HIST_WIDTH_C}")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("c").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH_C / F.lit(100.0)).alias("lo_usd"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH_C / F.lit(100.0)).alias(
+                "hi_usd"
+            ),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORDER_VALUE_HISTOGRAM_SQL = f"""
+SELECT bucket,
+       (bucket * {_HIST_WIDTH_C})::DOUBLE / 100.0 AS lo_usd,
+       ((bucket + 1) * {_HIST_WIDTH_C})::DOUBLE / 100.0 AS hi_usd,
+       count(*)::BIGINT AS n_orders,
+       sum(c)::DOUBLE / 100.0 AS revenue
+FROM (SELECT {cents_sql('o_totalprice')} AS c,
+             {cents_sql('o_totalprice')} // {_HIST_WIDTH_C} AS bucket
+      FROM orders)
+GROUP BY bucket
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -299,5 +345,11 @@ PROFILING_SPECS = [
         daily_revenue_anomalies,
         DAILY_REVENUE_ANOMALIES_SQL,
         ("anomaly-detection-zscore",),
+    ),
+    QuerySpec(
+        "order_value_histogram",
+        order_value_histogram,
+        ORDER_VALUE_HISTOGRAM_SQL,
+        ("histogram-equi-width",),
     ),
 ]

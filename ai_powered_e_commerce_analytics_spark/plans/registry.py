@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import ANALYTICS_SPECS
 from .approx import APPROX_SPECS
+from .er import ER_SPECS
 from .filtering import FILTERING_SPECS
 from .graph import GRAPH_SPECS
 from .multimodal import MULTIMODAL_SPECS
@@ -39,6 +40,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + FILTERING_SPECS
     + GRAPH_SPECS
     + PROFILING_SPECS
+    + ER_SPECS
 )
 
 # Driver-verification history, one set per round, used to rotate the
@@ -195,6 +197,9 @@ _R5_ADDED: set[str] = {
     "table_profile_orders",
     "incremental_daily_revenue",
     "daily_revenue_anomalies",
+    "events_dedup_within_window",
+    "part_name_er_pairs",
+    "order_value_histogram",
 }
 
 

@@ -186,6 +186,52 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+_DEDUP_WINDOW_US = 4 * _HOUR_US   # debounce horizon (telemetry dedup)
+
+
+def events_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: an event is suppressed when the SAME
+    (user_id, event_type) emitted an event less than 4 h earlier — the
+    batch twin of the streaming ``dropDuplicatesWithinWatermark``
+    family (streaming/jobs.py): at compaction time the corpus re-runs
+    this exact rule, so stream and batch share the dedup contract.
+
+    Rule: gap to the immediately PREVIOUS raw event (lag), not to the
+    previous surviving event — one window pass, no iteration, and the
+    same decision every engine makes from the sorted sequence. Emits
+    every event with its gap and the verdict so the drop is auditable.
+
+    Scale: the window partitions by (user_id, event_type) — key
+    cardinality grows WITH the data (users × types), so partitions stay
+    small at any scale; this is the high-cardinality-safe window shape
+    (contrast the per-source low-cardinality windows in sampling.py,
+    which need the two-pass contraction).
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", event_ts_us(ev).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return base.withColumn("gap_us", gap).withColumn(
+        "kept",
+        F.coalesce(F.col("gap_us") >= _DEDUP_WINDOW_US, F.lit(True)),
+    )
+
+
+EVENTS_DEDUP_WITHIN_WINDOW_SQL = f"""
+SELECT event_id, user_id, event_type, ts_us,
+       ts_us - lag(ts_us) OVER w AS gap_us,
+       coalesce(ts_us - lag(ts_us) OVER w >= {_DEDUP_WINDOW_US}, TRUE)
+           AS kept
+FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events)
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+"""
+
+
 TEMPORAL_SPECS = [
     QuerySpec("asof_last_click_before_purchase",
               asof_last_click_before_purchase,
@@ -193,4 +239,7 @@ TEMPORAL_SPECS = [
     QuerySpec("range_join_clicks_before_purchase",
               range_join_clicks_before_purchase,
               RANGE_JOIN_CLICKS_SQL, ("range-join-bucketed-band",)),
+    QuerySpec("events_dedup_within_window",
+              events_dedup_within_window,
+              EVENTS_DEDUP_WITHIN_WINDOW_SQL, ("event-debounce-dedup",)),
 ]
