@@ -717,6 +717,87 @@ FROM contrib GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage (OOV-rate audit before training)
+# ---------------------------------------------------------------------------
+
+VOCAB_N = 30   # fixed vocabulary = top-N corpus terms
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary audit against a fixed top-``VOCAB_N``
+    corpus vocabulary — the coverage check run before committing to a
+    tokenizer/vocab (a high OOV source inflates UNK rates downstream).
+
+    Vocabulary selection is deterministic: top N terms by
+    (count DESC, term ASC) — a total order, so both engines pick the
+    identical set. Plan: ONE token explode feeds both the frequency agg
+    and the per-source fold (doc-grain barrier → ReuseExchange, the
+    ``tfidf_top_terms`` shape); the vocab is O(N) rows and broadcasts
+    onto the token stream; the source rollup partial-aggregates
+    map-side to |sources| rows. The top-N contraction itself is a sort
+    on VOCABULARY-grain rows (bounded by distinct terms, not corpus
+    size — fine at any corpus scale).
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    ).repartition("source")
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "term")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= VOCAB_N)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("term"))
+            ).alias("oov_distinct_terms"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            "oov_distinct_terms",
+            (
+                F.col("oov_tokens").cast("double") / F.col("total_tokens")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+TOKENIZER_VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest({_TOKS_SQL}) AS term
+    FROM documents WHERE doc_id IS NOT NULL
+),
+freq AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM freq
+    ) WHERE rk <= {VOCAB_N}
+)
+SELECT source,
+       count(*)::BIGINT AS total_tokens,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+       count(DISTINCT CASE WHEN v.term IS NULL THEN tok.term END)::BIGINT
+           AS oov_distinct_terms,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+           AS oov_rate
+FROM tok LEFT JOIN vocab v ON tok.term = v.term
+GROUP BY source
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -765,5 +846,11 @@ PRETRAIN_SPECS = [
         source_kl_divergence,
         SOURCE_KL_DIVERGENCE_SQL,
         ("mix-kl-drift",),
+    ),
+    QuerySpec(
+        "tokenizer_vocab_coverage",
+        tokenizer_vocab_coverage,
+        TOKENIZER_VOCAB_COVERAGE_SQL,
+        ("vocab-oov-coverage",),
     ),
 ]

@@ -200,6 +200,7 @@ _R5_ADDED: set[str] = {
     "events_dedup_within_window",
     "part_name_er_pairs",
     "order_value_histogram",
+    "tokenizer_vocab_coverage",
 }
 
 
