@@ -919,12 +919,17 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-grain groupBy.
     """
     e, cents = _lloyd_state(spark, sf_dir)
+    # Materialize the assignment once: it feeds BOTH self-join sides and
+    # the final left join, and the argmin is a K×dim expression per row —
+    # without the checkpoint the corpus scan + assignment runs 3×
+    # (measured 5.6 s -> 3.1 s at sf0.1). Same localCheckpoint
+    # discipline as the CC/PageRank iterations.
     assigned = e.select(
         "vec_id",
         _argmin_struct(cents)["cid"].alias("cluster_id"),
         "emb",
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb"))

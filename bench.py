@@ -96,6 +96,15 @@ HEADLINE = [
     "source_kl_divergence",
     "events_active_users",
     "monthly_first_vs_repeat",
+    "copurchase_triangles",
+    "semantic_dedup_semdedup",
+    "table_profile_orders",
+    "incremental_daily_revenue",
+    "daily_revenue_anomalies",
+    "order_value_histogram",
+    "events_dedup_within_window",
+    "part_name_er_pairs",
+    "tokenizer_vocab_coverage",
 ]
 
 
