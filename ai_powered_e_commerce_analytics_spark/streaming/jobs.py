@@ -510,6 +510,78 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_DEBOUNCE_STATE = T.StructType([T.StructField("last_ts_us", T.LongType())])
+_DEBOUNCE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+DEBOUNCE_WINDOW_US = 4 * 3600 * 1_000_000  # matches the batch twin
+
+
+def _debounce_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(user, type) debounce state: emit an event iff the previous
+    RAW event of the same key is at least DEBOUNCE_WINDOW_US older —
+    the stateful twin of the batch ``events_dedup_within_window`` lag
+    rule (gap to the previous raw event, not the previous survivor),
+    with state = ONE long per key. Same cross-batch arrival contract as
+    :func:`_funnel_fn`: within a batch events fold in event-time order;
+    a late event landing in a later micro-batch is judged against the
+    newest ts already seen (the batch twin would judge it against its
+    true predecessor) — re-run the batch query at compaction time for
+    the exact-closure form."""
+    user_id, event_type = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    (last,) = state.get if state.exists else (None,)
+    rows = sorted(
+        (int(ts), int(eid))
+        for pdf in pdfs
+        for ts, eid in zip(pdf["ts_us"].tolist(), pdf["event_id"].tolist())
+    )
+    kept = []
+    for ts, eid in rows:
+        if last is None or ts - last >= DEBOUNCE_WINDOW_US:
+            kept.append(
+                {
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "event_id": eid,
+                    "ts_us": ts,
+                }
+            )
+        last = ts
+    state.update((last,))
+    if kept:
+        yield pd.DataFrame(kept)
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """Streaming telemetry debounce over (user_id, event_type, event_id,
+    ts_us) rows: suppress events arriving within DEBOUNCE_WINDOW_US of
+    the previous same-key event. State is one long per live key —
+    O(users × types), never O(events) — so it holds at any stream
+    volume; the batch twin is ``events_dedup_within_window``."""
+    return (
+        events.select("user_id", "event_type", "event_id", "ts_us")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_fn,
+            outputStructType=_DEBOUNCE_OUT,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _FUNNEL_STATE = T.StructType(
     [
         T.StructField("t1", T.LongType()),

@@ -887,3 +887,74 @@ def test_ingest_then_compact_roundtrip(spark, tmp_path):
         (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_debounce_stream_matches_batch_rule(spark, tmp_path):
+    # Stateful streaming debounce: same 4h gap-to-previous-RAW-event rule
+    # as the batch events_dedup_within_window query, with state carried
+    # across micro-batches (id4's 1h gap is measured against id2 seen in
+    # the PREVIOUS batch; id6 sits exactly on the inclusive >= boundary).
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        DEBOUNCE_WINDOW_US,
+        debounce_stream,
+    )
+
+    H = 3_600_000_000
+    assert DEBOUNCE_WINDOW_US == 4 * H
+    src = str(tmp_path / "dev")
+    out = str(tmp_path / "kept")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, event_id long, ts_us long"
+        ).json(src)
+        q = (
+            debounce_stream(stream)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    schema = "user_id long, event_type string, event_id long, ts_us long"
+    batch1 = [
+        (1, "click", 1, 0),
+        (1, "click", 2, 1 * H),      # 1h after id1 -> suppressed
+        (2, "view", 3, 0),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    run_stream()
+    assert {r.event_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    batch2 = [
+        (1, "click", 4, 2 * H),      # 1h after id2 (prev RAW) -> suppressed
+        (1, "click", 5, 13 * H),     # 11h gap -> kept
+        (2, "view", 6, 4 * H),       # exactly 4h -> kept (inclusive)
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run_stream()
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3, 5, 6}
+
+    # Batch twin on the union of both batches: identical kept set.
+    from pyspark.sql.window import Window
+
+    all_ev = spark.createDataFrame(batch1 + batch2, schema)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    batch_kept = {
+        r.event_id
+        for r in all_ev.withColumn("gap", gap)
+        .where(F.coalesce(F.col("gap") >= DEBOUNCE_WINDOW_US, F.lit(True)))
+        .collect()
+    }
+    assert batch_kept == got
