@@ -181,11 +181,104 @@ FROM deg LEFT JOIN member ON deg.v = member.part_key
 """
 
 
+def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: Jaccard over the
+    sets of orders containing each part — ``|both| / (|A| + |B| -
+    |both|)`` — for every supported co-purchase pair. The "customers
+    who bought X also bought Y" score, exactly the inverted-index
+    item-CF shape (co-counts from the basket expansion, never a
+    row-level self-join).
+
+    Plan: the pair co-counts reuse the one-basket-shuffle expansion of
+    :func:`_supported_edges` (kept with their counts here); per-item
+    order-degrees are one distinct+groupBy contraction to item grain;
+    the two degree attaches are item-keyed equi-joins (item dimension —
+    AQE broadcasts while it fits, shuffles when it doesn't). Jaccard is
+    an exact-integer ratio (float policy: emit raw).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x: F.transform(
+                        F.col("parts"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    )
+    pairs = (
+        baskets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= MIN_SUPPORT)
+    )
+    deg = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("deg_b")
+    )
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+COPURCHASE_ITEM_SIMILARITY_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*)::BIGINT AS n_both
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS n_orders FROM d GROUP BY 1)
+SELECT p.part_a, p.part_b, p.n_both,
+       da.n_orders AS deg_a, db.n_orders AS deg_b,
+       p.n_both::DOUBLE / (da.n_orders + db.n_orders - p.n_both) AS jaccard
+FROM pairs p
+JOIN deg da ON da.l_partkey = p.part_a
+JOIN deg db ON db.l_partkey = p.part_b
+"""
+
+
 GRAPH_SPECS = [
     QuerySpec(
         "copurchase_triangles",
         copurchase_triangles,
         COPURCHASE_TRIANGLES_SQL,
         ("graph-triangle-count",),
+    ),
+    QuerySpec(
+        "copurchase_item_similarity",
+        copurchase_item_similarity,
+        COPURCHASE_ITEM_SIMILARITY_SQL,
+        ("item-cf-jaccard",),
     ),
 ]

@@ -327,6 +327,74 @@ GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Fulfillment SLA: ship-delay distribution per order priority
+# ---------------------------------------------------------------------------
+
+_SLA_DAYS = 90   # late threshold for the breach-rate column
+
+
+def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-delay SLA report per order priority: exact p50/p90/p99 of
+    ``datediff(l_shipdate, o_orderdate)`` plus mean and breach rate —
+    the fulfillment dashboard an ops team reviews weekly.
+
+    Plan: ONE orderkey equi-join (fact-to-fact — SMJ/shuffled-hash at
+    scale, orders side is the smaller fact), delay as an exact integer
+    day count, then a priority-grain agg. ``percentile`` is the exact
+    full-sort-per-group form (5 groups; the oracle-parity choice);
+    ``approx_percentile`` is the mergeable 100 TB swap. Mean and
+    breach-rate are exact-integer ratios (float policy: emit raw).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("delay_days"),
+    )
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(delay_days, {p})"), 6
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        pct(0.5).alias("p50_days"),
+        pct(0.9).alias("p90_days"),
+        pct(0.99).alias("p99_days"),
+        (F.sum("delay_days").cast("double") / F.count("*")).alias(
+            "mean_days"
+        ),
+        (
+            F.sum((F.col("delay_days") > _SLA_DAYS).cast("long")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("breach_rate"),
+    )
+
+
+SHIPPING_SLA_PERCENTILES_SQL = f"""
+WITH j AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)::BIGINT
+               AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_lineitems,
+       round(quantile_cont(delay_days, 0.50), 6) AS p50_days,
+       round(quantile_cont(delay_days, 0.90), 6) AS p90_days,
+       round(quantile_cont(delay_days, 0.99), 6) AS p99_days,
+       sum(delay_days)::DOUBLE / count(*) AS mean_days,
+       sum((delay_days > {_SLA_DAYS})::INT)::DOUBLE / count(*)
+           AS breach_rate
+FROM j GROUP BY 1
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -351,5 +419,11 @@ PROFILING_SPECS = [
         order_value_histogram,
         ORDER_VALUE_HISTOGRAM_SQL,
         ("histogram-equi-width",),
+    ),
+    QuerySpec(
+        "shipping_sla_percentiles",
+        shipping_sla_percentiles,
+        SHIPPING_SLA_PERCENTILES_SQL,
+        ("sla-delay-percentiles",),
     ),
 ]

@@ -201,6 +201,8 @@ _R5_ADDED: set[str] = {
     "part_name_er_pairs",
     "order_value_histogram",
     "tokenizer_vocab_coverage",
+    "copurchase_item_similarity",
+    "shipping_sla_percentiles",
 }
 
 
