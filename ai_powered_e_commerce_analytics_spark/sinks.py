@@ -355,6 +355,145 @@ def upsert_parquet(
     )
 
 
+def apply_cdc_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    key: str,
+    *,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 64,
+    max_attempts: int = 5,
+) -> None:
+    """Apply a CDC change batch (inserts/updates/DELETES) to a
+    manifest-committed upsert table — the missing lakehouse verb on top
+    of :func:`upsert_parquet` (which is upsert-only): the Spark-side
+    equivalent of ``MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE``.
+
+    ``changes`` carries the payload columns plus ``op_col`` with values
+    ``'I'``/``'U'`` (upsert — identical semantics, split only for
+    source fidelity) or ``'D'`` (delete; payload columns ignored).
+    When a batch may contain SEVERAL changes for one key, pass
+    ``seq_col`` (monotone per key — a CDC LSN/offset): the batch first
+    collapses to each key's latest change (``row_number`` by seq DESC),
+    exactly how Debezium-style consumers compact a batch. Without
+    ``seq_col``, duplicate keys in one batch are rejected — silently
+    picking one would corrupt the table.
+
+    Same layout, OCC commit loop, GC, and bounded bucket-rewrite cost
+    as :func:`upsert_parquet`: only the buckets the batch's keys hash
+    into are rewritten; deletes drop the key from its rewritten bucket
+    (a delete for an absent key is a no-op). Readers see the change
+    batch atomically via the manifest rename.
+    """
+    from .hadoop import hadoop_fs, hadoop_path
+
+    fs = hadoop_fs(spark, table_path)
+    if seq_col is not None:
+        latest = (
+            changes.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc(seq_col))
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+    else:
+        dup = (
+            changes.groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"CDC batch has multiple changes for key {dup[0][0]!r}; "
+                "pass seq_col to define which one wins"
+            )
+        latest = changes
+
+    for _attempt in range(max_attempts):
+        version, manifest = _latest_manifest(spark, fs, table_path)
+        nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
+
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        bucketed = latest.withColumn("__bucket", bucket).localCheckpoint(
+            eager=True  # one deterministic snapshot for all three uses
+        )
+        touched = [
+            r[0] for r in bucketed.select("__bucket").distinct().collect()
+        ]
+        upserts = bucketed.where(F.col(op_col) != "D").drop(op_col)
+        del_keys = bucketed.where(F.col(op_col) == "D").select(key)
+
+        if manifest is not None:
+            old_paths = [
+                f"{table_path}/{manifest['buckets'][str(b)]}"
+                for b in touched
+                if str(b) in manifest["buckets"]
+            ]
+        else:
+            old_paths = []
+        if old_paths:
+            old = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*old_paths)
+                .withColumn(
+                    "__bucket",
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
+                )
+            )
+            merged = (
+                upserts.withColumn("__rank", F.lit(0))
+                .unionByName(
+                    old.withColumn("__rank", F.lit(1)),
+                    allowMissingColumns=True,
+                )
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(key).orderBy("__rank")
+                    ),
+                )
+                .where(F.col("__rn") == 1)
+                .drop("__rank", "__rn")
+                .join(del_keys, key, "left_anti")
+            )
+        else:
+            merged = upserts.join(del_keys, key, "left_anti")
+        txid = uuid.uuid4().hex[:12]
+        tx_dir = f"{table_path}/data/tx_{txid}"
+        (
+            merged.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tx_dir)
+        )
+
+        buckets = dict(manifest["buckets"]) if manifest is not None else {}
+        for b in touched:
+            rel = f"data/tx_{txid}/__bucket={b}"
+            # A bucket whose every row was deleted writes NO output dir;
+            # its manifest entry must disappear, not dangle.
+            if fs.exists(hadoop_path(spark, f"{table_path}/{rel}")):
+                buckets[str(b)] = rel
+            else:
+                buckets.pop(str(b), None)
+        new_manifest = {"num_buckets": nb, "buckets": buckets}
+        if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
+            _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
+            return
+        fs.delete(hadoop_path(spark, tx_dir), True)
+    raise RuntimeError(
+        f"CDC apply at {table_path} lost the commit race {max_attempts} "
+        "times — giving up (sustained writer contention)"
+    )
+
+
 def read_upsert_table(
     spark: SparkSession, table_path: str, *, version: int | None = None
 ) -> DataFrame:
@@ -387,6 +526,13 @@ def read_upsert_table(
             )
         manifest = json.loads(fs_read_text(spark, vpath))
     paths = [f"{table_path}/{rel}" for rel in manifest["buckets"].values()]
+    if not paths:
+        raise FileNotFoundError(
+            f"{table_path} is committed but EMPTY (every row deleted by "
+            "CDC); no schema is recoverable from a parquet-backed table "
+            "with zero files — keep a schema registry if this state must "
+            "be readable"
+        )
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 

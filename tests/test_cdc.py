@@ -1,0 +1,113 @@
+"""CDC apply (insert/update/delete MERGE) on the manifest upsert table."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_powered_e_commerce_analytics_spark.sinks import (
+    apply_cdc_parquet,
+    read_upsert_table,
+    upsert_parquet,
+)
+
+
+def _rows(spark, table):
+    return {
+        (r["k"], r["v"]) for r in read_upsert_table(spark, table).collect()
+    }
+
+
+def test_cdc_insert_update_delete(spark, tmp_path):
+    table = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    upsert_parquet(spark, seed, table, "k", num_buckets=4)
+
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U"),     # update existing
+            (9, "z", "I"),     # insert new
+            (1, None, "D"),    # delete existing
+            (7, None, "D"),    # delete absent -> no-op
+        ],
+        "k long, v string, op string",
+    )
+    apply_cdc_parquet(spark, changes, table, "k", num_buckets=4)
+    assert _rows(spark, table) == {(2, "B"), (3, "c"), (9, "z")}
+
+    # time travel: the pre-CDC version is still readable (one-generation
+    # GC retention), and equals the seed.
+    prev = {
+        (r["k"], r["v"])
+        for r in read_upsert_table(spark, table, version=1).collect()
+    }
+    assert prev == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_cdc_seq_collapses_to_latest_change_per_key(spark, tmp_path):
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=4,
+    )
+    # One batch, several changes per key: k=1 updated then DELETED
+    # (delete wins by seq); k=2 deleted then re-inserted (insert wins).
+    changes = spark.createDataFrame(
+        [
+            (1, "A1", "U", 10),
+            (1, None, "D", 11),
+            (2, None, "D", 10),
+            (2, "b2", "I", 12),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    apply_cdc_parquet(spark, changes, table, "k", seq_col="seq", num_buckets=4)
+    assert _rows(spark, table) == {(2, "b2")}
+
+
+def test_cdc_duplicate_keys_without_seq_rejected(spark, tmp_path):
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=4,
+    )
+    changes = spark.createDataFrame(
+        [(1, "x", "U"), (1, None, "D")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="multiple changes"):
+        apply_cdc_parquet(spark, changes, table, "k", num_buckets=4)
+
+
+def test_cdc_emptied_bucket_drops_manifest_entry(spark, tmp_path):
+    table = str(tmp_path / "t")
+    # 1 bucket => deleting one of two keys rewrites THE bucket; deleting
+    # the last key would empty it entirely.
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=1,
+    )
+    apply_cdc_parquet(
+        spark,
+        spark.createDataFrame([(1, None, "D")], "k long, v string, op string"),
+        table,
+        "k",
+    )
+    assert _rows(spark, table) == {(2, "b")}
+    apply_cdc_parquet(
+        spark,
+        spark.createDataFrame([(2, None, "D")], "k long, v string, op string"),
+        table,
+        "k",
+    )
+    with pytest.raises(FileNotFoundError, match="EMPTY"):
+        read_upsert_table(spark, table)
