@@ -510,6 +510,48 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def cdc_apply_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    key: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    seq_col: str = "seq",
+    archive_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC consumer: JSON change files (op I/U/D + ``seq_col``)
+    stream into :func:`~..sinks.apply_cdc_parquet` per micro-batch —
+    the end-to-end "replicate an OLTP table into the lakehouse" job.
+
+    Replay safety (foreachBatch is at-least-once): a replayed
+    micro-batch re-applies the SAME collapsed change set — upserts
+    rewrite identical rows (last-writer-wins over themselves) and
+    deletes of already-absent keys are no-ops — so a crash between the
+    CDC commit and the checkpoint commit cannot corrupt the table; it
+    costs one extra manifest version. Within a batch, ``seq_col``
+    picks each key's latest change (Debezium-style compaction);
+    ACROSS batches the file-source FIFO order preserves the feed's
+    commit order.
+    """
+    from ..sinks import apply_cdc_parquet
+
+    stream = _file_stream(spark, src_dir, schema, archive_dir=archive_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_cdc_parquet(spark, batch, table_path, key, seq_col=seq_col)
+
+    writer = stream.writeStream.option("checkpointLocation", checkpoint_dir)
+    writer = writer.foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
 _DEBOUNCE_STATE = T.StructType([T.StructField("last_ts_us", T.LongType())])
 _DEBOUNCE_OUT = T.StructType(
     [

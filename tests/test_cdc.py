@@ -111,3 +111,50 @@ def test_cdc_emptied_bucket_drops_manifest_entry(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="EMPTY"):
         read_upsert_table(spark, table)
+
+
+def test_cdc_apply_stream_replicates_feed(spark, tmp_path):
+    # End-to-end streaming CDC: change files replicate an upstream table
+    # into the lakehouse across micro-batch runs, honoring seq order
+    # within a batch and FIFO file order across runs.
+    from pyspark.sql import types as T
+
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        cdc_apply_stream,
+    )
+
+    src = str(tmp_path / "feed")
+    table = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def run():
+        q = cdc_apply_stream(
+            spark,
+            src,
+            table,
+            "k",
+            str(tmp_path / "c"),
+            schema=schema,
+        )
+        q.awaitTermination(120)
+
+    feed1 = [(1, "a", "I", 1), (2, "b", "I", 2), (2, "b2", "U", 3)]
+    spark.createDataFrame(feed1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    run()
+    assert _rows(spark, table) == {(1, "a"), (2, "b2")}
+
+    feed2 = [(1, None, "D", 4), (3, "c", "I", 5)]
+    spark.createDataFrame(feed2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run()
+    assert _rows(spark, table) == {(2, "b2"), (3, "c")}
