@@ -322,6 +322,11 @@ def documents_ingest_stream(
         _file_stream(spark, src_dir, schema, archive_dir=archive_dir)
         .withColumn("ts_utc", F.to_timestamp("ts"))
         .drop("ts")
+        # Pipeline observability (Spark-native, no extra pass): per
+        # micro-batch row counts surface in every
+        # StreamingQueryProgress.observedMetrics — the numbers an
+        # ingestion dashboard plots without re-reading the sink.
+        .observe("docs_in", F.count(F.lit(1)).alias("n_docs_in"))
     )
     if quality_gate:
         from ..plans.filtering import METRIC_COLS, with_quality_verdict
@@ -330,6 +335,7 @@ def documents_ingest_stream(
             with_quality_verdict(stream)
             .where(F.col("keep"))
             .select("doc_id", "text", "ts_utc")
+            .observe("docs_kept", F.count(F.lit(1)).alias("n_docs_kept"))
         )
         assert not set(METRIC_COLS) & set(stream.columns)
     deduped = near_dedup_stream(

@@ -958,3 +958,44 @@ def test_debounce_stream_matches_batch_rule(spark, tmp_path):
         .collect()
     }
     assert batch_kept == got
+
+
+def test_ingest_stream_observed_metrics(spark, tmp_path):
+    # Spark-native observability: every micro-batch publishes row counts
+    # through observe() -> StreamingQueryProgress.observedMetrics, so a
+    # dashboard reads ingest/keep rates without re-scanning the sink.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "in")
+    # passes every battery rule (incl. the 4.1-5.0 avg-token-length band
+    # tuned to the synthetic corpus vocabulary)
+    good = (
+        "table value batch window merge spark group scan the fast slow "
+        "part hash query line sort order data row small"
+    )
+    spark.createDataFrame(
+        [
+            (1, good, "2024-01-01 00:00:00"),
+            (2, "tiny", "2024-01-01 00:01:00"),  # fails the rule battery
+        ],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = documents_ingest_stream(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        quality_gate=True,
+    )
+    _await(q)
+    seen = kept = 0
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if "observedMetrics" in p else {}
+        if "docs_in" in om:
+            seen += om["docs_in"][0]  # metric rows surface as lists
+        if "docs_kept" in om:
+            kept += om["docs_kept"][0]
+    assert seen == 2
+    assert kept == 1
