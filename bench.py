@@ -105,6 +105,8 @@ HEADLINE = [
     "events_dedup_within_window",
     "part_name_er_pairs",
     "tokenizer_vocab_coverage",
+    "copurchase_item_similarity",
+    "shipping_sla_percentiles",
 ]
 
 
