@@ -395,6 +395,119 @@ FROM j GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary published with a release
+# ---------------------------------------------------------------------------
+
+
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card stat block a corpus release ships: volume (docs,
+    sources, languages, token mass), exact-duplication rate, and the
+    quality-battery keep rate — one row combining the engine's
+    measurement families into the publishable artifact.
+
+    Plan: ONE corpus pass computes every per-row signal (tokens,
+    canonical md5 fingerprint, rule verdicts) and partial-aggregates to
+    a single wide row (count(distinct) for the dedup/source/lang
+    cardinalities — exact for oracle parity, HLL at 100 TB); the
+    top-language pick is a second LANG-grain agg (O(langs) rows)
+    crossJoin'd back as a broadcast 1-row frame. Every emitted double
+    is an exact-integer ratio (float policy: raw).
+    """
+    from .filtering import with_quality_verdict
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    scored = with_quality_verdict(docs).withColumn("fp", F.md5(norm))
+    wide = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_unique_texts"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("kept_tokens"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("neg"), F.col("lang").alias("lang")
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("m.lang").alias("top_lang"),
+            (-F.col("m.neg")).cast("long").alias("top_lang_docs"),
+        )
+    )
+    return wide.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        "top_lang_docs",
+        (F.col("top_lang_docs").cast("double") / F.col("n_docs")).alias(
+            "top_lang_share"
+        ),
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dups"),
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs")
+        ).alias("exact_dup_rate"),
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        "kept_tokens",
+    )
+
+
+from .filtering import QUALITY_FILTER_BATTERY_SQL  # noqa: E402
+
+DATASET_CARD_SQL = f"""
+WITH scored AS (
+    SELECT b.*,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+           d.lang
+    FROM ({QUALITY_FILTER_BATTERY_SQL}) b
+    JOIN documents d USING (doc_id)
+),
+wide AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           count(DISTINCT fp)::BIGINT AS n_unique_texts,
+           sum(keep::INT)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT
+               AS kept_tokens
+    FROM scored
+),
+top AS (
+    SELECT first(lang ORDER BY c DESC, lang) AS top_lang,
+           max(c)::BIGINT AS top_lang_docs
+    FROM (SELECT lang, count(*) AS c
+          FROM documents WHERE doc_id IS NOT NULL GROUP BY lang)
+)
+SELECT n_docs, n_sources, n_langs, top_lang, top_lang_docs,
+       top_lang_docs::DOUBLE / n_docs AS top_lang_share,
+       total_tokens,
+       total_tokens::DOUBLE / n_docs AS mean_tokens,
+       (n_docs - n_unique_texts)::BIGINT AS n_exact_dups,
+       (n_docs - n_unique_texts)::DOUBLE / n_docs AS exact_dup_rate,
+       n_kept,
+       n_kept::DOUBLE / n_docs AS keep_rate,
+       kept_tokens
+FROM wide CROSS JOIN top
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -425,5 +538,11 @@ PROFILING_SPECS = [
         shipping_sla_percentiles,
         SHIPPING_SLA_PERCENTILES_SQL,
         ("sla-delay-percentiles",),
+    ),
+    QuerySpec(
+        "dataset_card_documents",
+        dataset_card_documents,
+        DATASET_CARD_SQL,
+        ("dataset-card-report",),
     ),
 ]

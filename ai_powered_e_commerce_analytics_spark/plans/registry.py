@@ -203,6 +203,7 @@ _R5_ADDED: set[str] = {
     "tokenizer_vocab_coverage",
     "copurchase_item_similarity",
     "shipping_sla_percentiles",
+    "dataset_card_documents",
 }
 
 

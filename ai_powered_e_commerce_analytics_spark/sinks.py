@@ -355,6 +355,29 @@ def upsert_parquet(
     )
 
 
+def write_daily_partitions(
+    df: DataFrame, path: str, date_col: str = "o_date"
+) -> None:
+    """Date-partitioned parquet write with DYNAMIC partition overwrite:
+    re-running a daily job replaces ONLY the partitions present in
+    ``df`` (late-arriving reruns, backfills) and leaves every other day
+    untouched — static overwrite mode would truncate the whole table,
+    the classic incremental-job footgun. The conf is set per-write and
+    restored, so the session default stays untouched.
+
+    At 100 TB this is the standard fact-table layout: partition
+    pruning turns date-range scans into partition listings, and the
+    daily refresh rewrites one partition, not the table.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def apply_cdc_parquet(
     spark: SparkSession,
     changes: DataFrame,

@@ -158,3 +158,39 @@ def test_cdc_apply_stream_replicates_feed(spark, tmp_path):
     ).json(src)
     run()
     assert _rows(spark, table) == {(2, "b2"), (3, "c")}
+
+
+def test_write_daily_partitions_dynamic_overwrite(spark, tmp_path):
+    # Re-running one day's job must replace only that day's partition.
+    from ai_powered_e_commerce_analytics_spark.sinks import (
+        write_daily_partitions,
+    )
+
+    path = str(tmp_path / "fact")
+    day1 = [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b")]
+    day2 = [("2024-01-02", 3, "c")]
+    schema = "o_date string, k long, v string"
+    write_daily_partitions(
+        spark.createDataFrame(day1 + day2, schema), path
+    )
+    # rerun of day 2 with corrected data
+    write_daily_partitions(
+        spark.createDataFrame([("2024-01-02", 3, "C2"), ("2024-01-02", 4, "d")], schema),
+        path,
+    )
+    # partition discovery types o_date as DATE — stringify for compare
+    got = {
+        (str(r["o_date"]), r["k"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-01", 2, "b"),
+        ("2024-01-02", 3, "C2"),
+        ("2024-01-02", 4, "d"),
+    }
+    # the per-write conf override was restored to the session default
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
