@@ -508,6 +508,66 @@ FROM wide CROSS JOIN top
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy / governance)
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 10   # groups smaller than this are re-identification risks
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment): every equivalence class with its size, a
+    risk flag for classes under ``K_ANON_THRESHOLD``, and the share of
+    customers sitting in risky classes — the release-gate check a
+    governance review runs before sharing "anonymized" data (classes of
+    size 1 are direct re-identifications).
+
+    One groupBy on the quasi-identifier (partial-aggregated map-side,
+    O(classes) rows out) plus a broadcast 1-row total for the shares —
+    the corpus never shuffles twice. Shares are exact-integer ratios.
+    """
+    c = t(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    total = classes.agg(
+        F.sum("class_size").alias("n_total"),
+        F.min("class_size").alias("k_anonymity"),
+    )
+    return (
+        classes.crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < K_ANON_THRESHOLD).alias("at_risk"),
+            (F.col("class_size").cast("double") / F.col("n_total")).alias(
+                "class_share"
+            ),
+            "k_anonymity",
+        )
+    )
+
+
+CUSTOMER_K_ANONYMITY_SQL = f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size
+    FROM customer GROUP BY 1, 2
+),
+tot AS (
+    SELECT sum(class_size)::BIGINT AS n_total,
+           min(class_size)::BIGINT AS k_anonymity
+    FROM classes
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       class_size < {K_ANON_THRESHOLD} AS at_risk,
+       class_size::DOUBLE / n_total AS class_share,
+       k_anonymity
+FROM classes CROSS JOIN tot
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -544,5 +604,11 @@ PROFILING_SPECS = [
         dataset_card_documents,
         DATASET_CARD_SQL,
         ("dataset-card-report",),
+    ),
+    QuerySpec(
+        "customer_k_anonymity",
+        customer_k_anonymity,
+        CUSTOMER_K_ANONYMITY_SQL,
+        ("privacy-k-anonymity",),
     ),
 ]

@@ -204,6 +204,7 @@ _R5_ADDED: set[str] = {
     "copurchase_item_similarity",
     "shipping_sla_percentiles",
     "dataset_card_documents",
+    "customer_k_anonymity",
 }
 
 

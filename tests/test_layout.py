@@ -109,3 +109,22 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_morton_code_roundtrip_bijection(spark):
+    # The interleave must be a bijection on (a, b) within the bit budget:
+    # decode z back to (a, b) in plain Python over a deterministic sample
+    # of awkward values (mask edges, bit boundaries, primes).
+    import itertools
+
+    vals = [0, 1, 2, 3, 7, 8, 255, 256, 1 << 20, (1 << 21) - 1, 999_983]
+    pairs = list(itertools.product(vals, vals))
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_code(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        a = b = 0
+        for i in range(21):
+            a |= ((r["z"] >> (2 * i)) & 1) << i
+            b |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r["a"], r["b"]), (r["a"], r["b"], r["z"])
