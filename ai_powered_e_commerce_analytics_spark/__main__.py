@@ -1,0 +1,179 @@
+"""CLI entry point: ``python -m ai_powered_e_commerce_analytics_spark``.
+
+The reference repo runs as applications (collector service, transformer
+main.py, Go enricher); this module is the switch-over surface — the same
+pipelines as one CLI over a base directory::
+
+    python -m ai_powered_e_commerce_analytics_spark demo  --base /tmp/med
+    python -m ai_powered_e_commerce_analytics_spark collect --base /tmp/med
+    python -m ai_powered_e_commerce_analytics_spark review  --base /tmp/med
+    python -m ai_powered_e_commerce_analytics_spark etl     --base /tmp/med
+    python -m ai_powered_e_commerce_analytics_spark pretrain \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/corpus
+
+Layout under ``--base``::
+
+    bronze/new  bronze/processed  silver/new  silver/processed
+    gold/       kpis/{user_kpis,shop_kpis,date_kpis}
+
+No real product API or LLM endpoint is assumed: ``collect`` uses a
+deterministic synthetic fetch and the enrichment stages default to the
+StubLLMClient; point ``--llm-base-url`` at any OpenAI-compatible server
+(the reference's llama.cpp docker service qualifies) for real calls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _synthetic_fetch(n: int):
+    """Deterministic stand-in for the reference's product API pull."""
+    rows = [
+        {
+            "product_name": f"Product_{i % 40}",
+            "price": round(1.0 + (i * 7.3) % 499, 2),
+            "quantity": 1 + i % 20,
+            "category": ["Electronics", "Food", "Clothing"][i % 3],
+            "description": f"A useful item number {i}",
+            "availability": i % 10 != 0,
+            "discount_percentage": float(i % 50),
+            "date": f"2026-07-{1 + i % 28:02d}",
+        }
+        for i in range(n)
+    ]
+    return lambda: rows
+
+
+def _client_factory(args):
+    if getattr(args, "llm_base_url", None):
+        from .operators.enrich import OpenAICompatClient
+
+        return lambda: OpenAICompatClient(base_url=args.llm_base_url)
+    from .operators.enrich import StubLLMClient
+
+    return StubLLMClient
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ai_powered_e_commerce_analytics_spark")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def base_cmd(name, help_):
+        c = sub.add_parser(name, help=help_)
+        c.add_argument("--base", required=True, help="pipeline base dir")
+        c.add_argument("--config", help="EngineConfig YAML")
+        c.add_argument("--llm-base-url", help="OpenAI-compatible endpoint")
+        return c
+
+    c = base_cmd("collect", "pull synthetic products -> bronze batch")
+    c.add_argument("--pulls", type=int, default=2)
+    c.add_argument("--rows-per-pull", type=int, default=50)
+    base_cmd("review", "bronze/new -> LLM reviews -> silver chunks")
+    base_cmd("etl", "silver/new -> sentiments -> gold + KPI upserts")
+    c = base_cmd("demo", "collect + review + etl end-to-end, print KPIs")
+    c.add_argument("--pulls", type=int, default=2)
+    c.add_argument("--rows-per-pull", type=int, default=50)
+
+    c = sub.add_parser("pretrain", help="corpus curation run over documents")
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    import os
+
+    if args.cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    try:
+        out = _run(spark, args)
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+def _dirs(base: str) -> dict[str, str]:
+    return {
+        "bronze_new": f"{base}/bronze/new",
+        "bronze_done": f"{base}/bronze/processed",
+        "silver_new": f"{base}/silver/new",
+        "silver_done": f"{base}/silver/processed",
+        "gold": f"{base}/gold",
+        "kpis": f"{base}/kpis",
+    }
+
+
+def _run(spark, args) -> dict:
+    from .pipeline import (
+        EngineConfig,
+        run_collector,
+        run_etl_pipeline,
+        run_pretrain_pipeline,
+        run_review_pipeline,
+    )
+
+    if args.cmd == "pretrain":
+        return run_pretrain_pipeline(spark, args.sf_dir, args.out)
+
+    d = _dirs(args.base)
+    cfg = (
+        EngineConfig.from_yaml(args.config)
+        if getattr(args, "config", None)
+        else None
+    )
+    factory = _client_factory(args)
+
+    def collect():
+        return run_collector(
+            spark,
+            _synthetic_fetch(args.rows_per_pull),
+            d["bronze_new"],
+            pulls=args.pulls,
+            config=cfg,
+        )
+
+    def review():
+        return run_review_pipeline(
+            spark,
+            d["bronze_new"],
+            d["silver_new"],
+            archive_dir=d["bronze_done"],
+            config=cfg,
+            client_factory=factory,
+        )
+
+    def etl():
+        return run_etl_pipeline(
+            spark,
+            d["silver_new"],
+            d["gold"],
+            d["kpis"],
+            archive_dir=d["silver_done"],
+            config=cfg,
+            client_factory=factory,
+        )
+
+    if args.cmd == "collect":
+        return collect()
+    if args.cmd == "review":
+        return review()
+    if args.cmd == "etl":
+        return etl()
+    # demo: the full medallion chain + a KPI readback proof
+    from .sinks import read_upsert_table
+
+    stats = {"collect": collect(), "review": review(), "etl": etl()}
+    for name in ("user_kpis", "shop_kpis", "date_kpis"):
+        stats[name] = read_upsert_table(spark, f"{d['kpis']}/{name}").count()
+    return stats
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,36 @@
+"""CLI surface (__main__.py): the medallion chain as subcommands."""
+
+from __future__ import annotations
+
+import argparse
+
+from ai_powered_e_commerce_analytics_spark.__main__ import _run
+
+
+def _ns(**kw):
+    return argparse.Namespace(config=None, llm_base_url=None, **kw)
+
+
+def test_cli_demo_runs_full_chain(spark, tmp_path):
+    base = str(tmp_path / "med")
+    out = _run(
+        spark,
+        _ns(cmd="demo", base=base, pulls=1, rows_per_pull=30),
+    )
+    assert out["collect"] == {"rows": 30}
+    assert out["review"] == {"rows": 30}
+    assert out["etl"] == {"rows": 30}
+    assert out["date_kpis"] > 0 and out["user_kpis"] > 0
+
+
+def test_cli_stage_commands_compose(spark, tmp_path):
+    base = str(tmp_path / "med2")
+    assert _run(
+        spark, _ns(cmd="collect", base=base, pulls=1, rows_per_pull=10)
+    ) == {"rows": 10}
+    assert _run(spark, _ns(cmd="review", base=base)) == {"rows": 10}
+    out = _run(spark, _ns(cmd="etl", base=base))
+    assert out["rows"] == 10
+    # a second review run sees an EMPTY bronze/new (archival moved the
+    # consumed batch) — the P5 guard returns 0 instead of re-enriching
+    assert _run(spark, _ns(cmd="review", base=base)) == {"rows": 0}
