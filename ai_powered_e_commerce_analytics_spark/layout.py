@@ -108,6 +108,10 @@ def write_zordered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).collect()[0]
+    if bounds["a_lo"] is None or bounds["b_lo"] is None:
+        # empty input (or all-null cluster columns): nothing to order by
+        df.write.mode("overwrite").parquet(path)
+        return
 
     def norm(c: str, lo, hi) -> Column:
         if hi <= lo:

@@ -585,7 +585,11 @@ def _debounce_fn(
     true predecessor) — re-run the batch query at compaction time for
     the exact-closure form."""
     user_id, event_type = key
-    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+    if state.hasTimedOut:
+        # SAFE expiry: state only matters while an incoming event could
+        # still fall inside the window; once idle past it, the next
+        # event would be kept regardless — so dropping the entry changes
+        # nothing. This bounds state to ACTIVE keys, not all keys ever.
         state.remove()
         return
     (last,) = state.get if state.exists else (None,)
@@ -607,6 +611,10 @@ def _debounce_fn(
             )
         last = ts
     state.update((last,))
+    # Expire idle keys one window after their last event (processing
+    # time ~ event time under the in-order arrival contract) — keeps
+    # state at O(keys active within the window).
+    state.setTimeoutDuration(DEBOUNCE_WINDOW_US // 1000)
     if kept:
         yield pd.DataFrame(kept)
 
@@ -625,7 +633,7 @@ def debounce_stream(events: DataFrame) -> DataFrame:
             outputStructType=_DEBOUNCE_OUT,
             stateStructType=_DEBOUNCE_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 
