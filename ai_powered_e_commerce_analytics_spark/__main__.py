@@ -82,6 +82,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sf-dir", required=True)
     c.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "audit",
+        help="physical-plan audit of registry queries (joins, exchanges, "
+        "pushdown) — regenerates SCALE.md §1 evidence",
+    )
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument(
+        "--queries", help="comma-separated names (default: whole registry)"
+    )
+
     args = p.parse_args(argv)
 
     import os
@@ -121,6 +131,8 @@ def _run(spark, args) -> dict:
 
     if args.cmd == "pretrain":
         return run_pretrain_pipeline(spark, args.sf_dir, args.out)
+    if args.cmd == "audit":
+        return _audit(spark, args)
 
     d = _dirs(args.base)
     cfg = (
@@ -173,6 +185,51 @@ def _run(spark, args) -> dict:
     for name in ("user_kpis", "shop_kpis", "date_kpis"):
         stats[name] = read_upsert_table(spark, f"{d['kpis']}/{name}").count()
     return stats
+
+
+def _audit(spark, args) -> dict:
+    """Executed-plan summary per registry query: join operators chosen,
+    exchange count, Python (Arrow) islands, and whether any scan filter
+    was pushed down — the machine-checkable form of SCALE.md §1."""
+    import re
+    from collections import Counter
+
+    from .plans import QUERIES
+
+    names = set(args.queries.split(",")) if args.queries else None
+    out: dict[str, dict] = {}
+    for spec in QUERIES:
+        if names is not None and spec.name not in names:
+            continue
+        try:
+            plan = (
+                spec.spark(spark, args.sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001 - audit must not die mid-list
+            out[spec.name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        joins = Counter(
+            re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct)",
+                plan,
+            )
+        )
+        out[spec.name] = {
+            "joins": dict(joins),
+            "exchanges": len(re.findall(r"\bExchange\b", plan)),
+            "python_islands": len(
+                re.findall(r"MapInPandas|FlatMapGroupsInPandas", plan)
+            ),
+            "pushed_filters": "PushedFilters: [" in plan
+            and "PushedFilters: []" not in plan,
+        }
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+    return out
 
 
 if __name__ == "__main__":

@@ -107,6 +107,8 @@ HEADLINE = [
     "tokenizer_vocab_coverage",
     "copurchase_item_similarity",
     "shipping_sla_percentiles",
+    "dataset_card_documents",
+    "customer_k_anonymity",
 ]
 
 

@@ -34,3 +34,24 @@ def test_cli_stage_commands_compose(spark, tmp_path):
     # a second review run sees an EMPTY bronze/new (archival moved the
     # consumed batch) — the P5 guard returns 0 instead of re-enriching
     assert _run(spark, _ns(cmd="review", base=base)) == {"rows": 0}
+
+
+def test_cli_audit_reports_plan_shapes(spark):
+    out = _run(
+        spark,
+        _ns(
+            cmd="audit",
+            sf_dir="/root/testdata/sf0.001",
+            queries="tpch_q1_pricing_summary,part_name_er_pairs",
+        ),
+    )
+    assert out["tpch_q1_pricing_summary"]["pushed_filters"] is True
+    assert out["part_name_er_pairs"]["joins"].get("BroadcastHashJoin", 0) >= 1
+    assert "error" not in out["tpch_q1_pricing_summary"]
+
+
+def test_registry_specs_declare_coverage():
+    from ai_powered_e_commerce_analytics_spark.plans import QUERIES
+
+    missing = [q.name for q in QUERIES if not q.covers]
+    assert not missing, f"specs without covers tags: {missing}"
