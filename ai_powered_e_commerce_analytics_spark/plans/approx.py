@@ -237,6 +237,94 @@ FROM est CROSS JOIN tot
 CMS_HEAVY_HITTERS_SQL = _cms_sql()
 
 
+# ---------------------------------------------------------------------------
+# Sliding distinct counts via mergeable HLL sketch union (Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+WAU_TOLERANCE = 0.05   # vs exact; lgConfigK=12 rsd ≈ 1.6%, 3σ margin
+
+
+def sliding_wau_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from DAILY HLL sketches merged with
+    ``hll_union_agg`` — the pattern that makes sliding distinct counts
+    feasible at 100 TB: the corpus is touched ONCE to build day-grain
+    sketches (a few KB each, mergeable, storable), and every window
+    position is a union of 7 sketches instead of a re-scan of 7 days of
+    raw events. The exact form (``events_active_users``) re-reads the
+    fact table per refresh.
+
+    Plan: one day-grain sketch agg (map-side combined), then the
+    bounded band join from the active-users query — each day's sketch
+    explodes to the ≤7 window positions it feeds — and a sketch-union
+    agg over O(days × 7) sketch rows. Gating follows the module
+    contract: the datasketches estimate is deterministic for a value
+    set but not oracle-reproducible, so the EXACT WAU anchors the hash
+    and ``wau_hll_ok`` proves the 5% bound.
+    """
+    ev = t(spark, sf_dir, "events")
+    from .spec import event_date
+
+    day_users = ev.select(
+        event_date(ev).alias("day"), "user_id"
+    ).where(F.col("user_id").isNotNull())
+    spine = day_users.select("day").distinct()
+
+    horizon = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_WINDOW_DAYS - 1))
+    )
+    sketches = day_users.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = (
+        sketches.select(horizon.alias("spine_day"), "sk")
+        .groupBy("spine_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"))
+    )
+    exact = (
+        day_users.select(horizon.alias("spine_day"), "user_id")
+        .groupBy("spine_day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        spine.join(est, spine.day == est.spine_day)
+        .drop("spine_day")
+        .join(exact, spine.day == exact.spine_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_wau",
+            (
+                F.abs(
+                    F.col("wau_est").cast("double")
+                    - F.col("exact_wau").cast("double")
+                )
+                <= F.lit(WAU_TOLERANCE) * F.col("exact_wau").cast("double")
+            ).alias("wau_hll_ok"),
+        )
+    )
+
+
+SLIDING_WAU_HLL_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT ts::DATE AS day, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+spine AS (SELECT DISTINCT day FROM du),
+contrib AS (
+    SELECT day + (i || ' days')::INTERVAL AS spine_day, user_id
+    FROM du CROSS JOIN range(0, {WAU_WINDOW_DAYS}) r(i)
+),
+exact AS (
+    SELECT spine_day::DATE AS spine_day,
+           count(DISTINCT user_id)::BIGINT AS exact_wau
+    FROM contrib GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, e.exact_wau,
+       true AS wau_hll_ok
+FROM spine s JOIN exact e ON e.spine_day = s.day
+"""
+
+
 APPROX_SPECS = [
     QuerySpec(
         "order_value_percentiles_approx",
@@ -255,5 +343,11 @@ APPROX_SPECS = [
         cms_heavy_hitters,
         CMS_HEAVY_HITTERS_SQL,
         ("approx-countmin-heavy-hitters",),
+    ),
+    QuerySpec(
+        "sliding_wau_hll_union",
+        sliding_wau_hll_union,
+        SLIDING_WAU_HLL_SQL,
+        ("approx-hll-sketch-union-sliding",),
     ),
 ]

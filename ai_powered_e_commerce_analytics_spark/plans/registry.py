@@ -205,6 +205,7 @@ _R5_ADDED: set[str] = {
     "shipping_sla_percentiles",
     "dataset_card_documents",
     "customer_k_anonymity",
+    "sliding_wau_hll_union",
 }
 
 

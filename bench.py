@@ -109,6 +109,7 @@ HEADLINE = [
     "shipping_sla_percentiles",
     "dataset_card_documents",
     "customer_k_anonymity",
+    "sliding_wau_hll_union",
 ]
 
 
