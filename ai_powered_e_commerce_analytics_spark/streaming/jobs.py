@@ -516,6 +516,100 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_anomaly_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    state_table: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "2 hours",
+    window_hours: int = 7,
+    z_threshold: float = 2.0,
+    available_now: bool = True,
+):
+    """Streaming rate-anomaly monitor: watermarked hourly event counts
+    upsert into a keyed state table, and every micro-batch re-scores
+    the CONTRACTED hourly series (O(hours) rows, not O(events)) with
+    the same trailing-window z-score rule as the batch
+    ``daily_revenue_anomalies`` — the metrics-then-score split that
+    keeps the streaming side incremental and the scoring side tiny.
+
+    The state upsert is the manifest sink (replay-idempotent per key:
+    a replayed batch rewrites the same hourly counts); the flags
+    snapshot is overwritten per batch — it is derived state,
+    recomputable from the table at any time.
+    """
+    from pyspark.sql.window import Window
+
+    from ..sinks import read_upsert_table, upsert_parquet
+
+    hourly = (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "n_events",
+        )
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(spark, batch, state_table, "hour", num_buckets=8)
+        series = read_upsert_table(spark, state_table)
+        w = Window.orderBy("hour").rowsBetween(-(window_hours - 1), 0)
+        arr = F.collect_list("n_events").over(w)
+        n = F.size(arr)
+        mean = (
+            F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            / n.cast("double")
+        )
+        scored = series.select(
+            "hour",
+            "n_events",
+            arr.alias("win"),
+            n.alias("n_win"),
+            mean.alias("mean_n"),
+        ).select(
+            "hour",
+            "n_events",
+            "n_win",
+            "mean_n",
+            (
+                F.aggregate(
+                    "win",
+                    F.lit(0.0),
+                    lambda a, x: a
+                    + (x.cast("double") - F.col("mean_n"))
+                    * (x.cast("double") - F.col("mean_n")),
+                )
+                / F.col("n_win").cast("double")
+            ).alias("var_n"),
+        )
+        flags = scored.select(
+            "hour",
+            "n_events",
+            F.when(
+                (F.col("n_win") == window_hours) & (F.col("var_n") > 0),
+                (F.col("n_events").cast("double") - F.col("mean_n"))
+                / F.sqrt(F.col("var_n")),
+            ).alias("z"),
+        ).withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > F.lit(z_threshold), F.lit(False)),
+        )
+        flags.write.mode("overwrite").parquet(flags_dir)
+
+    writer = hourly.writeStream.option("checkpointLocation", checkpoint_dir)
+    writer = writer.outputMode("update").foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
 def cdc_apply_stream(
     spark: SparkSession,
     src_dir: str,

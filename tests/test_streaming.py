@@ -999,3 +999,48 @@ def test_ingest_stream_observed_metrics(spark, tmp_path):
             kept += om["docs_kept"][0]
     assert seen == 2
     assert kept == 1
+
+
+def test_hourly_anomaly_stream_flags_spike(spark, tmp_path):
+    # Metrics-then-score: hourly counts upsert into the keyed state
+    # table per micro-batch; the z-score pass runs on the contracted
+    # hourly series and flags a planted 100x spike. Late batches UPDATE
+    # the hour's count via the upsert key (replay/late-data safe).
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        hourly_anomaly_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "state")
+    flags = str(tmp_path / "flags")
+
+    rows = []
+    eid = 0
+    # 9 calm hours at 5 events, then a 500-event spike hour
+    for h in range(9):
+        for _ in range(5):
+            rows.append((eid, f"2024-01-01 {h:02d}:10:00")); eid += 1
+    for _ in range(500):
+        rows.append((eid, "2024-01-01 09:30:00")); eid += 1
+    stream_schema = "event_id long, ts string"
+    spark.createDataFrame(rows, stream_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+
+    events = (
+        spark.readStream.schema(stream_schema)
+        .json(src)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+    q = hourly_anomaly_stream(
+        spark, events, state, flags, str(tmp_path / "c")
+    )
+    _await(q)
+
+    got = {r["hour"]: r for r in spark.read.parquet(flags).collect()}
+    assert len(got) == 10
+    spike = got["2024-01-01 09:00:00"]
+    assert spike["n_events"] == 500
+    assert spike["is_anomaly"] is True and spike["z"] > 2
+    # calm full-window hours are not flagged
+    assert got["2024-01-01 08:00:00"]["is_anomaly"] is False
