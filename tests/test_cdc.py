@@ -194,3 +194,46 @@ def test_write_daily_partitions_dynamic_overwrite(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         == "static"
     )
+
+
+def test_cdc_apply_stream_restart_is_idempotent(spark, tmp_path):
+    # Restarting from the same checkpoint with no new change files must
+    # not re-apply anything: the table version and contents are stable.
+    from pyspark.sql import types as T
+
+    from ai_powered_e_commerce_analytics_spark.sinks import _latest_manifest
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        cdc_apply_stream,
+    )
+
+    src = str(tmp_path / "feed")
+    table = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 2)], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    def run():
+        q = cdc_apply_stream(
+            spark, src, table, "k", str(tmp_path / "c"), schema=schema
+        )
+        q.awaitTermination(120)
+
+    run()
+    from ai_powered_e_commerce_analytics_spark.hadoop import hadoop_fs
+
+    fs = hadoop_fs(spark, table)
+    v1, _ = _latest_manifest(spark, fs, table)
+    assert _rows(spark, table) == {(1, "a"), (2, "b")}
+
+    run()  # same checkpoint, no new files -> no new commit
+    v2, _ = _latest_manifest(spark, fs, table)
+    assert v2 == v1
+    assert _rows(spark, table) == {(1, "a"), (2, "b")}
