@@ -224,8 +224,11 @@ def _audit(spark, args) -> dict:
             "python_islands": len(
                 re.findall(r"MapInPandas|FlatMapGroupsInPandas", plan)
             ),
-            "pushed_filters": "PushedFilters: [" in plan
-            and "PushedFilters: []" not in plan,
+            # ANY scan pushed a filter (a join's unfiltered dimension
+            # scan printing "PushedFilters: []" must not mask it)
+            "pushed_filters": bool(
+                re.search(r"PushedFilters: \[(?!\])", plan)
+            ),
         }
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)

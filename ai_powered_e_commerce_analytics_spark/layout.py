@@ -116,10 +116,15 @@ def write_zordered(
     def norm(c: str, lo, hi) -> Column:
         if hi <= lo:
             return F.lit(0).cast("long")
+        # Scale in DOUBLE: a long (col - lo) * mask product overflows
+        # (wraps) once the domain spans > 2^42 — e.g. epoch-microsecond
+        # timestamps over ~51 days — silently scrambling the codes. The
+        # double path loses only sub-bucket precision (53-bit mantissa
+        # vs 21-bit target), never ordering.
         return (
-            (F.col(c).cast("long") - F.lit(int(lo)))
-            * F.lit(mask)
-            / F.lit(int(hi) - int(lo))
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            * F.lit(float(mask))
+            / F.lit(float(hi) - float(lo))
         ).cast("long")
 
     z = morton_code(

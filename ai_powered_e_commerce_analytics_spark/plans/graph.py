@@ -39,9 +39,11 @@ MIN_SUPPORT = 2   # co-order count floor for a co-purchase edge
 
 
 def _supported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-purchase edges (x < y) with co-order support >=
-    MIN_SUPPORT — one l_orderkey shuffle (basket build + in-basket pair
-    expansion, no self-join) then one pair-grain count shuffle."""
+    """Undirected co-purchase edges ``(x, y, c)`` (x < y, co-order count
+    c >= MIN_SUPPORT) — one l_orderkey shuffle (basket build + in-basket
+    pair expansion, no self-join) then one pair-grain count shuffle.
+    Shared by triangle counting (drops ``c``) and item-CF similarity
+    (keeps it) — ONE pairing rule for both."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
@@ -66,7 +68,6 @@ def _supported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= MIN_SUPPORT)
-        .select("x", "y")
     )
 
 
@@ -85,7 +86,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spec.py float policy: emit raw). Vertices of degree 1 have
     coefficient 0 by convention.
     """
-    edges = _supported_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        _supported_edges(spark, sf_dir)
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
     # Undirected degree per vertex (one narrow agg over both endpoints).
     deg = (
         edges.select(F.col("x").alias("v"))
@@ -196,33 +201,15 @@ def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts while it fits, shuffles when it doesn't). Jaccard is
     an exact-integer ratio (float policy: emit raw).
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("parts"),
-                    lambda x: F.transform(
-                        F.col("parts"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
-    pairs = (
-        baskets.select(pair.alias("p"))
-        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= MIN_SUPPORT)
+    pairs = _supported_edges(spark, sf_dir).select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        F.col("c").alias("n_both"),
     )
     deg = (
-        li.distinct()
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
         .groupBy("l_partkey")
         .agg(F.count("*").alias("n_orders"))
     )

@@ -34,10 +34,13 @@ from .spec import QuerySpec, cents, cents_sql, t
 # Column profiling (dbt-docs / Deequ-style table health report)
 # ---------------------------------------------------------------------------
 
-# (column, canonical-string min/max renderer) — money renders as exact
-# integer CENTS and timestamps as ISO dates so both engines produce
-# byte-identical representations (double->string and timestamp->string
-# formatting are engine-specific; these are not).
+# (column, canonical-string min/max renderer) — min/max are taken in the
+# column's NATIVE order (numeric, date, string) and only then rendered:
+# aggregating over a string rendering would rank lexicographically
+# ('9999' > '60000'). Money renders as exact integer CENTS and
+# timestamps as ISO dates so both engines produce byte-identical
+# representations (double->string and timestamp->string formatting are
+# engine-specific; these are not).
 _PROFILE_COLS = [
     ("o_orderkey", "int"),
     ("o_custkey", "int"),
@@ -48,20 +51,21 @@ _PROFILE_COLS = [
 ]
 
 
-def _repr_col(name: str, kind: str):
+def _render_agg(agg, kind: str):
+    """Canonical string rendering of a native-order min/max aggregate."""
     if kind == "money":
-        return cents(name).cast("string")
+        return cents(agg).cast("string")
     if kind == "date":
-        return F.date_format(F.col(name), "yyyy-MM-dd")
-    return F.col(name).cast("string")
+        return F.date_format(agg, "yyyy-MM-dd")
+    return agg.cast("string")
 
 
-def _repr_sql(name: str, kind: str) -> str:
+def _render_agg_sql(agg_expr: str, kind: str) -> str:
     if kind == "money":
-        return f"({cents_sql(name)})::VARCHAR"
+        return f"({cents_sql(agg_expr)})::VARCHAR"
     if kind == "date":
-        return f"strftime({name}, '%Y-%m-%d')"
-    return f"{name}::VARCHAR"
+        return f"strftime({agg_expr}, '%Y-%m-%d')"
+    return f"({agg_expr})::VARCHAR"
 
 
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,12 +79,11 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, kind in _PROFILE_COLS:
-        r = _repr_col(name, kind)
         aggs += [
             F.count(F.col(name)).alias(f"nn_{name}"),
             F.countDistinct(F.col(name)).alias(f"nd_{name}"),
-            F.min(r).alias(f"mn_{name}"),
-            F.max(r).alias(f"mx_{name}"),
+            _render_agg(F.min(F.col(name)), kind).alias(f"mn_{name}"),
+            _render_agg(F.max(F.col(name)), kind).alias(f"mx_{name}"),
         ]
     wide = o.agg(*aggs)
     rows = F.array(
@@ -105,8 +108,8 @@ SELECT '{name}' AS column_name,
        count(*)::BIGINT AS n_rows,
        (count(*) - count({name}))::BIGINT AS n_nulls,
        count(DISTINCT {name})::BIGINT AS n_distinct,
-       min({_repr_sql(name, kind)}) AS min_repr,
-       max({_repr_sql(name, kind)}) AS max_repr
+       {_render_agg_sql(f"min({name})", kind)} AS min_repr,
+       {_render_agg_sql(f"max({name})", kind)} AS max_repr
 FROM orders"""
     for name, kind in _PROFILE_COLS
 )
@@ -174,6 +177,68 @@ _ANOM_WIN = 7        # trailing window length (rows), incl. current day
 _ANOM_Z = 2.0        # |z| threshold
 
 
+def trailing_zscore(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    window: int = _ANOM_WIN,
+    threshold: float = _ANOM_Z,
+) -> DataFrame:
+    """Append order-pinned trailing-window z-score columns ``z`` (null
+    until the window fills or while variance is 0; rounded to 6) and
+    ``is_anomaly`` to an already-CONTRACTED long-valued series — the ONE
+    scoring rule shared by the batch ``daily_revenue_anomalies`` and the
+    streaming ``hourly_anomaly_stream`` (stream and batch cannot drift).
+
+    The window materializes its longs as an ordered array and both
+    engines fold it explicitly (see ``daily_revenue_anomalies`` for the
+    determinism rationale). Caller contract: ``series`` is dimension-
+    grain (O(days)/O(hours) rows), never event-grain.
+    """
+    w = Window.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    arr = F.collect_list(value_col).over(w)
+    n = F.col("__n_win").cast("double")
+    mean_c = (
+        F.aggregate(
+            "__win", F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    var_c = (
+        F.aggregate(
+            "__win",
+            F.lit(0.0),
+            lambda a, x: a
+            + (x.cast("double") - F.col("__mean"))
+            * (x.cast("double") - F.col("__mean")),
+        )
+        / n
+    )
+    return (
+        series.withColumn("__win", arr)
+        .withColumn("__n_win", F.size("__win"))
+        .withColumn("__mean", mean_c)
+        .withColumn("__var", var_c)
+        .withColumn(
+            "z",
+            F.when(
+                (F.col("__n_win") == window) & (F.col("__var") > 0),
+                F.round(
+                    (F.col(value_col).cast("double") - F.col("__mean"))
+                    / F.sqrt(F.col("__var")),
+                    6,
+                ),
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False)),
+        )
+        .drop("__win", "__n_win", "__mean", "__var")
+    )
+
+
 def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose revenue deviates > ``_ANOM_Z`` sigma from their own
     trailing ``_ANOM_WIN``-day statistics — the standard ops-dashboard
@@ -199,49 +264,11 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_date")
         .agg(F.sum("c").alias("day_c"))
     )
-    w = Window.orderBy("o_date").rowsBetween(-(_ANOM_WIN - 1), 0)
-    arr = F.collect_list("day_c").over(w)
-    with_arr = daily.select(
-        "o_date", "day_c", arr.alias("win"), F.size(arr).alias("n_win")
-    )
-    n = F.col("n_win").cast("double")
-    mean_c = (
-        F.aggregate("win", F.lit(0).cast("long"), lambda a, x: a + x).cast(
-            "double"
-        )
-        / n
-    )
-    var_c = (
-        F.aggregate(
-            "win",
-            F.lit(0.0),
-            lambda a, x: a + (x.cast("double") - F.col("mean_c"))
-            * (x.cast("double") - F.col("mean_c")),
-        )
-        / n
-    )
-    scored = (
-        with_arr.withColumn("mean_c", mean_c)
-        .withColumn("var_c", var_c)
-        .withColumn(
-            "z",
-            F.when(
-                (F.col("n_win") == _ANOM_WIN) & (F.col("var_c") > 0),
-                F.round(
-                    (F.col("day_c").cast("double") - F.col("mean_c"))
-                    / F.sqrt(F.col("var_c")),
-                    6,
-                ),
-            ),
-        )
-    )
-    return scored.select(
+    return trailing_zscore(daily, "o_date", "day_c").select(
         "o_date",
         (F.col("day_c").cast("double") / F.lit(100.0)).alias("revenue"),
         "z",
-        F.coalesce(F.abs(F.col("z")) > F.lit(_ANOM_Z), F.lit(False)).alias(
-            "is_anomaly"
-        ),
+        "is_anomaly",
     )
 
 

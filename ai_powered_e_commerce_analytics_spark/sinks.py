@@ -225,6 +225,114 @@ def _gc_upsert_table(
             fs.delete(status.getPath(), True)
 
 
+def _last_writer_wins(new: DataFrame, old: DataFrame, key: str) -> DataFrame:
+    """Per-key merge where ``new`` rows beat ``old`` rows (the MERGE
+    matched-update rule), tolerant of schema drift on either side."""
+    return (
+        new.withColumn("__rank", F.lit(0))
+        .unionByName(
+            old.withColumn("__rank", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(key).orderBy("__rank")),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rank", "__rn")
+    )
+
+
+def _occ_commit_loop(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    key: str,
+    *,
+    num_buckets: int,
+    max_attempts: int,
+    merge_with_old,
+    op_name: str,
+    snapshot: bool = False,
+    _before_commit=None,
+) -> None:
+    """THE merge-stage-commit protocol (one implementation for
+    :func:`upsert_parquet` and :func:`apply_cdc_parquet`): hash-bucket
+    the change set, read only the touched buckets of the committed
+    table, delegate the semantic merge to ``merge_with_old(bucketed,
+    old_or_None)``, stage the result as an immutable tx dir, and commit
+    by versioned-manifest CAS with re-merge retry on a lost race. A
+    touched bucket whose output dir is absent (every row deleted) is
+    dropped from the manifest instead of dangling. ``snapshot``
+    localCheckpoints the bucketed change set so all its uses see one
+    deterministic frame."""
+    from .hadoop import hadoop_fs, hadoop_path
+
+    fs = hadoop_fs(spark, table_path)
+    for _attempt in range(max_attempts):
+        version, manifest = _latest_manifest(spark, fs, table_path)
+        nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
+
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        bucketed = changes.withColumn("__bucket", bucket)
+        if snapshot:
+            bucketed = bucketed.localCheckpoint(eager=True)
+        touched = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
+
+        old = None
+        if manifest is not None:
+            old_paths = [
+                f"{table_path}/{manifest['buckets'][str(b)]}"
+                for b in touched
+                if str(b) in manifest["buckets"]
+            ]
+            if old_paths:
+                # Bucket dirs are read directly (no partition discovery);
+                # recompute __bucket from the key — same deterministic
+                # hash. mergeSchema + allowMissingColumns = schema
+                # EVOLUTION (see upsert_parquet docstring).
+                old = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*old_paths)
+                    .withColumn(
+                        "__bucket",
+                        F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
+                    )
+                )
+        merged = merge_with_old(bucketed, old)
+        txid = uuid.uuid4().hex[:12]
+        tx_dir = f"{table_path}/data/tx_{txid}"
+        (
+            merged.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tx_dir)
+        )
+
+        buckets = dict(manifest["buckets"]) if manifest is not None else {}
+        for b in touched:
+            rel = f"data/tx_{txid}/__bucket={b}"
+            # A bucket whose every row was deleted writes NO output dir;
+            # its manifest entry must disappear, not dangle.
+            if fs.exists(hadoop_path(spark, f"{table_path}/{rel}")):
+                buckets[str(b)] = rel
+            else:
+                buckets.pop(str(b), None)
+        new_manifest = {"num_buckets": nb, "buckets": buckets}
+        if _before_commit is not None:
+            _before_commit()
+        if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
+            _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
+            return
+        # Lost the version CAS to a concurrent writer: the merge is based
+        # on a stale table state. Drop the staged attempt and re-merge.
+        fs.delete(hadoop_path(spark, tx_dir), True)
+    raise RuntimeError(
+        f"{op_name} at {table_path} lost the commit race {max_attempts} "
+        "times — giving up (sustained writer contention)"
+    )
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -276,82 +384,20 @@ def upsert_parquet(
     layout below already bounds the rewrite to (touched buckets /
     num_buckets) of the table.
     """
-    from .hadoop import hadoop_fs, hadoop_path
+    def merge(bucketed: DataFrame, old: DataFrame | None) -> DataFrame:
+        # Last-writer-wins: updates rank before existing rows per key.
+        return bucketed if old is None else _last_writer_wins(bucketed, old, key)
 
-    fs = hadoop_fs(spark, table_path)
-    for _attempt in range(max_attempts):
-        version, manifest = _latest_manifest(spark, fs, table_path)
-        nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
-
-        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
-        bucketed = updates.withColumn("__bucket", bucket)
-        touched = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
-
-        if manifest is not None:
-            old_paths = [
-                f"{table_path}/{manifest['buckets'][str(b)]}"
-                for b in touched
-                if str(b) in manifest["buckets"]
-            ]
-        else:
-            old_paths = []
-        if old_paths:
-            # Bucket dirs are read directly (no partition discovery);
-            # recompute __bucket from the key — same deterministic hash.
-            # mergeSchema + allowMissingColumns = schema EVOLUTION: an
-            # upsert may add columns (old rows read as null for them) or
-            # omit columns older tx files carry — rewritten buckets then
-            # converge on the union schema, Delta mergeSchema-style.
-            old = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*old_paths)
-                .withColumn(
-                    "__bucket",
-                    F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
-                )
-            )
-            # Last-writer-wins: updates rank before existing rows per key.
-            merged = (
-                bucketed.withColumn("__rank", F.lit(0))
-                .unionByName(
-                    old.withColumn("__rank", F.lit(1)),
-                    allowMissingColumns=True,
-                )
-                .withColumn(
-                    "__rn",
-                    F.row_number().over(
-                        Window.partitionBy(key).orderBy("__rank")
-                    ),
-                )
-                .where(F.col("__rn") == 1)
-                .drop("__rank", "__rn")
-            )
-        else:
-            merged = bucketed
-        txid = uuid.uuid4().hex[:12]
-        tx_dir = f"{table_path}/data/tx_{txid}"
-        (
-            merged.repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(tx_dir)
-        )
-
-        buckets = dict(manifest["buckets"]) if manifest is not None else {}
-        for b in touched:
-            buckets[str(b)] = f"data/tx_{txid}/__bucket={b}"
-        new_manifest = {"num_buckets": nb, "buckets": buckets}
-        if _before_commit is not None:
-            _before_commit()
-        if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
-            _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
-            return
-        # Lost the version CAS to a concurrent writer: our merge is based
-        # on a stale table state. Drop the staged attempt and re-merge.
-        fs.delete(hadoop_path(spark, tx_dir), True)
-    raise RuntimeError(
-        f"upsert at {table_path} lost the commit race {max_attempts} times"
-        " — giving up (sustained writer contention)"
+    _occ_commit_loop(
+        spark,
+        updates,
+        table_path,
+        key,
+        num_buckets=num_buckets,
+        max_attempts=max_attempts,
+        merge_with_old=merge,
+        op_name="upsert",
+        _before_commit=_before_commit,
     )
 
 
@@ -410,9 +456,6 @@ def apply_cdc_parquet(
     (a delete for an absent key is a no-op). Readers see the change
     batch atomically via the manifest rename.
     """
-    from .hadoop import hadoop_fs, hadoop_path
-
-    fs = hadoop_fs(spark, table_path)
     if seq_col is not None:
         latest = (
             changes.withColumn(
@@ -439,81 +482,25 @@ def apply_cdc_parquet(
             )
         latest = changes
 
-    for _attempt in range(max_attempts):
-        version, manifest = _latest_manifest(spark, fs, table_path)
-        nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
-
-        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
-        bucketed = latest.withColumn("__bucket", bucket).localCheckpoint(
-            eager=True  # one deterministic snapshot for all three uses
-        )
-        touched = [
-            r[0] for r in bucketed.select("__bucket").distinct().collect()
-        ]
+    def merge(bucketed: DataFrame, old: DataFrame | None) -> DataFrame:
         upserts = bucketed.where(F.col(op_col) != "D").drop(op_col)
         del_keys = bucketed.where(F.col(op_col) == "D").select(key)
-
-        if manifest is not None:
-            old_paths = [
-                f"{table_path}/{manifest['buckets'][str(b)]}"
-                for b in touched
-                if str(b) in manifest["buckets"]
-            ]
-        else:
-            old_paths = []
-        if old_paths:
-            old = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*old_paths)
-                .withColumn(
-                    "__bucket",
-                    F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
-                )
-            )
-            merged = (
-                upserts.withColumn("__rank", F.lit(0))
-                .unionByName(
-                    old.withColumn("__rank", F.lit(1)),
-                    allowMissingColumns=True,
-                )
-                .withColumn(
-                    "__rn",
-                    F.row_number().over(
-                        Window.partitionBy(key).orderBy("__rank")
-                    ),
-                )
-                .where(F.col("__rn") == 1)
-                .drop("__rank", "__rn")
-                .join(del_keys, key, "left_anti")
-            )
-        else:
-            merged = upserts.join(del_keys, key, "left_anti")
-        txid = uuid.uuid4().hex[:12]
-        tx_dir = f"{table_path}/data/tx_{txid}"
-        (
-            merged.repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(tx_dir)
+        base = (
+            upserts if old is None else _last_writer_wins(upserts, old, key)
         )
+        return base.join(del_keys, key, "left_anti")
 
-        buckets = dict(manifest["buckets"]) if manifest is not None else {}
-        for b in touched:
-            rel = f"data/tx_{txid}/__bucket={b}"
-            # A bucket whose every row was deleted writes NO output dir;
-            # its manifest entry must disappear, not dangle.
-            if fs.exists(hadoop_path(spark, f"{table_path}/{rel}")):
-                buckets[str(b)] = rel
-            else:
-                buckets.pop(str(b), None)
-        new_manifest = {"num_buckets": nb, "buckets": buckets}
-        if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
-            _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
-            return
-        fs.delete(hadoop_path(spark, tx_dir), True)
-    raise RuntimeError(
-        f"CDC apply at {table_path} lost the commit race {max_attempts} "
-        "times — giving up (sustained writer contention)"
+    _occ_commit_loop(
+        spark,
+        latest,
+        table_path,
+        key,
+        num_buckets=num_buckets,
+        max_attempts=max_attempts,
+        merge_with_old=merge,
+        op_name="CDC apply",
+        # one deterministic snapshot feeds upserts, deletes, AND touched
+        snapshot=True,
     )
 
 

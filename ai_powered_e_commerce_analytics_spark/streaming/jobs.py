@@ -540,8 +540,6 @@ def hourly_anomaly_stream(
     snapshot is overwritten per batch — it is derived state,
     recomputable from the table at any time.
     """
-    from pyspark.sql.window import Window
-
     from ..sinks import read_upsert_table, upsert_parquet
 
     hourly = (
@@ -559,48 +557,17 @@ def hourly_anomaly_stream(
             return
         upsert_parquet(spark, batch, state_table, "hour", num_buckets=8)
         series = read_upsert_table(spark, state_table)
-        w = Window.orderBy("hour").rowsBetween(-(window_hours - 1), 0)
-        arr = F.collect_list("n_events").over(w)
-        n = F.size(arr)
-        mean = (
-            F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
-            .cast("double")
-            / n.cast("double")
-        )
-        scored = series.select(
+        # ONE scoring rule for stream and batch: the shared helper from
+        # the batch daily_revenue_anomalies (cannot drift).
+        from ..plans.profiling import trailing_zscore
+
+        flags = trailing_zscore(
+            series,
             "hour",
             "n_events",
-            arr.alias("win"),
-            n.alias("n_win"),
-            mean.alias("mean_n"),
-        ).select(
-            "hour",
-            "n_events",
-            "n_win",
-            "mean_n",
-            (
-                F.aggregate(
-                    "win",
-                    F.lit(0.0),
-                    lambda a, x: a
-                    + (x.cast("double") - F.col("mean_n"))
-                    * (x.cast("double") - F.col("mean_n")),
-                )
-                / F.col("n_win").cast("double")
-            ).alias("var_n"),
-        )
-        flags = scored.select(
-            "hour",
-            "n_events",
-            F.when(
-                (F.col("n_win") == window_hours) & (F.col("var_n") > 0),
-                (F.col("n_events").cast("double") - F.col("mean_n"))
-                / F.sqrt(F.col("var_n")),
-            ).alias("z"),
-        ).withColumn(
-            "is_anomaly",
-            F.coalesce(F.abs(F.col("z")) > F.lit(z_threshold), F.lit(False)),
-        )
+            window=window_hours,
+            threshold=z_threshold,
+        ).select("hour", "n_events", "z", "is_anomaly")
         flags.write.mode("overwrite").parquet(flags_dir)
 
     writer = hourly.writeStream.option("checkpointLocation", checkpoint_dir)
