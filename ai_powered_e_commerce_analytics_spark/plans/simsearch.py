@@ -930,6 +930,12 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb",
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
     ).localCheckpoint(eager=True)
+    # Few-key parallelism note: the cid join key has only K=8 values,
+    # but a left-side-by-vec_id salt (tried, measured) buys nothing
+    # here — AQE broadcasts the small build side, so pair enumeration
+    # already parallelizes by PROBE partition, and the cost is the raw
+    # HOF dot products over Σ|cluster|² pairs. At production K (∝
+    # corpus / 10k) the key count alone saturates any cluster.
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb"))
