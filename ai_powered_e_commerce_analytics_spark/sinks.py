@@ -546,6 +546,54 @@ def read_upsert_table(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two committed versions of an upsert table
+    — the read side of CDC (Delta's Change Data Feed shape): every key
+    whose row was INSERTED, UPDATED, or DELETED between the versions,
+    with the before/after payloads as structs.
+
+    Derived by full-outer-joining the two manifest snapshots on ``key``
+    and comparing payloads — no change log is stored, so this is
+    bounded by the GC retention window like any time travel
+    (``from_version`` must still be readable). At 100 TB, compare only
+    the buckets whose manifest entries DIFFER between the versions
+    (the manifest diff is O(buckets) metadata); the full-table join
+    here is the small-table form.
+    """
+    before = read_upsert_table(spark, table_path, version=from_version)
+    after = (
+        read_upsert_table(spark, table_path)
+        if to_version is None
+        else read_upsert_table(spark, table_path, version=to_version)
+    )
+    payload = [c for c in after.columns if c != key]
+    b = before.select(
+        F.col(key), F.struct(*payload).alias("before")
+    )
+    a = after.select(F.col(key), F.struct(*payload).alias("after"))
+    j = b.join(a, key, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("before").isNull(), F.lit("insert"))
+            .when(F.col("after").isNull(), F.lit("delete"))
+            # eqNullSafe: a payload field flipping to/from NULL is an
+            # UPDATE; plain != returns null there and would drop it
+            .when(
+                ~F.col("before").eqNullSafe(F.col("after")), F.lit("update")
+            ),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(key, "change_type", "before", "after")
+    )
+
+
 def upsert_kpi_tables(
     spark: SparkSession,
     kpis: dict[str, DataFrame],

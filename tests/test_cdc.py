@@ -237,3 +237,65 @@ def test_cdc_apply_stream_restart_is_idempotent(spark, tmp_path):
     v2, _ = _latest_manifest(spark, fs, table)
     assert v2 == v1
     assert _rows(spark, table) == {(1, "a"), (2, "b")}
+
+
+def test_table_changes_reports_cdc_diff(spark, tmp_path):
+    # Read-side CDC: the version-to-version diff reproduces exactly the
+    # change batch that was applied (insert/update/delete per key).
+    from ai_powered_e_commerce_analytics_spark.sinks import table_changes
+
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        table,
+        "k",
+        num_buckets=4,
+    )
+    apply_cdc_parquet(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", "U"), (9, "z", "I"), (1, None, "D")],
+            "k long, v string, op string",
+        ),
+        table,
+        "k",
+        num_buckets=4,
+    )
+    got = {
+        r["k"]: (r["change_type"], r["before"], r["after"])
+        for r in table_changes(spark, table, "k", from_version=1).collect()
+    }
+    assert set(got) == {1, 2, 9}
+    assert got[1][0] == "delete" and got[1][2] is None
+    assert got[2][0] == "update" and got[2][1]["v"] == "b" and got[2][2]["v"] == "B"
+    assert got[9][0] == "insert" and got[9][1] is None
+    # key 3 untouched -> absent from the feed
+
+
+def test_table_changes_null_payload_update_detected(spark, tmp_path):
+    # An update that flips a payload field to NULL must still read as an
+    # update (null-safe struct comparison).
+    from ai_powered_e_commerce_analytics_spark.sinks import table_changes
+
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, None)], "k long, v string"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    rows = table_changes(spark, table, "k", from_version=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["change_type"] == "update"
+    assert rows[0]["before"]["v"] == "a" and rows[0]["after"]["v"] is None
