@@ -566,18 +566,56 @@ def table_changes(
     (the manifest diff is O(buckets) metadata); the full-table join
     here is the small-table form.
     """
-    before = read_upsert_table(spark, table_path, version=from_version)
-    after = (
-        read_upsert_table(spark, table_path)
-        if to_version is None
-        else read_upsert_table(spark, table_path, version=to_version)
-    )
-    payload = [c for c in after.columns if c != key]
-    b = before.select(
-        F.col(key), F.struct(*payload).alias("before")
-    )
-    a = after.select(F.col(key), F.struct(*payload).alias("after"))
-    j = b.join(a, key, "full_outer")
+    from .hadoop import hadoop_fs
+
+    if to_version is None:
+        to_version, _ = _latest_manifest(
+            spark, hadoop_fs(spark, table_path), table_path
+        )
+    if from_version >= to_version:
+        # a reversed range would silently report an INVERTED diff
+        # (inserts as deletes) — refuse instead.
+        raise ValueError(
+            f"from_version ({from_version}) must be < to_version "
+            f"({to_version})"
+        )
+
+    def snapshot(version: int) -> DataFrame | None:
+        try:
+            return read_upsert_table(spark, table_path, version=version)
+        except FileNotFoundError as e:
+            if "EMPTY" in str(e):
+                return None  # committed but zero buckets (all deleted)
+            raise
+
+    before, after = snapshot(from_version), snapshot(to_version)
+    if before is None and after is None:
+        raise ValueError(
+            f"versions {from_version} and {to_version} of {table_path} are "
+            "both empty — no schema to diff (and no changes to report)"
+        )
+    if before is None:
+        before = after.limit(0)
+    if after is None:
+        after = before.limit(0)
+    # Schema evolution: payload = UNION of both sides' columns; a side
+    # missing a column carries a typed NULL so adds/drops read as
+    # updates instead of erroring (or silently hiding the column).
+    types = {
+        f.name: f.dataType
+        for df in (before, after)
+        for f in df.schema.fields
+    }
+    payload = sorted(c for c in types if c != key)
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        cols = [
+            F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+            for c in payload
+        ]
+        return df.select(F.col(key), F.struct(*cols).alias(alias))
+
+    j = side(before, "before").join(side(after, "after"), key, "full_outer")
     return (
         j.withColumn(
             "change_type",

@@ -299,3 +299,46 @@ def test_table_changes_null_payload_update_detected(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["change_type"] == "update"
     assert rows[0]["before"]["v"] == "a" and rows[0]["after"]["v"] is None
+
+
+def test_table_changes_schema_evolution_and_empty_and_reversed(spark, tmp_path):
+    from ai_powered_e_commerce_analytics_spark.sinks import table_changes
+
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    # v2 adds column w (schema evolution) and updates the row
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a", 7)], "k long, v string, w long"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    rows = table_changes(spark, table, "k", from_version=1).collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "update"
+    assert rows[0]["before"]["w"] is None and rows[0]["after"]["w"] == 7
+
+    # reversed range refuses instead of inverting the diff
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be <"):
+        table_changes(spark, table, "k", from_version=2, to_version=1)
+
+    # deleting every row: the feed still reports the delete
+    apply_cdc_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, None, None, "D")], "k long, v string, w long, op string"
+        ),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    rows = table_changes(spark, table, "k", from_version=2).collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "delete"
