@@ -255,6 +255,93 @@ JOIN deg db ON db.l_partkey = p.part_b
 """
 
 
+def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules a -> b over the supported
+    co-purchase pairs: support (co-order count), confidence
+    ``P(b | a) = n_both / n_orders(a)``, and lift
+    ``confidence / P(b)`` — the Apriori-style rule mining output behind
+    "frequently bought together" merchandising, emitted for BOTH
+    directions of each supported pair.
+
+    Plan: reuses :func:`_supported_edges` (one basket shuffle + one
+    pair-count shuffle — the support >= MIN_SUPPORT contraction IS the
+    Apriori frequent-pair pruning), mirrors each pair to its two
+    directions (cheap row map), and attaches antecedent/consequent
+    order-degrees via item-keyed equi-joins. The total order count
+    enters as a broadcast 1-row aggregate. Confidence is an
+    exact-integer ratio; lift divides two such ratios on identical
+    operands (float policy: emit raw).
+    """
+    edges = _supported_edges(spark, sf_dir)
+    rules = edges.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        F.col("c").alias("n_both"),
+    ).unionByName(
+        edges.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            F.col("c").alias("n_both"),
+        )
+    )
+    d = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    total = d.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_total_orders")
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_orders").alias("n_ante"),
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("n_orders").alias("n_cons"),
+    )
+    confidence = F.col("n_both").cast("double") / F.col("n_ante")
+    p_cons = F.col("n_cons").cast("double") / F.col("n_total_orders")
+    return (
+        rules.join(da, "antecedent")
+        .join(db, "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            confidence.alias("confidence"),
+            (confidence / p_cons).alias("lift"),
+        )
+    )
+
+
+COPURCHASE_ASSOCIATION_RULES_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y, count(*)::BIGINT AS c
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+),
+rules AS (
+    SELECT x AS antecedent, y AS consequent, c AS n_both FROM e
+    UNION ALL
+    SELECT y, x, c FROM e
+),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS n_orders FROM d GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_total_orders FROM d)
+SELECT r.antecedent, r.consequent, r.n_both,
+       da.n_orders AS n_ante, db.n_orders AS n_cons,
+       r.n_both::DOUBLE / da.n_orders AS confidence,
+       (r.n_both::DOUBLE / da.n_orders)
+           / (db.n_orders::DOUBLE / n_total_orders) AS lift
+FROM rules r
+JOIN deg da ON da.l_partkey = r.antecedent
+JOIN deg db ON db.l_partkey = r.consequent
+CROSS JOIN tot
+"""
+
+
 GRAPH_SPECS = [
     QuerySpec(
         "copurchase_triangles",
@@ -267,5 +354,11 @@ GRAPH_SPECS = [
         copurchase_item_similarity,
         COPURCHASE_ITEM_SIMILARITY_SQL,
         ("item-cf-jaccard",),
+    ),
+    QuerySpec(
+        "copurchase_association_rules",
+        copurchase_association_rules,
+        COPURCHASE_ASSOCIATION_RULES_SQL,
+        ("association-rules-confidence-lift",),
     ),
 ]

@@ -206,6 +206,7 @@ _R5_ADDED: set[str] = {
     "dataset_card_documents",
     "customer_k_anonymity",
     "sliding_wau_hll_union",
+    "copurchase_association_rules",
 }
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "dataset_card_documents",
     "customer_k_anonymity",
     "sliding_wau_hll_union",
+    "copurchase_association_rules",
 ]
 
 
