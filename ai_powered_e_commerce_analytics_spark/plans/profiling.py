@@ -595,6 +595,161 @@ FROM classes CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Revenue concentration: Pareto deciles + Herfindahl index
+# ---------------------------------------------------------------------------
+
+_PARETO_BUCKETS = 10
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 chart: customers bucketed into spend deciles, with each
+    decile's customer count, revenue, and revenue share.
+
+    Scale-safe decile assignment: instead of ``ntile`` over a GLOBAL
+    window (one task sorts every customer at 100 TB), the 9 decile
+    BOUNDARIES come from one exact ``percentile`` aggregate over the
+    customer-grain spend (O(1) rows out) and each customer buckets by
+    value comparison against the broadcast cutoffs — no global sort,
+    ties land by VALUE (both engines share the rule; ntile would split
+    ties arbitrarily). Decile 1 = highest spenders.
+    """
+    cust = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", cents("o_totalprice").alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("spend_c"))
+    )
+    qs = [i / _PARETO_BUCKETS for i in range(1, _PARETO_BUCKETS)]
+    # round(…, 6) on the cutoffs: the interpolation's last-ulp can
+    # differ across engines; the 1e-6 grid (on integer-cent data) makes
+    # the comparison cutoffs identical by construction.
+    cuts = cust.agg(
+        F.transform(
+            F.expr(
+                f"percentile(spend_c, array({', '.join(str(q) for q in qs)}))"
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("cuts")
+    )
+    # bucket = 10 - (#cutoffs strictly below spend) -> decile 1 = top
+    n_below = F.size(
+        F.filter(F.col("cuts"), lambda x: x < F.col("spend_c"))
+    )
+    bucketed = cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "spend_c",
+        (F.lit(_PARETO_BUCKETS) - n_below).cast("long").alias("decile"),
+    )
+    total = bucketed.agg(F.sum("spend_c").alias("total_c"))
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_c").alias("rev_c"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("rev_c").cast("double") / F.col("total_c")).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+CUSTOMER_REVENUE_PARETO_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey, sum({cents_sql('o_totalprice')})::BIGINT AS spend_c
+    FROM orders GROUP BY 1
+),
+cuts AS (
+    SELECT list_transform(
+        quantile_cont(spend_c,
+            [{', '.join(str(i / _PARETO_BUCKETS) for i in range(1, _PARETO_BUCKETS))}]),
+        x -> round(x, 6)) AS cuts
+    FROM cust
+),
+b AS (
+    SELECT o_custkey, spend_c,
+           ({_PARETO_BUCKETS} - len(list_filter(cuts, x -> x < spend_c)))::BIGINT
+               AS decile
+    FROM cust CROSS JOIN cuts
+),
+tot AS (SELECT sum(spend_c)::BIGINT AS total_c FROM b)
+SELECT decile, count(*)::BIGINT AS n_customers,
+       sum(spend_c)::DOUBLE / 100.0 AS revenue,
+       sum(spend_c)::DOUBLE / total_c AS revenue_share
+FROM b CROSS JOIN tot
+GROUP BY decile, total_c
+"""
+
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per nation: the Herfindahl-Hirschman index
+    of customer revenue shares — HHI = Σ share_i² per nation (1/n for
+    perfect competition, 1.0 for monopoly) plus the top-customer share.
+
+    Exactness: a direct Σ(c_i/T)² double sum is accumulation-order-
+    dependent. Instead both numerator Σc_i² and denominator T² stay in
+    DECIMAL(38,0) integer cents (squares of customer totals overflow
+    BIGINT at scale), summed exactly in any order; ONE final double
+    division on identical operands → bit-identical HHI.
+    """
+    cust = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", cents("o_totalprice").alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("spend_c"))
+        .join(
+            t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+    )
+    dec = F.col("spend_c").cast("decimal(38,0)")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_c").alias("t_c"),
+        F.sum(dec * dec).alias("sum_sq"),
+        F.max("spend_c").alias("top_c"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        (F.col("t_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("t_c").cast("double") * F.col("t_c").cast("double"))
+        ).alias("hhi"),
+        (F.col("top_c").cast("double") / F.col("t_c")).alias(
+            "top_customer_share"
+        ),
+    )
+
+
+NATION_REVENUE_HHI_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey, sum({cents_sql('o_totalprice')})::BIGINT AS spend_c
+    FROM orders GROUP BY 1
+),
+j AS (
+    SELECT c.c_nationkey, cust.spend_c
+    FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+)
+SELECT c_nationkey,
+       count(*)::BIGINT AS n_customers,
+       sum(spend_c)::DOUBLE / 100.0 AS revenue,
+       sum(spend_c::HUGEINT * spend_c::HUGEINT)::DOUBLE
+           / (sum(spend_c)::DOUBLE * sum(spend_c)::DOUBLE) AS hhi,
+       max(spend_c)::DOUBLE / sum(spend_c) AS top_customer_share
+FROM j GROUP BY 1
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -637,5 +792,17 @@ PROFILING_SPECS = [
         customer_k_anonymity,
         CUSTOMER_K_ANONYMITY_SQL,
         ("privacy-k-anonymity",),
+    ),
+    QuerySpec(
+        "customer_revenue_pareto",
+        customer_revenue_pareto,
+        CUSTOMER_REVENUE_PARETO_SQL,
+        ("pareto-decile-share",),
+    ),
+    QuerySpec(
+        "nation_revenue_hhi",
+        nation_revenue_hhi,
+        NATION_REVENUE_HHI_SQL,
+        ("concentration-hhi",),
     ),
 ]

@@ -207,6 +207,8 @@ _R5_ADDED: set[str] = {
     "customer_k_anonymity",
     "sliding_wau_hll_union",
     "copurchase_association_rules",
+    "customer_revenue_pareto",
+    "nation_revenue_hhi",
 }
 
 

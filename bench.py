@@ -111,6 +111,8 @@ HEADLINE = [
     "customer_k_anonymity",
     "sliding_wau_hll_union",
     "copurchase_association_rules",
+    "customer_revenue_pareto",
+    "nation_revenue_hhi",
 ]
 
 
