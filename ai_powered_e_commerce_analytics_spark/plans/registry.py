@@ -211,24 +211,60 @@ _R5_ADDED: set[str] = {
     "nation_revenue_hhi",
 }
 
+# Queries verified by round 5's driver window (CORRECTNESS_r05.json —
+# all 50 rows green: the 4 two-round-stale r2 rows plus the 46
+# r3-verified queries round 4 didn't reach). Freshest evidence → back
+# of the round-6 window, which is therefore the 44 round-5 additions
+# (zero driver evidence so far — they lead) + the 6 stalest
+# r4-verified rows.
+_R5_DRIVER_VERIFIED = {
+    "acctbal_minmax_normalized", "batch_assignment",
+    "cube_orders_by_status_priority", "customer_rank_battery",
+    "customers_1996_only", "customers_both_years",
+    "customers_without_orders", "date_kpis", "events_props_extract",
+    "gold_enrichment_join", "item_id_assignment",
+    "item_id_assignment_ranged", "lineitem_price_stats",
+    "multimodal_frame_sample", "multimodal_metadata_stats",
+    "order_gaps_lag_lead", "order_priority_pivot_table",
+    "order_value_percentiles", "pool_assignment",
+    "rolling_weekly_revenue", "rollup_revenue_by_flag_status",
+    "running_revenue_per_customer", "salted_skew_join_brand_revenue",
+    "shop_kpis", "top100_orders", "top3_orders_per_customer",
+    "tpch_q10_returned_revenue", "tpch_q11_important_parts",
+    "tpch_q12_priority_pivot", "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary", "tpch_q20_excess_share_suppliers",
+    "tpch_q21_sole_late_supplier", "tpch_q22_idle_wealthy_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_late_shipment_semi", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "union_all_orders", "user_kpis",
+}
+
+# Queries ADDED in round 6 (no driver evidence yet). Placed after the
+# round-5 additions — both groups lack driver rows, but the r5 set has
+# waited a full round already — and BEFORE every verified group.
+_R6_ADDED: set[str] = set()
+
 
 # Order matters: the external driver verifies the FIRST 50 entries against
 # the DuckDB oracle each round. Stable partition by last-verified round,
-# least recent first: (0) never driver-checked before this round's
-# additions window placement; then evidence age, freshest last. The
-# round-5 window is thus the 4 two-round-stale r2 rows + the 46
-# r3-verified queries round 4 didn't reach — exactly the 50 without a
-# green row on the current testdata vintage.
+# least recent first: never-driver-checked queries lead (r5 additions,
+# then any r6 additions), then the group whose green evidence is oldest
+# (r4-verified, now two rounds stale), then the freshly-r5-verified
+# group. The round-6 window is thus the 44 round-5 additions + the 6
+# stalest r4-verified rows — exactly what VERDICT r5 asked for.
 def _staleness(q: QuerySpec) -> float:
-    if q.name in _R4_DRIVER_VERIFIED:
+    if q.name in _R5_DRIVER_VERIFIED:
         return 4
-    if q.name in _R5_ADDED:
-        return 3.5
-    if q.name in _R3_DRIVER_VERIFIED:
+    if q.name in _R4_DRIVER_VERIFIED:
         return 3
-    if q.name in _R2_DRIVER_VERIFIED:
+    if q.name in _R6_ADDED:
         return 2
-    if q.name in _R1_DRIVER_VERIFIED:
+    if q.name in _R5_ADDED:
         return 1
     return 0
 

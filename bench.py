@@ -2,9 +2,15 @@
 """Per-round bench harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (round-6 fix — BENCH_r05.json was lost to a single
+~4 KB JSON line that the driver's tail capture truncated mid-stream):
+the FINAL stdout line is a COMPACT summary — {"metric", "value",
+"unit", "errors", "iters", "sf", "n_queries"} — guaranteed short
+enough to survive any tail capture. The full per-query min/median maps
+are printed on the PRECEDING stdout line AND written to
+``BENCH_DETAIL.json`` next to this script for the judge.
 
 Each query is executed to completion through the ``noop`` sink — unlike
 ``count()``, which lets Catalyst prune every projection column and would
@@ -168,20 +174,28 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:  # dir not named sf<number> — never lose the run
         sf = SF_DIR
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "errors": errors,
-                "iters": ITERS,
-                "sf": sf,
-            }
+    summary = {
+        "metric": "headline-suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "errors": errors,
+        "iters": ITERS,
+        "sf": sf,
+        "n_queries": len(HEADLINE),
+    }
+    detail = dict(summary, queries=timings, queries_median=medians)
+    try:  # per-query detail for the judge; never let IO kill the run
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-    )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    # The compact summary MUST be the final line: the driver parses the
+    # tail of stdout and long lines get truncated (lost BENCH_r05).
+    print(json.dumps(summary))
     spark.stop()
 
 
