@@ -647,10 +647,17 @@ def _debounce_fn(
     the exact-closure form."""
     user_id, event_type = key
     if state.hasTimedOut:
-        # SAFE expiry: state only matters while an incoming event could
-        # still fall inside the window; once idle past it, the next
-        # event would be kept regardless — so dropping the entry changes
-        # nothing. This bounds state to ACTIVE keys, not all keys ever.
+        # Expiry bounds state to ACTIVE keys, not all keys ever. Under
+        # the in-order arrival contract (processing time tracks event
+        # time) it is also semantically safe: once idle past the window
+        # the next event would be kept regardless. CAVEAT — the timeout
+        # is PROCESSING-time, so after a >window processing-time idle
+        # gap that is NOT an event-time gap (restart, backfill, replay
+        # of historical timestamps) the dropped entry makes the next
+        # event be KEPT even though its event-time gap to its
+        # predecessor is inside the window — a divergence from the
+        # batch twin beyond the documented late-arrival caveat. Re-run
+        # the batch query at compaction time for exact closure.
         state.remove()
         return
     (last,) = state.get if state.exists else (None,)
