@@ -229,6 +229,11 @@ def _audit(spark, args) -> dict:
             "pushed_filters": bool(
                 re.search(r"PushedFilters: \[(?!\])", plan)
             ),
+            # full-value-map exact percentile aggregates (memory-unsafe
+            # at non-dimension grain; approx_percentile doesn't count)
+            "exact_percentile_aggs": len(
+                re.findall(r"(?<!approx_)\bpercentile\(", plan)
+            ),
         }
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .quantiles import exact_percentiles_scalable
 from .spec import QuerySpec, cents, cents_sql, t
 
 
@@ -412,10 +413,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is customer-grain or smaller: the reference
     date and the 9 quartile thresholds are 1-row aggregates cross-joined
     back as broadcasts (no global window anywhere — the naive form ranks
-    customers with ntile() OVER (), a single-partition sort). Exact
-    ``percentile`` over the customer grain is fine at KPI scale;
-    approx_percentile is the documented swap if even the customer
-    dimension outgrows a per-group sort. Money stays in integer cents
+    customers with ntile() OVER (), a single-partition sort). The 9
+    quartile thresholds come from ONE :func:`exact_percentiles_scalable`
+    pass (plans/quantiles.py) over the three metrics unpivoted to
+    (metric, value) rows — distributed order statistics with bounded
+    memory, no full-value-map ``percentile`` buffer even when the
+    customer dimension outgrows an aggregation buffer, same
+    interpolated values bit-for-bit. Money stays in integer cents
     through every sum (spec.py float policy); quartile thresholds are
     interpolated doubles, round(…,6) per policy, proven cross-engine by
     order_value_percentiles.
@@ -444,19 +448,34 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    pct = lambda col, p, out: F.round(  # noqa: E731
-        F.expr(f"percentile({col}, {p})"), 6
-    ).alias(out)
-    thresholds = rfm.agg(
-        pct("recency_days", 0.25, "r25"),
-        pct("recency_days", 0.50, "r50"),
-        pct("recency_days", 0.75, "r75"),
-        pct("frequency", 0.25, "f25"),
-        pct("frequency", 0.50, "f50"),
-        pct("frequency", 0.75, "f75"),
-        pct("monetary_cents", 0.25, "m25"),
-        pct("monetary_cents", 0.50, "m50"),
-        pct("monetary_cents", 0.75, "m75"),
+    stacked = rfm.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("__metric"), F.col(c).alias("__v")
+                    )
+                    for m, c in (
+                        ("r", "recency_days"),
+                        ("f", "frequency"),
+                        ("m", "monetary_cents"),
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.__metric", "s.__v")
+    per_metric = exact_percentiles_scalable(
+        stacked, "__v", (0.25, 0.50, 0.75), ("p25", "p50", "p75"),
+        ("__metric",),
+    )
+    thresholds = per_metric.groupBy().agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("__metric") == m, F.col(f"p{p}"))), 6
+            ).alias(f"{m}{p}")
+            for m in ("r", "f", "m")
+            for p in (25, 50, 75)
+        ]
     )
     return (
         rfm.crossJoin(F.broadcast(thresholds))
@@ -568,9 +587,13 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse into one versioned interval (valid_from / valid_to /
     is_current) — the dimension-table build step of a warehouse ETL.
 
-    Tiering: per-year spend quartiles (exact ``percentile`` over the
-    customer grain per year — year count is tiny, so the threshold
-    table broadcasts). Interval collapse is the classic gaps-and-
+    Tiering: per-year spend quartiles via
+    :func:`exact_percentiles_scalable` (plans/quantiles.py: distributed
+    order statistics grouped by year — bounded memory at ANY
+    customers-per-year cardinality, no full-value-map ``percentile``
+    buffer, bit-identical interpolated cutoffs; year count is tiny, so
+    the threshold table broadcasts). Interval collapse is the classic
+    gaps-and-
     islands shape: change flag via lag, run id via running sum, one
     groupBy per run — all over a single o_custkey-keyed sort order, so
     ONE shuffle carries the windows and the run fold. Everything
@@ -578,18 +601,21 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated thresholds that are bit-identical cross-engine
     (order_value_percentiles parity).
     """
+    # eager localCheckpoint: the customer-year fold feeds both the
+    # cutoff computation and the tiering join — one orders scan.
     yearly = (
         t(spark, sf_dir, "orders")
         .groupBy(
             "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
         )
         .agg(F.sum(cents("o_totalprice")).alias("spend_cents"))
+        .localCheckpoint(eager=True)
     )
-    th = yearly.groupBy("yr").agg(
-        *[
-            F.round(F.expr(f"percentile(spend_cents, {p})"), 6).alias(a)
-            for p, a in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"))
-        ]
+    th = exact_percentiles_scalable(
+        yearly, "spend_cents", (0.25, 0.50, 0.75), ("q25", "q50", "q75"),
+        ("yr",),
+    ).select(
+        "yr", *[F.round(F.col(a), 6).alias(a) for a in ("q25", "q50", "q75")]
     )
     tiered = yearly.join(F.broadcast(th), "yr").select(
         "o_custkey",

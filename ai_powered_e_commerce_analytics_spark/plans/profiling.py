@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .quantiles import exact_percentiles_scalable
 from .spec import QuerySpec, cents, cents_sql, t
 
 # ---------------------------------------------------------------------------
@@ -608,29 +609,31 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale-safe decile assignment: instead of ``ntile`` over a GLOBAL
     window (one task sorts every customer at 100 TB), the 9 decile
-    BOUNDARIES come from one exact ``percentile`` aggregate over the
-    customer-grain spend (O(1) rows out) and each customer buckets by
-    value comparison against the broadcast cutoffs — no global sort,
-    ties land by VALUE (both engines share the rule; ntile would split
-    ties arbitrarily). Decile 1 = highest spenders.
+    BOUNDARIES come from :func:`exact_percentiles_scalable`
+    (plans/quantiles.py: distributed order statistics — bounded memory,
+    no full-value-map ``percentile`` buffer, bit-identical interpolated
+    output) and each customer buckets by value comparison against the
+    broadcast cutoffs — no global sort, ties land by VALUE (both
+    engines share the rule; ntile would split ties arbitrarily).
+    Decile 1 = highest spenders.
     """
+    # eager localCheckpoint: the customer-grain fold (~1% of orders)
+    # feeds both the cutoff computation and the bucketing pass — one
+    # orders scan instead of two.
     cust = (
         t(spark, sf_dir, "orders")
         .select("o_custkey", cents("o_totalprice").alias("c"))
         .groupBy("o_custkey")
         .agg(F.sum("c").alias("spend_c"))
+        .localCheckpoint(eager=True)
     )
     qs = [i / _PARETO_BUCKETS for i in range(1, _PARETO_BUCKETS)]
+    names = [f"__c{i}" for i in range(1, _PARETO_BUCKETS)]
     # round(…, 6) on the cutoffs: the interpolation's last-ulp can
     # differ across engines; the 1e-6 grid (on integer-cent data) makes
     # the comparison cutoffs identical by construction.
-    cuts = cust.agg(
-        F.transform(
-            F.expr(
-                f"percentile(spend_c, array({', '.join(str(q) for q in qs)}))"
-            ),
-            lambda x: F.round(x, 6),
-        ).alias("cuts")
+    cuts = exact_percentiles_scalable(cust, "spend_c", qs, names).select(
+        F.array(*[F.round(F.col(n), 6) for n in names]).alias("cuts")
     )
     # bucket = 10 - (#cutoffs strictly below spend) -> decile 1 = top
     n_below = F.size(

@@ -1,0 +1,181 @@
+"""Scalable EXACT percentiles (the 100 TB swap for ``percentile``).
+
+Spark's exact ``percentile`` aggregate materializes a full value->count
+map in ONE aggregation buffer — a driver/executor-memory killer once the
+aggregated grain is no longer dimension-sized. But several queries
+(Pareto deciles, RFM quartiles, SCD2 tier cutoffs) need exact,
+interpolated, cross-engine-deterministic cutoffs: an approx sketch would
+change bucket membership at the boundaries and break oracle hash parity.
+
+:func:`exact_percentiles_scalable` computes the SAME interpolated value
+as ``percentile`` / DuckDB ``quantile_cont`` with bounded memory
+everywhere, via distributed order statistics:
+
+1. **Distinct-value contraction**: ``groupBy(group, value).count()`` —
+   the only corpus-sized shuffle, and a contracting one (runs of equal
+   values collapse to one row carrying a count).
+2. **Range arrangement**: ``repartitionByRange(group, value)`` +
+   ``sortWithinPartitions`` makes every physical partition a contiguous
+   slice of each group's value order (the ``pack_sequences_greedy``
+   prefix decomposition, plans/pretrain.py:209).
+3. **Global rank = partition base + local prefix**: per-(partition,
+   group) subtotal counts are one tiny agg — O(partitions x groups)
+   rows — collected, folded driver-side into per-partition cumulative
+   BASES, and broadcast-joined back; a windowed running count inside
+   each partition supplies the local prefix. Every value-run now knows
+   the exact 0-indexed global rank interval it covers.
+4. **Rank-target lookup**: each requested quantile q over a group of n
+   values needs the order statistics at ``floor(q*(n-1))`` and
+   ``ceil(q*(n-1))``. Group totals n fall out of the SAME subtotal
+   fold (no second scan), so the O(groups x quantiles) target frame is
+   built driver-side — its ``q*(n-1)`` is the identical IEEE double
+   expression Spark's Percentile evaluates — and broadcast-joined
+   against the ranked runs, then one interpolation ``(1-frac)*lo +
+   frac*hi`` (Percentile.getPercentile's exact formula; callers
+   round(…,6) per the spec.py float policy, proven cross-engine by
+   order_value_percentiles).
+
+No aggregation buffer ever holds more than one row per distinct value
+per partition; the driver only ever sees O(partitions x groups)
+subtotals. Memory is bounded regardless of grain size — the property
+the full-value-map aggregate lacks.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Same repeat-invocation eviction contract as pretrain._PACK_ARRANGED_CACHE:
+# each call pins one contracted frame; the next call (bench iterations,
+# long-lived drivers) evicts its predecessor. Best-effort — the cached
+# frame may belong to an already-stopped session.
+_ARRANGED_CACHE: list[DataFrame] = []
+
+
+def exact_percentiles_scalable(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group.
+
+    Returns one row per group: ``group_cols + [out_names...]`` (double),
+    bit-matching ``percentile(value_col, q)`` / DuckDB ``quantile_cont``
+    on every tested SF, without a full-value-map aggregate in the plan.
+    Nulls in ``value_col`` are ignored (``percentile`` semantics);
+    groups with zero non-null values are omitted.
+    """
+    assert len(qs) == len(out_names)
+    gc = list(group_cols)
+    vals = df.select(*gc, value_col).where(F.col(value_col).isNotNull())
+    spark = df.sparkSession
+
+    # -- 1. distinct-value contraction ---------------------------------
+    dv = vals.groupBy(*gc, value_col).agg(F.count("*").alias("__cnt"))
+
+    while _ARRANGED_CACHE:
+        try:
+            _ARRANGED_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 - stopped-session frame
+            pass
+    # -- 2. range arrangement (partition = contiguous value slice) -----
+    arranged = (
+        dv.repartitionByRange(*gc, value_col)
+        .sortWithinPartitions(*gc, value_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    _ARRANGED_CACHE.append(arranged)
+
+    # -- 3a. per-(pid, group) subtotals -> per-partition rank bases ----
+    subtotals = arranged.groupBy("__pid", *gc).agg(
+        F.sum("__cnt").alias("__sub")
+    ).collect()
+
+    def _gkey(row):
+        return tuple(row[g] for g in gc)
+
+    running: dict[tuple, int] = {}
+    base_rows = []
+    # pid order IS value order within a group (range partitioner), so a
+    # (group-key, pid)-sorted fold yields each partition's base rank.
+    for row in sorted(subtotals, key=lambda r: (_gkey(r), r["__pid"])):
+        k = _gkey(row)
+        base_rows.append((row["__pid"], *k, running.get(k, 0)))
+        running[k] = running.get(k, 0) + row["__sub"]
+    base_schema = ", ".join(
+        ["__pid int"]
+        + [f"{g} {dict(dv.dtypes)[g]}" for g in gc]
+        + ["__base long"]
+    )
+    base = spark.createDataFrame(base_rows, schema=base_schema)
+
+    # -- 3b. global rank interval of each value-run --------------------
+    w = (
+        Window.partitionBy("__pid", *gc)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        arranged.withColumn("__cum", F.sum("__cnt").over(w))
+        .join(F.broadcast(base), on=["__pid", *gc])
+        .select(
+            *gc,
+            value_col,
+            (F.col("__base") + F.col("__cum") - F.col("__cnt")).alias(
+                "__start"
+            ),
+            (F.col("__base") + F.col("__cum") - F.lit(1)).alias("__end"),
+        )
+    )
+
+    # -- 4. rank targets (O(groups x quantiles)) + broadcast lookup ----
+    # Group totals are the final fold state — no second input scan. The
+    # float steps (q*(n-1), floor, frac) are the same IEEE-double ops
+    # Spark's Percentile evaluates, so positions match bit-for-bit.
+    tgt_rows = []
+    for k, n in running.items():
+        for qi, q in enumerate(qs):
+            p = float(q) * (n - 1)
+            lo = math.floor(p)
+            tgt_rows.append((*k, qi, lo, math.ceil(p), p - lo))
+    tgt_schema = ", ".join(
+        [f"__t_{g} {dict(dv.dtypes)[g]}" for g in gc]
+        + ["__qi int", "__lo long", "__hi long", "__frac double"]
+    )
+    tgt = spark.createDataFrame(tgt_rows, schema=tgt_schema)
+    cond = F.lit(True)
+    for g in gc:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__t_{g}"))
+    lo_in = F.col("__lo").between(F.col("__start"), F.col("__end"))
+    hi_in = F.col("__hi").between(F.col("__start"), F.col("__end"))
+    hits = ranked.join(F.broadcast(tgt), cond & (lo_in | hi_in))
+    v = F.col(value_col).cast("double")
+    per_q = hits.groupBy(*gc, "__qi", "__frac").agg(
+        F.max(F.when(lo_in, v)).alias("__vlo"),
+        F.max(F.when(hi_in, v)).alias("__vhi"),
+    )
+    # Percentile.getPercentile's interpolation, exactly: frac == 0 (the
+    # common integer-position case) returns __vlo with zero float ops.
+    pct = F.when(F.col("__frac") == 0.0, F.col("__vlo")).otherwise(
+        (F.lit(1.0) - F.col("__frac")) * F.col("__vlo")
+        + F.col("__frac") * F.col("__vhi")
+    )
+    return (
+        per_q.select(*gc, "__qi", pct.alias("__pct"))
+        .groupBy(*gc)
+        .agg(
+            *[
+                F.max(F.when(F.col("__qi") == i, F.col("__pct"))).alias(
+                    out_names[i]
+                )
+                for i in range(len(qs))
+            ]
+        )
+    )

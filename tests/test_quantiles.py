@@ -1,0 +1,113 @@
+"""exact_percentiles_scalable vs Spark's own exact ``percentile``.
+
+The helper must reproduce the full-value-map aggregate's interpolated
+output EXACTLY (it replaces it inside hash-gated oracle queries), while
+keeping that aggregate out of the executed plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_powered_e_commerce_analytics_spark.plans.quantiles import (
+    exact_percentiles_scalable,
+)
+from ai_powered_e_commerce_analytics_spark.plans.spec import cents, t
+
+QS = (0.25, 0.50, 0.75)
+NAMES = ("q25", "q50", "q75")
+
+
+def _exact(df, col, group_cols=()):
+    aggs = [
+        F.expr(f"percentile({col}, {q})").alias(n) for q, n in zip(QS, NAMES)
+    ]
+    return (
+        df.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else df.agg(*aggs)
+    )
+
+
+def _assert_same(got, want, group_cols=()):
+    key = lambda r: tuple(r[g] for g in group_cols)  # noqa: E731
+    gm = {key(r): r for r in got.collect()}
+    wm = {key(r): r for r in want.collect()}
+    assert set(gm) == set(wm)
+    for k, w in wm.items():
+        for n in NAMES:
+            assert gm[k][n] == w[n], (k, n, gm[k][n], w[n])
+
+
+def test_ungrouped_matches_percentile(spark, sf_dir):
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("v"))
+    )
+    got = exact_percentiles_scalable(spend, "v", QS, NAMES)
+    _assert_same(got, _exact(spend, "v"))
+
+
+def test_grouped_matches_percentile(spark, sf_dir):
+    yearly = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(cents("o_totalprice")).alias("v"))
+    )
+    got = exact_percentiles_scalable(yearly, "v", QS, NAMES, ("yr",))
+    _assert_same(got, _exact(yearly, "v", ("yr",)), ("yr",))
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7])
+def test_tiny_groups_and_duplicates(spark, n):
+    # n=1: pos collapses to rank 0 for every q; duplicates exercise the
+    # value-run rank intervals (one dv row covering both target ranks).
+    rows = [(i % max(1, n // 2),) for i in range(n)]
+    df = spark.createDataFrame(rows, "v long")
+    got = exact_percentiles_scalable(df, "v", QS, NAMES)
+    _assert_same(got, _exact(df, "v"))
+
+
+def test_nulls_ignored_and_empty(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+    got = exact_percentiles_scalable(df, "v", QS, NAMES)
+    _assert_same(got, df.where("v is not null").agg(
+        *[F.expr(f"percentile(v, {q})").alias(n) for q, n in zip(QS, NAMES)]
+    ))
+    # ungrouped global agg over empty input: one all-null row, exactly
+    # like percentile() itself
+    empty = spark.createDataFrame([], "v long")
+    _assert_same(
+        exact_percentiles_scalable(empty, "v", QS, NAMES), _exact(empty, "v")
+    )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["customer_revenue_pareto", "rfm_customer_segments",
+     "customer_segment_scd2"],
+)
+def test_percentile_trio_plan_pins(spark, sf_dir, qname):
+    """The three cutoff queries must keep the full-value-map exact
+    ``percentile`` aggregate OUT of their executed plans (VERDICT r6
+    item 1) — the cutoffs come from exact_percentiles_scalable."""
+    from ai_powered_e_commerce_analytics_spark.plans import registry
+
+    df = registry.query_map()[qname](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"(?<!approx_)\bpercentile\(", plan), qname
+
+
+def test_no_exact_percentile_aggregate_in_plan(spark, sf_dir):
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("v"))
+    )
+    got = exact_percentiles_scalable(spend, "v", QS, NAMES)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" not in plan.lower()
