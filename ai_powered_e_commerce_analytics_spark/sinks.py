@@ -269,6 +269,19 @@ def _occ_commit_loop(
     from .hadoop import hadoop_fs, hadoop_path
 
     fs = hadoop_fs(spark, table_path)
+    snap_rdd_ids: set[int] = set()
+
+    def _drop_snapshot_blocks() -> None:
+        # Unpersist the PREVIOUS attempt's localCheckpoint blocks before
+        # re-merging — without this every contention retry pins another
+        # copy of the change set in executor storage for the life of the
+        # session. Only ids that appeared across OUR checkpoint call are
+        # touched (never a caller's cached frames).
+        for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            if rid in snap_rdd_ids:
+                rdd.unpersist(False)
+        snap_rdd_ids.clear()
+
     for _attempt in range(max_attempts):
         version, manifest = _latest_manifest(spark, fs, table_path)
         nb = int(manifest["num_buckets"]) if manifest is not None else num_buckets
@@ -276,7 +289,11 @@ def _occ_commit_loop(
         bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
         bucketed = changes.withColumn("__bucket", bucket)
         if snapshot:
+            pre = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
             bucketed = bucketed.localCheckpoint(eager=True)
+            snap_rdd_ids = (
+                set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - pre
+            )
         touched = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
 
         old = None
@@ -323,10 +340,12 @@ def _occ_commit_loop(
             _before_commit()
         if _commit_manifest(spark, fs, table_path, version + 1, new_manifest):
             _gc_upsert_table(spark, fs, table_path, version + 1, new_manifest)
+            _drop_snapshot_blocks()  # staged data is committed to disk
             return
         # Lost the version CAS to a concurrent writer: the merge is based
         # on a stale table state. Drop the staged attempt and re-merge.
         fs.delete(hadoop_path(spark, tx_dir), True)
+        _drop_snapshot_blocks()
     raise RuntimeError(
         f"{op_name} at {table_path} lost the commit race {max_attempts} "
         "times — giving up (sustained writer contention)"
@@ -434,6 +453,7 @@ def apply_cdc_parquet(
     seq_col: str | None = None,
     num_buckets: int = 64,
     max_attempts: int = 5,
+    _before_commit=None,
 ) -> None:
     """Apply a CDC change batch (inserts/updates/DELETES) to a
     manifest-committed upsert table — the missing lakehouse verb on top
@@ -455,7 +475,29 @@ def apply_cdc_parquet(
     into are rewritten; deletes drop the key from its rewritten bucket
     (a delete for an absent key is a no-op). Readers see the change
     batch atomically via the manifest rename.
+
+    The op domain is VALIDATED up front: any value outside
+    ``('I','U','D')`` — including NULL — raises before anything is
+    staged. Without this, ``op != 'D'`` evaluates NULL for a NULL op
+    (the row silently vanishes from BOTH the upsert and the delete
+    set), and an unknown code like ``'d'`` or ``'delete'`` would be
+    silently upserted — the same corrupt-the-table-silently class the
+    duplicate-key rejection below guards against.
     """
+    bad = (
+        changes.where(
+            F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+        )
+        .select(op_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"CDC batch contains op {bad[0][0]!r} outside the valid "
+            "domain ('I', 'U', 'D') — refusing to apply (a NULL or "
+            "unknown op would silently corrupt the table)"
+        )
     if seq_col is not None:
         latest = (
             changes.withColumn(
@@ -501,6 +543,7 @@ def apply_cdc_parquet(
         op_name="CDC apply",
         # one deterministic snapshot feeds upserts, deletes, AND touched
         snapshot=True,
+        _before_commit=_before_commit,
     )
 
 
@@ -601,6 +644,13 @@ def table_changes(
     # Schema evolution: payload = UNION of both sides' columns; a side
     # missing a column carries a typed NULL so adds/drops read as
     # updates instead of erroring (or silently hiding the column).
+    # TYPE evolution: the dict iterates (before, after), so the AFTER
+    # side's type wins where they disagree (latest-schema-wins, the
+    # Delta-CDF reading) and BOTH sides are cast to it — without the
+    # cast the before/after structs carry mismatched field types and
+    # the eqNullSafe comparison fails or mis-compares. Caveat: a lossy
+    # narrowing evolution (double -> int) compares in the narrowed
+    # domain, like any reader of the evolved table.
     types = {
         f.name: f.dataType
         for df in (before, after)
@@ -610,7 +660,11 @@ def table_changes(
 
     def side(df: DataFrame, alias: str) -> DataFrame:
         cols = [
-            F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+            (
+                F.col(c).cast(types[c])
+                if c in df.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
             for c in payload
         ]
         return df.select(F.col(key), F.struct(*cols).alias(alias))

@@ -342,3 +342,103 @@ def test_table_changes_schema_evolution_and_empty_and_reversed(spark, tmp_path):
     )
     rows = table_changes(spark, table, "k", from_version=2).collect()
     assert len(rows) == 1 and rows[0]["change_type"] == "delete"
+
+
+def test_cdc_rejects_invalid_op_domain(spark, tmp_path):
+    # A NULL op would vanish from BOTH the upsert set (op != 'D' is
+    # NULL) and the delete set; an unknown code would silently upsert.
+    # Both must raise up front, leaving the table untouched.
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    for bad_op in (None, "X", "d", "delete"):
+        changes = spark.createDataFrame(
+            [(2, "b", "I"), (1, "z", bad_op)], "k long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="outside the valid domain"):
+            apply_cdc_parquet(spark, changes, table, "k", num_buckets=2)
+    assert _rows(spark, table) == {(1, "a")}  # nothing staged or applied
+
+
+def test_table_changes_type_evolution_casts_both_sides(spark, tmp_path):
+    # v1 writes w as LONG; v2 rewrites the (single) bucket with w as
+    # DOUBLE. The diff must cast both sides to the AFTER type instead of
+    # comparing mismatched struct field types.
+    from ai_powered_e_commerce_analytics_spark.sinks import table_changes
+
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, w long"),
+        table,
+        "k",
+        num_buckets=1,
+    )
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 10.5)], "k long, w double"),
+        table,
+        "k",
+        num_buckets=1,
+    )
+    rows = table_changes(spark, table, "k", from_version=1).collect()
+    # k=2 is 20 (long) before and 20.0 (double, union-coerced) after —
+    # equal under the unified type, so only k=1 reports.
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 1 and r["change_type"] == "update"
+    assert r["before"]["w"] == 10.0 and r["after"]["w"] == 10.5
+
+
+def test_cdc_contention_retries_drop_checkpoint_blocks(spark, tmp_path):
+    # Force two lost commit races via the _before_commit seam; the
+    # retry loop must unpersist each superseded attempt's snapshot
+    # blocks (and the final one after a successful commit) instead of
+    # pinning one change-set copy per attempt for the session lifetime.
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=2,
+    )
+    baseline_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    attempts = []
+
+    def contend():
+        attempts.append(1)
+        if len(attempts) <= 2:  # steal the version on the first two tries
+            upsert_parquet(
+                spark,
+                spark.createDataFrame(
+                    [(2, f"steal{len(attempts)}")], "k long, v string"
+                ),
+                table,
+                "k",
+                num_buckets=2,
+            )
+
+    apply_cdc_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, "A", "U"), (3, "c", "I")], "k long, v string, op string"
+        ),
+        table,
+        "k",
+        num_buckets=2,
+        _before_commit=contend,
+    )
+    assert len(attempts) == 3  # two lost races + the winning attempt
+    leaked = (
+        set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+        - baseline_ids
+    )
+    assert not leaked, f"retries leaked checkpoint RDDs: {leaked}"
+    # semantics: CDC result applied on top of the LAST stolen state
+    assert _rows(spark, table) == {(1, "A"), (2, "steal2"), (3, "c")}
