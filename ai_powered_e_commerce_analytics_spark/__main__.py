@@ -69,14 +69,18 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--llm-base-url", help="OpenAI-compatible endpoint")
         return c
 
-    c = base_cmd("collect", "pull synthetic products -> bronze batch")
+    c = base_cmd("collect", "poll products API (or synthetic) -> bronze batch")
     c.add_argument("--pulls", type=int, default=2)
     c.add_argument("--rows-per-pull", type=int, default=50)
+    c.add_argument("--url", help="product API endpoint (GET, JSON list)")
+    c.add_argument("--api-key", help="X-API-Key header for --url")
     base_cmd("review", "bronze/new -> LLM reviews -> silver chunks")
     base_cmd("etl", "silver/new -> sentiments -> gold + KPI upserts")
     c = base_cmd("demo", "collect + review + etl end-to-end, print KPIs")
     c.add_argument("--pulls", type=int, default=2)
     c.add_argument("--rows-per-pull", type=int, default=50)
+    c.add_argument("--url", help="product API endpoint (GET, JSON list)")
+    c.add_argument("--api-key", help="X-API-Key header for --url")
 
     c = sub.add_parser("pretrain", help="corpus curation run over documents")
     c.add_argument("--sf-dir", required=True)
@@ -145,10 +149,12 @@ def _run(spark, args) -> dict:
     def collect():
         return run_collector(
             spark,
-            _synthetic_fetch(args.rows_per_pull),
+            args.url if getattr(args, "url", None)
+            else _synthetic_fetch(args.rows_per_pull),
             d["bronze_new"],
             pulls=args.pulls,
             config=cfg,
+            api_key=getattr(args, "api_key", None),
         )
 
     def review():

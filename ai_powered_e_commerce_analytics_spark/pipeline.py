@@ -186,18 +186,71 @@ def run_review_pipeline(
     return {"rows": n}
 
 
+def make_http_fetch(
+    url: str,
+    api_key: str | None = None,
+    *,
+    timeout: float = 10.0,
+    strict: bool = False,
+) -> Callable[[], list[dict] | None]:
+    """Concrete HTTP poll client for :func:`run_collector` — the
+    reference's actual entry point (collector.py:26-39 ``getData``):
+    GET ``url`` with an ``X-API-Key`` header, parse the JSON list body.
+
+    Error contract matches the reference faithfully: its ``finally:
+    return result`` swallows EVERY failure into ``None`` (one skipped
+    pull, the loop continues). Pass ``strict=True`` to surface
+    failures as exceptions instead — the behavior the reference's
+    raise statements *intended* before the finally-clause quirk.
+
+    stdlib ``urllib`` only (the engine adds no HTTP dependency); the
+    driver makes one small request per pull, so a sync client is the
+    right shape — no executor ever touches this.
+    """
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    headers = {"X-API-Key": api_key} if api_key is not None else {}
+
+    def fetch() -> list[dict] | None:
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+            data = _json.loads(body)
+            if not isinstance(data, list):
+                raise ValueError(
+                    f"expected a JSON list body, got {type(data).__name__}"
+                )
+            return data
+        except Exception as e:  # noqa: BLE001 - reference swallow contract
+            if strict:
+                raise
+            log.warning("collector pull from %s failed: %s", url, e)
+            return None
+
+    return fetch
+
+
 def run_collector(
     spark: SparkSession,
-    fetch: Callable[[], list[dict]],
+    fetch: Callable[[], list[dict]] | str,
     bronze_new_dir: str,
     *,
     pulls: int = 10,  # collector.py:110 max_size
     config: EngineConfig | None = None,
+    api_key: str | None = None,
 ) -> dict[str, int]:
     """Collector loop (survey §3.3), one flush cycle: accumulate
     ``pulls`` API fetches, enrich with seeded user/shop pools, write one
-    bronze batch."""
+    bronze batch. ``fetch`` is either a zero-arg callable returning a
+    list of dicts (or None for a failed pull) or an http(s) URL string,
+    which is wrapped with :func:`make_http_fetch` (+ optional
+    ``api_key``) — the reference's GET-poll workflow out of the box."""
     cfg = config or EngineConfig()
+    if isinstance(fetch, str):
+        fetch = make_http_fetch(fetch, api_key)
     rows: list[dict] = []
     for _ in range(pulls):
         rows.extend(fetch() or [])  # U1 vertical accumulation
