@@ -701,6 +701,116 @@ def upsert_kpi_tables(
         upsert_parquet(spark, df, f"{base_dir}/{name}", keys[name])
 
 
+def upsert_dbapi(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    key: str,
+    connection_factory,
+    *,
+    batch_size: int = 1000,
+    paramstyle: str = "qmark",
+    statement: str | None = None,
+) -> None:
+    """Keyed upsert (MERGE) into a RELATIONAL database — the deployment
+    target the reference actually has (data_loader.py:54-66 upserts the
+    KPI tables into Supabase Postgres via PostgREST
+    ``upsert(records, on_conflict=key)``); SURVEY §7 hard-part 1's
+    "JDBC + MERGE" fallback form of :func:`upsert_parquet`.
+
+    Plan shape (100 TB): ``foreachPartition`` opens ONE connection per
+    partition ON THE EXECUTORS and streams ``executemany`` batches of
+    ``INSERT ... ON CONFLICT (key) DO UPDATE`` — the write fans out with
+    the data (no driver collect, no single-connection bottleneck; the
+    DB's own MVCC serializes per-key). This is the PySpark-idiomatic
+    equivalent of the JVM "stage via df.write.jdbc + driver-side MERGE
+    INTO staging" pattern: same semantics, one fewer table, and it
+    needs only a Python DB-API driver (psycopg2, sqlite3), not a JDBC
+    jar on the classpath. ``connection_factory`` must be a picklable
+    zero-arg callable, e.g. ``lambda: psycopg2.connect(dsn)``.
+
+    Semantics match :func:`upsert_parquet`: last-writer-wins per key
+    against the table. Duplicate keys WITHIN the batch are collapsed
+    first (``dropDuplicates``) — Postgres rejects a multi-hit ON
+    CONFLICT batch ("cannot affect row a second time") and SQLite
+    would keep an arbitrary one. Task retries re-run the same keyed
+    upserts — idempotent, so the sink is safely at-least-once.
+
+    The default statement speaks the common Postgres/SQLite dialect
+    (``ON CONFLICT (key) DO UPDATE SET col = excluded.col``) with
+    ``paramstyle`` 'qmark' (sqlite3 ``?``) or 'format' (psycopg2
+    ``%s``); pass ``statement`` to override for other dialects
+    (MySQL's ``ON DUPLICATE KEY UPDATE``, ...). The target table (with
+    a unique constraint on ``key``) must exist — schema DDL is a
+    deployment concern, as in the reference.
+    """
+    cols = list(updates.columns)
+    if key not in cols:
+        raise ValueError(f"key column {key!r} not in {cols}")
+    if statement is None:
+        ph = {"qmark": "?", "format": "%s"}[paramstyle]
+        collist = ", ".join(f'"{c}"' for c in cols)
+        values = ", ".join([ph] * len(cols))
+        sets = ", ".join(f'"{c}" = excluded."{c}"' for c in cols if c != key)
+        action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        statement = (
+            f'INSERT INTO "{table}" ({collist}) VALUES ({values}) '
+            f'ON CONFLICT ("{key}") {action}'
+        )
+    stmt = statement
+
+    def write_partition(rows) -> None:
+        buf = []
+        conn = None
+        try:
+            for row in rows:
+                if conn is None:  # connect lazily: skip empty partitions
+                    conn = connection_factory()
+                buf.append(tuple(row[c] for c in cols))
+                if len(buf) >= batch_size:
+                    conn.cursor().executemany(stmt, buf)
+                    buf.clear()
+            if conn is not None:
+                if buf:
+                    conn.cursor().executemany(stmt, buf)
+                conn.commit()
+        finally:
+            if conn is not None:
+                conn.close()
+
+    updates.dropDuplicates([key]).foreachPartition(write_partition)
+
+
+def dbapi_upsert_sink(table: str, key: str, connection_factory, **kwargs):
+    """``writeStream.foreachBatch`` adapter around :func:`upsert_dbapi`
+    — the literal "MERGE in foreachBatch" form: each micro-batch keyed-
+    upserts into the DB; checkpoint + idempotent MERGE give effective
+    exactly-once per key (a replayed batch rewrites the same rows)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_dbapi(
+            batch_df.sparkSession, batch_df, table, key,
+            connection_factory, **kwargs,
+        )
+
+    return apply_batch
+
+
+def upsert_kpi_tables_dbapi(
+    spark: SparkSession,
+    kpis: dict[str, DataFrame],
+    connection_factory,
+    keys: dict[str, str] | None = None,
+) -> None:
+    """M2 twin of :func:`upsert_kpi_tables` targeting a relational DB —
+    the reference's actual fan-out (data_loader.py:63-65: three
+    concurrent Supabase upserts). Table/key triples from main.py:53-55;
+    each table's write already parallelizes across executors."""
+    keys = keys or {"user_kpis": "id", "shop_kpis": "shop_id", "date_kpis": "date"}
+    for name, df in kpis.items():
+        upsert_dbapi(spark, df, name, keys[name], connection_factory)
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     src_dir: str,
