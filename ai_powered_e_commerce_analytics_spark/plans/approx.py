@@ -245,6 +245,23 @@ WAU_WINDOW_DAYS = 7
 WAU_TOLERANCE = 0.05   # vs exact; lgConfigK=12 rsd ≈ 1.6%, 3σ margin
 
 
+def wau_estimate_from_day_sketches(sketches: DataFrame) -> DataFrame:
+    """``(day, sk)`` daily HLL sketches -> ``(spine_day, wau_est)``
+    trailing-``WAU_WINDOW_DAYS`` union estimates: each day's sketch
+    explodes to the <=7 window positions it feeds, then one
+    ``hll_union_agg`` per position. Shared by the batch query below and
+    the streaming twin (streaming/jobs.wau_sketches_stream) — batch /
+    stream estimate parity is asserted in tests, not claimed."""
+    horizon = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_WINDOW_DAYS - 1))
+    )
+    return (
+        sketches.select(horizon.alias("spine_day"), "sk")
+        .groupBy("spine_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"))
+    )
+
+
 def sliding_wau_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users from DAILY HLL sketches merged with
     ``hll_union_agg`` — the pattern that makes sliding distinct counts
@@ -276,11 +293,7 @@ def sliding_wau_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = day_users.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    est = (
-        sketches.select(horizon.alias("spine_day"), "sk")
-        .groupBy("spine_day")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"))
-    )
+    est = wau_estimate_from_day_sketches(sketches)
     exact = (
         day_users.select(horizon.alias("spine_day"), "user_id")
         .groupBy("spine_day")

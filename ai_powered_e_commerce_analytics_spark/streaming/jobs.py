@@ -1117,3 +1117,70 @@ def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def wau_sketches_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming twin of ``plans/approx.sliding_wau_hll_union``:
+    maintains per-day HLL user sketches over an events stream. Each
+    micro-batch folds its rows into day-grain ``hll_sketch_agg``
+    sketches written to a ``batch_id={N}`` partition (OVERWRITE per
+    batch — replay-idempotent, same sink contract as
+    :func:`cms_counters_stream`). State is the sketch store itself: a
+    few KB per (day, batch) — never the raw user ids — so a year of
+    days costs megabytes while the events stream can be anything.
+
+    Merge-on-read (:func:`read_wau_estimates`) unions the per-batch
+    sketches per day with ``hll_union_agg`` (HLL union = register-wise
+    max, lossless at equal lgConfigK) and reuses the batch query's
+    window-explode estimator, so the streamed trailing-7-day estimate
+    equals the batch estimate over the same rows — parity asserted in
+    tests (tests/test_streaming.py), matching the CMS pair's proof
+    pattern.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.where(F.col("user_id").isNotNull())
+            .select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed WAU sketch store: union per-batch
+    day sketches, then the shared trailing-window estimator —
+    ``(spine_day, wau_est)`` out."""
+    from ..plans.approx import wau_estimate_from_day_sketches
+
+    daily = (
+        spark.read.parquet(out_dir)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    return wau_estimate_from_day_sketches(daily)

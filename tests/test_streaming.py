@@ -1044,3 +1044,57 @@ def test_hourly_anomaly_stream_flags_spike(spark, tmp_path):
     assert spike["is_anomaly"] is True and spike["z"] > 2
     # calm full-window hours are not flagged
     assert got["2024-01-01 08:00:00"]["is_anomaly"] is False
+
+
+def test_wau_sketches_stream_matches_batch_estimates(spark, tmp_path):
+    # Batch/stream parity for the sliding-WAU HLL pair (the CMS proof
+    # pattern): per-day sketches streamed in two file drops, unioned on
+    # read, must yield the SAME trailing-window estimates as one batch
+    # sketch pass over the union of the rows.
+    from pyspark.sql import functions as F
+
+    from ai_powered_e_commerce_analytics_spark.plans.approx import (
+        wau_estimate_from_day_sketches,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        read_wau_estimates,
+        wau_sketches_stream,
+    )
+
+    batches = [
+        [(u, f"2024-01-0{d} 0{u % 10}:00:00")
+         for d in (1, 2, 3) for u in range(d, 40 + d)],
+        [(u, f"2024-01-0{d} 0{u % 10}:30:00")
+         for d in (2, 4) for u in range(100, 140, d)] + [(None, "2024-01-02 09:00:00")],
+    ]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "wau", "ck"))
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).coalesce(1).write.mode("overwrite").json(f"{src}/drop{i}")
+        q = wau_sketches_stream(spark, src, out, ckpt)
+        q.awaitTermination(120)
+
+    streamed = {
+        str(r.spine_day): r.wau_est
+        for r in read_wau_estimates(spark, out).collect()
+    }
+    batch_sketches = (
+        spark.createDataFrame(all_rows, "user_id long, ts string")
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    batch = {
+        str(r.spine_day): r.wau_est
+        for r in wau_estimate_from_day_sketches(batch_sketches).collect()
+    }
+    assert streamed == batch and len(streamed) >= 7
+    # sanity vs exact: spine day 2024-01-04's TRAILING window covers
+    # event days 2023-12-29..2024-01-04, i.e. all four event days here
+    exact_d4 = len({u for (u, ts) in all_rows
+                    if u is not None and ts[:10] <= "2024-01-04"})
+    assert abs(streamed["2024-01-04"] - exact_d4) <= 0.05 * exact_d4
