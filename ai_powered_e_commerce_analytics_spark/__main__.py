@@ -196,24 +196,27 @@ def _run(spark, args) -> dict:
 def _audit(spark, args) -> dict:
     """Executed-plan summary per registry query: join operators chosen,
     exchange count, Python (Arrow) islands, and whether any scan filter
-    was pushed down — the machine-checkable form of SCALE.md §1."""
+    was pushed down — the machine-checkable form of SCALE.md §1.
+    Iterative queries are audited through their PLAN_PROBES entry (one
+    representative pre-checkpoint round, built from the same round-body
+    code the loop executes) — the returned frame of those queries
+    starts at a lineage-truncating localCheckpoint and would audit as
+    an empty plan."""
     import re
     from collections import Counter
 
     from .plans import QUERIES
+    from .plans.probes import PLAN_PROBES
 
     names = set(args.queries.split(",")) if args.queries else None
     out: dict[str, dict] = {}
     for spec in QUERIES:
         if names is not None and spec.name not in names:
             continue
+        probe = PLAN_PROBES.get(spec.name)
         try:
-            plan = (
-                spec.spark(spark, args.sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = (probe or spec.spark)(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 - audit must not die mid-list
             out[spec.name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
@@ -241,6 +244,8 @@ def _audit(spark, args) -> dict:
                 re.findall(r"(?<!approx_)\bpercentile\(", plan)
             ),
         }
+        if probe is not None:
+            out[spec.name]["probe"] = True  # one pre-checkpoint round
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
     return out

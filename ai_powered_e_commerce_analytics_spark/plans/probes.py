@@ -1,0 +1,101 @@
+"""Plan-audit probes for ITERATIVE queries.
+
+The iterative queries (PageRank, connected components, Lloyd k-means
+and its SemDeDup consumer) truncate lineage every round with an eager
+``localCheckpoint`` — mandatory for execution (the fused CC round
+references its input three times, so the logical plan would grow ~4x
+per round and OOM the driver just rendering explain past ~8 rounds) —
+but it makes the RETURNED frame's executed plan start from
+``ScanExistingRDD``: the audit CLI would read them as ``exchanges: 0,
+joins: {}``, which is evidence of nothing.
+
+Each probe here builds ONE REPRESENTATIVE ROUND with no checkpoint
+barrier, composed from the exact same round-body function the query's
+convergence loop executes (``_cc_round`` / ``_pr_round`` /
+``_lloyd_update`` — shared code, so the audited shape cannot drift
+from the executed shape). ``python -m <pkg> audit`` audits the probe
+for these names and marks the row ``"probe": true``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _cc_probe(pairs_fn):
+    def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .textops import _cc_edges, _cc_round, _cc_seed
+
+        edges = _cc_edges(pairs_fn(spark, sf_dir))
+        return _cc_round(edges, _cc_seed(edges))
+
+    return probe
+
+
+def _minhash_pairs(spark, sf_dir):
+    from .textops import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(spark, sf_dir)
+
+
+def _cosine_pairs(spark, sf_dir):
+    from .simsearch import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+
+
+def _pagerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _pr_round, copurchase_pairs
+
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        F.col("n_orders").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            F.col("n_orders").alias("w"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    edges_w = edges.join(deg.hint("shuffle_hash"), "src")
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    # literal init/teleport: their VALUES need the node count (a driver
+    # scalar), but the plan shape is identical for any long literal
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    return _pr_round(
+        edges_w, nodes, ranks, F.lit(150_000).cast("long")
+    )
+
+
+def _lloyd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simsearch import KMEANS_K, _lloyd_update, t
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    init = sorted(
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in e.where(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    return _lloyd_update(e, init)
+
+
+#: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
+PLAN_PROBES = {
+    "copurchase_pagerank": _pagerank_probe,
+    "dedup_components": _cc_probe(_minhash_pairs),
+    "dedup_survivors_cc": _cc_probe(_minhash_pairs),
+    "embedding_dedup_components": _cc_probe(_cosine_pairs),
+    "kmeans_lloyd_clusters": _lloyd_probe,
+    "semantic_dedup_semdedup": _lloyd_probe,
+}

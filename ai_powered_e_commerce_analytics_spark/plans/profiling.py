@@ -369,10 +369,16 @@ def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE orderkey equi-join (fact-to-fact — SMJ/shuffled-hash at
     scale, orders side is the smaller fact), delay as an exact integer
-    day count, then a priority-grain agg. ``percentile`` is the exact
-    full-sort-per-group form (5 groups; the oracle-parity choice);
-    ``approx_percentile`` is the mergeable 100 TB swap. Mean and
-    breach-rate are exact-integer ratios (float policy: emit raw).
+    day count, then ONE (priority, delay) contraction — day-count
+    delays collapse the fact grain to a few hundred rows per priority,
+    eagerly checkpointed because it feeds two consumers. Count, mean,
+    and breach-rate fold EXACTLY from the contraction's multiplicities
+    (long sums of delay x cnt — identical values to the row-grain sums,
+    float policy: emit raw); percentiles come from
+    :func:`exact_percentiles_scalable` in pre-counted mode
+    (plans/quantiles.py: distributed order statistics, bounded memory —
+    the r7 replacement for the full-value-map ``percentile`` aggregate
+    this query carried before, same interpolated values bit-for-bit).
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = t(spark, sf_dir, "orders").select(
@@ -384,23 +390,48 @@ def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delay_days"),
     )
-    pct = lambda p: F.round(  # noqa: E731
-        F.expr(f"percentile(delay_days, {p})"), 6
+    dv = (
+        j.groupBy("o_orderpriority", "delay_days")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    return j.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_lineitems"),
-        pct(0.5).alias("p50_days"),
-        pct(0.9).alias("p90_days"),
-        pct(0.99).alias("p99_days"),
-        (F.sum("delay_days").cast("double") / F.count("*")).alias(
-            "mean_days"
-        ),
+    stats = dv.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_lineitems"),
         (
-            F.sum((F.col("delay_days") > _SLA_DAYS).cast("long")).cast(
-                "double"
-            )
-            / F.count("*")
+            F.sum(F.col("delay_days") * F.col("cnt")).cast("double")
+            / F.sum("cnt")
+        ).alias("mean_days"),
+        (
+            F.sum(
+                F.when(F.col("delay_days") > _SLA_DAYS, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("cnt")
         ).alias("breach_rate"),
+    )
+    pcts = exact_percentiles_scalable(
+        dv,
+        "delay_days",
+        (0.5, 0.9, 0.99),
+        ("__p50", "__p90", "__p99"),
+        ("o_orderpriority",),
+        counts_col="cnt",
+    ).select(
+        "o_orderpriority",
+        *[
+            F.round(F.col(f"__p{p}"), 6).alias(f"p{p}_days")
+            for p in (50, 90, 99)
+        ],
+    )
+    return stats.join(F.broadcast(pcts), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_lineitems",
+        "p50_days",
+        "p90_days",
+        "p99_days",
+        "mean_days",
+        "breach_rate",
     )
 
 

@@ -62,6 +62,7 @@ def exact_percentiles_scalable(
     qs: Sequence[float],
     out_names: Sequence[str],
     group_cols: Sequence[str] = (),
+    counts_col: str | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -70,14 +71,28 @@ def exact_percentiles_scalable(
     on every tested SF, without a full-value-map aggregate in the plan.
     Nulls in ``value_col`` are ignored (``percentile`` semantics);
     groups with zero non-null values are omitted.
+
+    ``counts_col``: pass when ``df`` is ALREADY the distinct-value
+    contraction — one row per (group, value) carrying its multiplicity
+    — to skip step 1 (callers that need the contraction for their own
+    stats build it once, checkpoint it, and share it).
     """
     assert len(qs) == len(out_names)
     gc = list(group_cols)
-    vals = df.select(*gc, value_col).where(F.col(value_col).isNotNull())
     spark = df.sparkSession
 
     # -- 1. distinct-value contraction ---------------------------------
-    dv = vals.groupBy(*gc, value_col).agg(F.count("*").alias("__cnt"))
+    if counts_col is None:
+        dv = (
+            df.select(*gc, value_col)
+            .where(F.col(value_col).isNotNull())
+            .groupBy(*gc, value_col)
+            .agg(F.count("*").alias("__cnt"))
+        )
+    else:
+        dv = df.select(
+            *gc, value_col, F.col(counts_col).cast("long").alias("__cnt")
+        ).where(F.col(value_col).isNotNull())
 
     while _ARRANGED_CACHE:
         try:

@@ -48,6 +48,12 @@ _ALL_SPECS: list[QuerySpec] = (
 # driver-checked come first, then the round whose evidence is oldest, and
 # so on. This keeps every registry query's driver CORRECTNESS row at most
 # ~2 rounds old even as shared helpers evolve underneath it.
+#
+# NOTE: the round-1..3 sets below (and the _R5_ADDED/_R6_ADDED addition
+# lists) are retained as HISTORY only — every query they contain has
+# been re-verified by rounds 4-6 (verified disjoint/covering), so
+# _staleness orders purely on the r4/r5/r6 sets plus the current
+# round's additions.
 _R1_DRIVER_VERIFIED = {
     "user_kpis", "shop_kpis", "date_kpis", "gold_enrichment_join",
     "customers_without_orders", "acctbal_minmax_normalized",
@@ -244,29 +250,56 @@ _R5_DRIVER_VERIFIED = {
     "union_all_orders", "user_kpis",
 }
 
-# Queries ADDED in round 6 (no driver evidence yet). Placed after the
-# round-5 additions — both groups lack driver rows, but the r5 set has
-# waited a full round already — and BEFORE every verified group.
+# Queries ADDED in round 6 (history; none were added).
 _R6_ADDED: set[str] = set()
+
+# Queries verified by round 6's driver window (CORRECTNESS_r06.json —
+# all 50 rows green: the 44 round-5 additions plus the 6 stalest
+# r4-verified rows). Freshest evidence → back of the round-7 window.
+_R6_DRIVER_VERIFIED = {
+    "bm25_rank_topk", "cms_heavy_hitters", "copurchase_association_rules",
+    "copurchase_item_similarity", "copurchase_pagerank", "copurchase_pairs",
+    "copurchase_triangles", "customer_k_anonymity", "customer_revenue_pareto",
+    "customer_segment_scd2", "daily_revenue_anomalies",
+    "dataset_card_documents", "decontaminate_exact_substring",
+    "dedup_cluster_size_histogram", "doc_unigram_surprisal",
+    "embedding_dim_stats", "embedding_quantize_error", "events_active_users",
+    "events_dedup_within_window", "events_funnel", "events_hourly_gapfill",
+    "events_hourly_rollup", "events_session_revenue",
+    "events_transition_matrix", "events_user_sessions",
+    "incremental_daily_revenue", "kmeans_lloyd_clusters", "lang_id_confusion",
+    "monthly_first_vs_repeat", "monthly_revenue_mom",
+    "multimodal_dedup_content_hash", "nation_revenue_hhi",
+    "neardup_threshold_sweep", "order_value_histogram",
+    "order_value_outliers_zscore", "part_name_er_pairs",
+    "quality_filter_battery", "quality_filter_funnel",
+    "referential_integrity_report", "rfm_customer_segments",
+    "salted_distinct_quantities", "semantic_dedup_semdedup",
+    "session_path_topk", "shipping_sla_percentiles", "sliding_wau_hll_union",
+    "source_kl_divergence", "source_temperature_mix", "table_profile_orders",
+    "term_cooccurrence_pmi", "tokenizer_vocab_coverage",
+}
+
+# Queries ADDED in round 7 (no driver evidence yet) — they lead the
+# round-7 window.
+_R7_ADDED: set[str] = set()
 
 
 # Order matters: the external driver verifies the FIRST 50 entries against
 # the DuckDB oracle each round. Stable partition by last-verified round,
-# least recent first: never-driver-checked queries lead (r5 additions,
-# then any r6 additions), then the group whose green evidence is oldest
-# (r4-verified, now two rounds stale), then the freshly-r5-verified
-# group. The round-6 window is thus the 44 round-5 additions + the 6
-# stalest r4-verified rows — exactly what VERDICT r5 asked for.
+# least recent first: never-driver-checked queries lead (round-7
+# additions), then the group whose green evidence is oldest. The
+# round-7 window is thus the r7 additions + the 44 r4-verified rows
+# whose evidence is now three rounds old (rounds 4-6 re-verified every
+# older group, so r4/r5/r6 partition the rest of the registry).
 def _staleness(q: QuerySpec) -> float:
+    if q.name in _R6_DRIVER_VERIFIED:
+        return 6
     if q.name in _R5_DRIVER_VERIFIED:
-        return 4
+        return 5
     if q.name in _R4_DRIVER_VERIFIED:
-        return 3
-    if q.name in _R6_ADDED:
-        return 2
-    if q.name in _R5_ADDED:
-        return 1
-    return 0
+        return 4
+    return 0  # round-7 additions (never driver-checked)
 
 
 QUERIES: list[QuerySpec] = sorted(_ALL_SPECS, key=_staleness)

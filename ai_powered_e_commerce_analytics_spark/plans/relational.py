@@ -884,6 +884,42 @@ PAGERANK_TOP_K = 20
 _PR_GRID = 1_000_000   # micro-rank units: exact long mass accumulation
 
 
+def _pr_round(
+    edges_w: DataFrame, nodes: DataFrame, ranks: DataFrame, teleport
+) -> DataFrame:
+    """ONE PageRank round (route mass along edges, damped node update)
+    — the pre-checkpoint round body, shared by the iteration loop and
+    the plan-audit probe (plans/probes.py) so the audited shape IS the
+    executed shape. shuffle_hash hints per the AQE-broadcast-OOM note
+    in :func:`copurchase_pagerank`."""
+    contribs = edges_w.join(
+        ranks.hint("shuffle_hash"), edges_w["src"] == ranks["node"]
+    ).select(
+        "dst",
+        F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
+        .cast("long")
+        .alias("c"),
+    )
+    insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+    return (
+        nodes.join(
+            insum.hint("shuffle_hash"),
+            nodes["node"] == insum["dst"],
+            "left",
+        )
+        .select(
+            "node",
+            (
+                teleport
+                + F.round(
+                    F.lit(PAGERANK_DAMPING) * F.coalesce("m", F.lit(0)),
+                    0,
+                ).cast("long")
+            ).alias("r"),
+        )
+    )
+
+
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the co-purchase graph (edges =
     ``copurchase_pairs``, both directions, weight = co-order count):
@@ -942,32 +978,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     ranks = nodes.select("node", init.alias("r"))
     for _ in range(PAGERANK_ITERS):
-        contribs = edges_w.join(
-            ranks.hint("shuffle_hash"), edges_w["src"] == ranks["node"]
-        ).select(
-            "dst",
-            F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
-            .cast("long")
-            .alias("c"),
-        )
-        insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
-        ranks = (
-            nodes.join(
-                insum.hint("shuffle_hash"),
-                nodes["node"] == insum["dst"],
-                "left",
-            )
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.round(
-                        F.lit(PAGERANK_DAMPING) * F.coalesce("m", F.lit(0)),
-                        0,
-                    ).cast("long")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = _pr_round(edges_w, nodes, ranks, teleport).localCheckpoint(
+            eager=True
         )
     return (
         ranks.select(

@@ -169,6 +169,18 @@ def embedding_knn_partial_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate through the exchange anyway (just batched into arrays) —
     the slice happens post-shuffle. The mapInPandas island is the form
     that actually bounds shuffle BYTES, not just row count.
+
+    Bench-number provenance (r6 investigation of the 0.49s→0.83s r4→r6
+    drift, plan unchanged): at sf0.1 the embeddings scan is ONE input
+    partition (~2k vectors, 20k candidate rows), so the island has
+    nothing to contract and pays a FIXED ~0.1s Arrow round-trip over
+    brute force; bench timings additionally include ~0.25s of plan
+    construction/analysis (two joins + 64-dim lambda expressions).
+    Isolated warm min is ~0.67s vs ~0.58s brute force — the r6 bench's
+    0.83s is 75-query-suite memory-pressure noise on top of that fixed
+    overhead, not a plan problem. The query exists for the 100 TB
+    shape, where candidates span thousands of partitions and the k/|part|
+    contraction dominates the constant.
     """
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
@@ -684,6 +696,36 @@ def _argmin_struct(cents_list) -> Column:
     return F.least(*structs)
 
 
+def _lloyd_update(e: DataFrame, cents) -> DataFrame:
+    """ONE Lloyd centroid-update round: fixed-point assignment agg whose
+    map-side combine contracts each task to <= K x dim rows before the
+    shuffle — the per-round frame the driver collects (O(K x dim)
+    scalars). Shared by the iteration loop and the plan-audit probe
+    (plans/probes.py) so the audited shape IS the executed shape."""
+    assigned = e.withColumn("cid", _argmin_struct(cents)["cid"])
+    return (
+        assigned.select(
+            "cid",
+            F.posexplode(
+                F.transform(
+                    "emb",
+                    lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
+                )
+            ).alias("dim", "v_fp"),
+        )
+        .groupBy("cid", "dim")
+        .agg(F.sum("v_fp").alias("s"), F.count("*").alias("n"))
+        # identical operand order to the oracle: (sum / n) / FP
+        .select(
+            "cid",
+            "dim",
+            (
+                F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_FP)
+            ).alias("mean"),
+        )
+    )
+
+
 def _lloyd_state(spark: SparkSession, sf_dir: str):
     """The corpus frame and the centroids after ``KMEANS_UPDATES`` exact
     fixed-point Lloyd rounds (shared by the cluster report and the
@@ -701,31 +743,7 @@ def _lloyd_state(spark: SparkSession, sf_dir: str):
     ]
     cents = sorted(init)
     for _ in range(KMEANS_UPDATES):
-        assigned = e.withColumn("cid", _argmin_struct(cents)["cid"])
-        upd = (
-            assigned.select(
-                "cid",
-                F.posexplode(
-                    F.transform(
-                        "emb",
-                        lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
-                    )
-                ).alias("dim", "v_fp"),
-            )
-            .groupBy("cid", "dim")
-            .agg(
-                F.sum("v_fp").alias("s"), F.count("*").alias("n")
-            )
-            # identical operand order to the oracle: (sum / n) / FP
-            .select(
-                "cid",
-                "dim",
-                (
-                    F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_FP)
-                ).alias("mean"),
-            )
-        )
-        rows = upd.collect()
+        rows = _lloyd_update(e, cents).collect()
         by_cid: dict[int, list[float]] = {}
         for r in rows:
             by_cid.setdefault(int(r["cid"]), [0.0] * len(cents[0][1]))[

@@ -1082,6 +1082,65 @@ SELECT doc_id, term, tf, tfidf, rk FROM (
 """
 
 
+def _cc_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst) edge list of an undirected pair frame."""
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def _cc_seed(edges: DataFrame) -> DataFrame:
+    """Seed labels = neighborhood min (one propagation round folded
+    into initialization)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "mn").alias("label"),
+        )
+    )
+
+
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE fused CC round (propagation + path-doubling under a single
+    shuffle-to-id barrier) — the pre-checkpoint round body, shared by
+    the convergence loop below and the plan-audit probe
+    (plans/probes.py), so the audited shape IS the executed shape."""
+    nbr = (
+        edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("cand")
+            ),
+            "dst",
+        )
+        .select(F.col("src").alias("id"), "cand")
+    )
+    # Pointer jump as candidates: label(x) is always the id of a node
+    # in x's component and every node appears in `labels` (edges are
+    # symmetrized, so each node occurs as src), hence the inner join
+    # emits exactly one label-of-label candidate per node.
+    jump = (
+        labels.alias("x")
+        .join(
+            labels.select(
+                F.col("id").alias("jid"), F.col("label").alias("cand")
+            ),
+            F.col("x.label") == F.col("jid"),
+        )
+        .select(F.col("x.id").alias("id"), "cand")
+    )
+    return (
+        labels.select("id", F.col("label").alias("cand"))
+        .unionByName(nbr)
+        .unionByName(jump)
+        .groupBy("id")
+        .agg(F.min("cand").alias("label"))
+    )
+
+
 def _connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over an undirected pair list
     (columns ``doc_a`` < ``doc_b``) -> (id, label) with label = component
@@ -1118,59 +1177,12 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     # without materialization each round's job would recompute the whole
     # upstream pair pipeline (for MinHash edges that's the full
     # shingle/hash/band/verify chain — measured 7.7 s -> 3.4 s at sf0.1).
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .repartition("dst")
-        .persist()
-    )
-    # Seed with the neighborhood min (not the identity) — one round of
-    # propagation folded into initialization.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("id"),
-            F.least("src", "mn").alias("label"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = _cc_edges(pairs).repartition("dst").persist()
+    labels = _cc_seed(edges).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("cand")
-                ),
-                "dst",
-            )
-            .select(F.col("src").alias("id"), "cand")
-        )
-        # Pointer jump as candidates: label(x) is always the id of a node
-        # in x's component and every node appears in `labels` (edges are
-        # symmetrized, so each node occurs as src), hence the inner join
-        # emits exactly one label-of-label candidate per node.
-        jump = (
-            labels.alias("x")
-            .join(
-                labels.select(
-                    F.col("id").alias("jid"), F.col("label").alias("cand")
-                ),
-                F.col("x.label") == F.col("jid"),
-            )
-            .select(F.col("x.id").alias("id"), "cand")
-        )
-        new_labels = (
-            labels.select("id", F.col("label").alias("cand"))
-            .unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("id")
-            .agg(F.min("cand").alias("label"))
-            .localCheckpoint(eager=True)  # truncate lineage (see docstring)
+        new_labels = _cc_round(edges, labels).localCheckpoint(
+            eager=True  # truncate lineage (see docstring)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels

@@ -166,7 +166,14 @@ def main() -> None:
                 continue
             samples[name].append(time.perf_counter() - start)
 
-    ok = {name: ts for name, ts in samples.items() if ts}
+    # A query that succeeded in an early iteration but errored later
+    # appears in both samples and errors; keep the two mutually
+    # exclusive — an errored query contributes NOTHING to the headline.
+    ok = {
+        name: ts
+        for name, ts in samples.items()
+        if ts and name not in errors
+    }
     timings = {name: round(min(ts), 3) for name, ts in ok.items()}
     medians = {name: round(statistics.median(ts), 3) for name, ts in ok.items()}
 
@@ -190,6 +197,7 @@ def main() -> None:
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     except OSError:
         pass
     print(json.dumps(detail))

@@ -87,12 +87,12 @@ def test_nulls_ignored_and_empty(spark):
 @pytest.mark.parametrize(
     "qname",
     ["customer_revenue_pareto", "rfm_customer_segments",
-     "customer_segment_scd2"],
+     "customer_segment_scd2", "shipping_sla_percentiles"],
 )
 def test_percentile_trio_plan_pins(spark, sf_dir, qname):
-    """The three cutoff queries must keep the full-value-map exact
+    """The cutoff/SLA queries must keep the full-value-map exact
     ``percentile`` aggregate OUT of their executed plans (VERDICT r6
-    item 1) — the cutoffs come from exact_percentiles_scalable."""
+    item 1) — the values come from exact_percentiles_scalable."""
     from ai_powered_e_commerce_analytics_spark.plans import registry
 
     df = registry.query_map()[qname](spark, sf_dir)
