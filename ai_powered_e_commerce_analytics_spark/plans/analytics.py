@@ -847,6 +847,204 @@ FROM flagged GROUP BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort lifetime value + exact-sum OLS
+# ---------------------------------------------------------------------------
+
+
+def customer_clv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, each cohort's revenue tracked by months-since-acquisition
+    (offset), with cumulative revenue per cohort customer — the
+    retention-economics triangle every subscription/retail dashboard
+    draws.
+
+    Month arithmetic stays in EXACT integers (year*12 + month), never
+    float month-diffs. Plan: one o_custkey window flags each customer's
+    cohort month (high-cardinality key — same shape as
+    monthly_first_vs_repeat), one (cohort, offset) groupBy contracts to
+    a months x months triangle, and the cumulative window runs over
+    that TINY frame partitioned by cohort. Money in integer cents;
+    ratios are exact-int divisions (float policy: emit raw).
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+        ).cast("long").alias("ym"),
+    )
+    w = Window.partitionBy("o_custkey")
+    flagged = orders.withColumn("cohort_ym", F.min("ym").over(w))
+    cells = (
+        flagged.groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("active_customers"),
+            F.sum("price_cents").alias("rev_cents"),
+        )
+    )
+    cohort_sizes = cells.where(F.col("month_offset") == 0).select(
+        "cohort_ym", F.col("active_customers").alias("cohort_size")
+    )
+    wc = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ym_str = F.concat_ws(
+        "-",
+        F.floor((F.col("cohort_ym") - 1) / 12).cast("string"),
+        F.lpad(
+            ((F.col("cohort_ym") - 1) % 12 + 1).cast("string"), 2, "0"
+        ),
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_ym")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(wc))
+        .select(
+            ym_str.alias("cohort_month"),
+            "month_offset",
+            "active_customers",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("cum_rev_cents").cast("double")
+                / F.col("cohort_size")
+                / 100.0
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+CUSTOMER_CLV_COHORT_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, {cents_sql('o_totalprice')}::BIGINT AS price_cents,
+           (date_part('year', o_orderdate) * 12
+            + date_part('month', o_orderdate))::BIGINT AS ym
+    FROM orders
+),
+flagged AS (
+    SELECT *, min(ym) OVER (PARTITION BY o_custkey) AS cohort_ym FROM o
+),
+cells AS (
+    SELECT cohort_ym, ym - cohort_ym AS month_offset,
+           count(DISTINCT o_custkey)::BIGINT AS active_customers,
+           sum(price_cents)::BIGINT AS rev_cents
+    FROM flagged GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_ym, active_customers AS cohort_size
+    FROM cells WHERE month_offset = 0
+)
+SELECT concat_ws('-', ((c.cohort_ym - 1) // 12)::VARCHAR,
+                 lpad((((c.cohort_ym - 1) % 12) + 1)::VARCHAR, 2, '0'))
+           AS cohort_month,
+       c.month_offset, c.active_customers,
+       c.rev_cents::DOUBLE / 100.0 AS revenue,
+       sum(c.rev_cents) OVER (PARTITION BY c.cohort_ym ORDER BY c.month_offset
+                              ROWS UNBOUNDED PRECEDING)::DOUBLE
+           / s.cohort_size / 100.0 AS cum_ltv_per_customer
+FROM cells c JOIN sizes s USING (cohort_ym)
+"""
+
+
+def ship_delay_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sum OLS per return flag: regress ship delay (days) on
+    line-item quantity — slope, intercept, and Pearson r from the five
+    classic sufficient statistics — the "does bigger quantity ship
+    slower?" regression an ops analyst fits, done the
+    MAP-REDUCE-friendly way.
+
+    Determinism: the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    are LONG sums of small integers (quantity <= 50, delay < ~4000
+    days) — associative, partitioning-independent, exact. Slope /
+    intercept / r are then single closed-form double expressions on
+    identical operands in both engines (sqrt is IEEE
+    correctly-rounded) — bit-identical, no tolerance. Plan: ONE
+    orderkey equi-join + one 3-group agg with map-side combine; nothing
+    else. At 100 TB sums of squares outgrow BIGINT ~1e18 — the
+    documented swap is DECIMAL(38,0) accumulation, same associativity.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.round("l_quantity").cast("long").alias("x"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag",
+        "x",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("y"),
+    )
+    s = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope_days_per_unit"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("intercept_days"),
+        (num / F.sqrt(den_x * den_y)).alias("pearson_r"),
+    )
+
+
+SHIP_DELAY_OLS_SQL = """
+WITH j AS (
+    SELECT o.l_returnflag AS l_returnflag, o.x AS x,
+           date_diff('day', od.o_orderdate::DATE, o.l_shipdate::DATE)::BIGINT
+               AS y
+    FROM (
+        SELECT l_orderkey, l_returnflag, l_shipdate,
+               round(l_quantity)::BIGINT AS x
+        FROM lineitem
+    ) o JOIN orders od ON o.l_orderkey = od.o_orderkey
+),
+s AS (
+    SELECT l_returnflag, count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+           sum(y * y)::BIGINT AS syy
+    FROM j GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+           AS slope_days_per_unit,
+       (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+           / n::DOUBLE AS intercept_days,
+       (n * sxy - sx * sy)::DOUBLE
+           / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+           AS pearson_r
+FROM s
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -878,4 +1076,8 @@ ANALYTICS_SPECS = [
               REFERENTIAL_INTEGRITY_SQL, ("dq-relationship-tests",)),
     QuerySpec("monthly_first_vs_repeat", monthly_first_vs_repeat,
               MONTHLY_FIRST_VS_REPEAT_SQL, ("acquisition-retention-mix",)),
+    QuerySpec("customer_clv_cohort", customer_clv_cohort,
+              CUSTOMER_CLV_COHORT_SQL, ("cohort-ltv-triangle",)),
+    QuerySpec("ship_delay_ols_slope", ship_delay_ols_slope,
+              SHIP_DELAY_OLS_SQL, ("ols-sufficient-stats",)),
 ]

@@ -292,6 +292,125 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus shape diagnostics: DF spectrum + length histogram
+# ---------------------------------------------------------------------------
+
+
+def term_doc_frequency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum per source: terms bucketed by
+    ``floor(log2(df))`` with term counts and total postings per bucket —
+    the Zipf-shape diagnostic a tokenizer/vocab pipeline reports (a
+    healthy crawl shows a long low-df tail; a template-heavy one shows
+    mass piled in high-df buckets).
+
+    Exactness: the log2 bucket is the BINARY DIGIT COUNT of the integer
+    df (``length(conv(df, 10, 2))`` / DuckDB ``length(bin(df))``) — pure
+    integer/string ops, no float log whose last-ulp could flip a
+    power-of-two boundary between engines. Plan: distinct (doc, term)
+    explode -> ONE (source, term) df agg -> tiny (source, bucket)
+    rollup; share is an exact-int ratio off a broadcast per-source
+    total. Everything contracts monotonically; no windows.
+    """
+    df_per_term = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("df"))
+    )
+    bucket = F.length(F.conv(F.col("df").cast("string"), 10, 2)).cast("long")
+    curve = (
+        df_per_term.select("source", bucket.alias("df_log2_bucket"), "df")
+        .groupBy("source", "df_log2_bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("total_postings"),
+        )
+    )
+    totals = curve.groupBy("source").agg(
+        F.sum("n_terms").alias("vocab_size")
+    )
+    return curve.join(F.broadcast(totals), "source").select(
+        "source",
+        "df_log2_bucket",
+        "n_terms",
+        "total_postings",
+        (F.col("n_terms").cast("double") / F.col("vocab_size")).alias(
+            "vocab_share"
+        ),
+    )
+
+
+TERM_DOC_FREQUENCY_CURVE_SQL = f"""
+WITH dt AS (
+    SELECT source, unnest(list_distinct({_TOKS_SQL})) AS term
+    FROM documents
+),
+dfreq AS (
+    SELECT source, term, count(*)::BIGINT AS df FROM dt GROUP BY 1, 2
+),
+curve AS (
+    SELECT source, length(bin(df))::BIGINT AS df_log2_bucket,
+           count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS total_postings
+    FROM dfreq GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n_terms)::BIGINT AS vocab_size FROM curve GROUP BY 1)
+SELECT c.source, c.df_log2_bucket, c.n_terms, c.total_postings,
+       c.n_terms::DOUBLE / t.vocab_size AS vocab_share
+FROM curve c JOIN tot t USING (source)
+"""
+
+
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on log2 buckets (binary
+    digit count of ``n_chars`` — same exact integer bucketing as the DF
+    spectrum above), with per-bucket count, char mass, and bucket share
+    within the source — the length-distribution card a curation run
+    publishes before/after filtering. One groupBy contraction + a
+    broadcast per-source total; shares are exact-int ratios.
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bucket = F.length(
+        F.conv(F.col("n_chars").cast("string"), 10, 2)
+    ).cast("long")
+    hist = (
+        docs.select("source", bucket.alias("len_log2_bucket"), "n_chars")
+        .groupBy("source", "len_log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    totals = hist.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return hist.join(F.broadcast(totals), "source").select(
+        "source",
+        "len_log2_bucket",
+        "n_docs",
+        "total_chars",
+        "min_chars",
+        "max_chars",
+        (F.col("n_docs").cast("double") / F.col("src_docs")).alias(
+            "doc_share"
+        ),
+    )
+
+
+DOC_LENGTH_LOG2_HISTOGRAM_SQL = """
+WITH hist AS (
+    SELECT source, length(bin(n_chars))::BIGINT AS len_log2_bucket,
+           count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+    FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n_docs)::BIGINT AS src_docs FROM hist GROUP BY 1)
+SELECT h.source, h.len_log2_bucket, h.n_docs, h.total_chars, h.min_chars,
+       h.max_chars, h.n_docs::DOUBLE / t.src_docs AS doc_share
+FROM hist h JOIN tot t USING (source)
+"""
+
+
 FILTERING_SPECS = [
     QuerySpec(
         "quality_filter_battery",
@@ -310,5 +429,17 @@ FILTERING_SPECS = [
         doc_unigram_surprisal,
         DOC_UNIGRAM_SURPRISAL_SQL,
         ("perplexity-filter-unigram",),
+    ),
+    QuerySpec(
+        "term_doc_frequency_curve",
+        term_doc_frequency_curve,
+        TERM_DOC_FREQUENCY_CURVE_SQL,
+        ("vocab-df-spectrum",),
+    ),
+    QuerySpec(
+        "doc_length_log2_histogram",
+        doc_length_log2_histogram,
+        DOC_LENGTH_LOG2_HISTOGRAM_SQL,
+        ("corpus-length-histogram",),
     ),
 ]

@@ -798,6 +798,73 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding space)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose embedding is
+    cosine-close to ANY held-out eval vector — the third
+    decontamination axis next to n-gram overlap and exact substring
+    (paraphrased eval leakage that no lexical check catches; the
+    standard guard before pretraining on a scraped corpus).
+
+    Eval set = vec_id < KNN_QUERIES (the same held-out convention as
+    the KNN queries). Plan: the eval side is tiny and BROADCAST; each
+    corpus vector computes its max cosine in one map-side pass over the
+    K eval vectors (a broadcast nested-loop the corpus never shuffles
+    for), then one (vec_id)-grain agg. Cosine rounds to 1e-6 per the
+    float policy before the max AND the threshold compare, so the flag
+    is bit-stable cross-engine.
+    """
+    from .simsearch import COSINE_DUP_THRESHOLD, KNN_QUERIES, _dot, _emb
+
+    base = _emb(spark, sf_dir)
+    ev = base.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("emb").alias("e_emb"),
+        F.col("norm").alias("e_norm"),
+    )
+    corpus = base.where(F.col("vec_id") >= KNN_QUERIES)
+    cos = F.round(
+        _dot(F.col("emb"), F.col("e_emb"))
+        / (F.col("norm") * F.col("e_norm")),
+        6,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_eval_cosine"))
+        .select(
+            "vec_id",
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= F.lit(COSINE_DUP_THRESHOLD)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _decon_embedding_sql() -> str:
+    from .simsearch import _EMB_SQL, COSINE_DUP_THRESHOLD, KNN_QUERIES
+
+    return f"""
+WITH e AS ({_EMB_SQL}),
+p AS (
+    SELECT c.vec_id,
+           round(list_dot_product(c.emb, q.emb) / (c.norm * q.norm), 6)
+               AS cos
+    FROM e c CROSS JOIN e q
+    WHERE c.vec_id >= {KNN_QUERIES} AND q.vec_id < {KNN_QUERIES}
+)
+SELECT vec_id, max(cos) AS max_eval_cosine,
+       max(cos) >= {COSINE_DUP_THRESHOLD} AS contaminated
+FROM p GROUP BY vec_id
+"""
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -852,5 +919,11 @@ PRETRAIN_SPECS = [
         tokenizer_vocab_coverage,
         TOKENIZER_VOCAB_COVERAGE_SQL,
         ("vocab-oov-coverage",),
+    ),
+    QuerySpec(
+        "decontaminate_embedding_cosine",
+        decontaminate_embedding_cosine,
+        _decon_embedding_sql(),
+        ("decontamination-semantic",),
     ),
 ]

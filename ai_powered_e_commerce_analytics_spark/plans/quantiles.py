@@ -21,9 +21,11 @@ everywhere, via distributed order statistics:
 3. **Global rank = partition base + local prefix**: per-(partition,
    group) subtotal counts are one tiny agg — O(partitions x groups)
    rows — collected, folded driver-side into per-partition cumulative
-   BASES, and broadcast-joined back; a windowed running count inside
-   each partition supplies the local prefix. Every value-run now knows
-   the exact 0-indexed global rank interval it covers.
+   BASES, and broadcast; a ZERO-SHUFFLE ``mapInPandas`` walk over the
+   already-sorted partitions adds the local running count (the
+   ``pack_sequences_greedy`` offset pattern — a window would re-
+   exchange the frame on (pid, group) for nothing). Every value-run
+   now knows the exact 0-indexed global rank interval it covers.
 4. **Rank-target lookup**: each requested quantile q over a group of n
    values needs the order statistics at ``floor(q*(n-1))`` and
    ``ceil(q*(n-1))``. Group totals n fall out of the SAME subtotal
@@ -46,7 +48,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Same repeat-invocation eviction contract as pretrain._PACK_ARRANGED_CACHE:
@@ -117,38 +119,66 @@ def exact_percentiles_scalable(
         return tuple(row[g] for g in gc)
 
     running: dict[tuple, int] = {}
-    base_rows = []
+    base_map: dict[tuple, int] = {}
     # pid order IS value order within a group (range partitioner), so a
     # (group-key, pid)-sorted fold yields each partition's base rank.
     for row in sorted(subtotals, key=lambda r: (_gkey(r), r["__pid"])):
         k = _gkey(row)
-        base_rows.append((row["__pid"], *k, running.get(k, 0)))
+        base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
-    base_schema = ", ".join(
-        ["__pid int"]
-        + [f"{g} {dict(dv.dtypes)[g]}" for g in gc]
-        + ["__base long"]
-    )
-    base = spark.createDataFrame(base_rows, schema=base_schema)
+    bc = spark.sparkContext.broadcast(base_map)
 
-    # -- 3b. global rank interval of each value-run --------------------
-    w = (
-        Window.partitionBy("__pid", *gc)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # -- 3b. global rank interval of each value-run (zero shuffle) -----
+    # The partitions are already sorted by (group, value); a pandas walk
+    # carries per-group running counts across Arrow batches exactly like
+    # pack_sequences_greedy's offset pass. NaN-safe group keys: pandas
+    # surfaces NULL group values as NaN/None — normalize to None so the
+    # key matches the collected subtotal rows.
+    import pandas as pd
+
+    dv_types = dict(dv.dtypes)
+
+    def _ranked_walk(batches):
+        carry: dict[tuple, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+
+            def _key(row_vals):
+                return tuple(
+                    None if pd.isna(v) else v for v in row_vals
+                )
+
+            if gc:
+                local_before = (
+                    pdf.groupby(gc, sort=False, dropna=False)["__cnt"]
+                    .cumsum()
+                    - pdf["__cnt"]
+                )
+                keys = [
+                    _key(vals)
+                    for vals in zip(*(pdf[g] for g in gc))
+                ]
+            else:
+                local_before = pdf["__cnt"].cumsum() - pdf["__cnt"]
+                keys = [()] * len(pdf)
+            bases = [
+                bc.value.get((pid, *k), 0) + carry.get(k, 0) for k in keys
+            ]
+            start = pd.Series(bases, index=pdf.index) + local_before
+            for k, cnt in zip(keys, pdf["__cnt"]):
+                carry[k] = carry.get(k, 0) + int(cnt)
+            out = pdf.assign(
+                __start=start, __end=start + pdf["__cnt"] - 1
+            )
+            yield out[[*gc, value_col, "__start", "__end"]]
+
+    ranked_schema = ", ".join(
+        [f"{g} {dv_types[g]}" for g in gc]
+        + [f"{value_col} {dv_types[value_col]}", "__start long", "__end long"]
     )
-    ranked = (
-        arranged.withColumn("__cum", F.sum("__cnt").over(w))
-        .join(F.broadcast(base), on=["__pid", *gc])
-        .select(
-            *gc,
-            value_col,
-            (F.col("__base") + F.col("__cum") - F.col("__cnt")).alias(
-                "__start"
-            ),
-            (F.col("__base") + F.col("__cum") - F.lit(1)).alias("__end"),
-        )
-    )
+    ranked = arranged.mapInPandas(_ranked_walk, schema=ranked_schema)
 
     # -- 4. rank targets (O(groups x quantiles)) + broadcast lookup ----
     # Group totals are the final fold state — no second input scan. The

@@ -281,8 +281,16 @@ _R6_DRIVER_VERIFIED = {
 }
 
 # Queries ADDED in round 7 (no driver evidence yet) — they lead the
-# round-7 window.
-_R7_ADDED: set[str] = set()
+# round-7 window. Exactly 6, so the window is 6 additions + the 44
+# three-round-stale r4 rows (VERDICT r6 item 10).
+_R7_ADDED: set[str] = {
+    "term_doc_frequency_curve",
+    "doc_length_log2_histogram",
+    "customer_clv_cohort",
+    "ship_delay_ols_slope",
+    "events_dwell_percentiles",
+    "decontaminate_embedding_cosine",
+}
 
 
 # Order matters: the external driver verifies the FIRST 50 entries against

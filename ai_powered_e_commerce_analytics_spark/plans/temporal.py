@@ -232,6 +232,74 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
 """
 
 
+def events_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution per event type: exact p50/p90/p99 (plus
+    count and mean) of the µs gap from the user's PREVIOUS event to
+    this one — the engagement-latency card attributed to the event that
+    ENDED the dwell.
+
+    Plan: ONE user_id window computes the lag gap (high-cardinality
+    key; µs order is total per user — module docstring), then the
+    percentiles come from :func:`exact_percentiles_scalable`
+    (plans/quantiles.py — distributed order statistics, NO
+    full-value-map ``percentile`` aggregate even though an event type's
+    gap population is corpus-order at 100 TB; gap values contract hard:
+    distinct µs gaps ≪ events). Mean is an exact-integer ratio (float
+    policy: emit raw); percentiles round(…,6) like every interpolated
+    value.
+    """
+    from .quantiles import exact_percentiles_scalable
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", "event_id", "event_type", event_ts_us(ev).alias("ts_us")
+        )
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap_us").isNotNull())
+        # eager localCheckpoint: the gap frame feeds the stats agg AND
+        # the percentile pass — one events scan + one user window.
+        .localCheckpoint(eager=True)
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("mean_gap_us"),
+    )
+    pcts = exact_percentiles_scalable(
+        gaps, "gap_us", (0.5, 0.9, 0.99), ("__p50", "__p90", "__p99"),
+        ("event_type",),
+    ).select(
+        "event_type",
+        *[
+            F.round(F.col(f"__p{p}"), 6).alias(f"p{p}_gap_us")
+            for p in (50, 90, 99)
+        ],
+    )
+    return stats.join(F.broadcast(pcts), "event_type").select(
+        "event_type", "n_gaps", "p50_gap_us", "p90_gap_us", "p99_gap_us",
+        "mean_gap_us",
+    )
+
+
+EVENTS_DWELL_PERCENTILES_SQL = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+    FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+       round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us,
+       round(quantile_cont(gap_us, 0.99), 6) AS p99_gap_us,
+       sum(gap_us)::DOUBLE / count(*) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 TEMPORAL_SPECS = [
     QuerySpec("asof_last_click_before_purchase",
               asof_last_click_before_purchase,
@@ -242,4 +310,7 @@ TEMPORAL_SPECS = [
     QuerySpec("events_dedup_within_window",
               events_dedup_within_window,
               EVENTS_DEDUP_WITHIN_WINDOW_SQL, ("event-debounce-dedup",)),
+    QuerySpec("events_dwell_percentiles",
+              events_dwell_percentiles,
+              EVENTS_DWELL_PERCENTILES_SQL, ("dwell-gap-percentiles",)),
 ]
