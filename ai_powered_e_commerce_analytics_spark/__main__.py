@@ -49,9 +49,15 @@ def _synthetic_fetch(n: int):
 
 def _client_factory(args):
     if getattr(args, "llm_base_url", None):
+        url = args.llm_base_url
+        model = getattr(args, "llm_model", None) or "default"
+        if getattr(args, "llm_protocol", "openai") == "ollama":
+            from .operators.enrich import OllamaClient
+
+            return lambda: OllamaClient(url, model)
         from .operators.enrich import OpenAICompatClient
 
-        return lambda: OpenAICompatClient(base_url=args.llm_base_url)
+        return lambda: OpenAICompatClient(url, model)
     from .operators.enrich import StubLLMClient
 
     return StubLLMClient
@@ -66,7 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         c = sub.add_parser(name, help=help_)
         c.add_argument("--base", required=True, help="pipeline base dir")
         c.add_argument("--config", help="EngineConfig YAML")
-        c.add_argument("--llm-base-url", help="OpenAI-compatible endpoint")
+        c.add_argument("--llm-base-url", help="LLM endpoint base URL")
+        c.add_argument(
+            "--llm-protocol", choices=("openai", "ollama"), default="openai",
+            help="endpoint dialect: OpenAI-compatible or Ollama-native",
+        )
+        c.add_argument(
+            "--llm-model", default="default",
+            help="model name sent to the endpoint",
+        )
         return c
 
     c = base_cmd("collect", "poll products API (or synthetic) -> bronze batch")

@@ -209,9 +209,13 @@ class OpenAICompatClient:
 
         return asyncio.run(run_all())
 
-    async def _chat_json(self, batch, kind):
-        httpx = _httpx()
-
+    @staticmethod
+    def _prompt_and_schema(batch, kind):
+        """Shared by the OpenAI-compatible and Ollama-native protocols:
+        the id+review prompt lines (reference dict_to_text,
+        ollama_client.py:55-60) and the strict array-of-len(batch)
+        response schema (the pydantic min_length contract,
+        models_schema.py:16-22 / ollama_client.py:27-34)."""
         prompt = "\n".join(
             f"id : {r['item_id']} , review : {r.get('review', r.get('description', ''))}"
             for r in batch
@@ -228,6 +232,12 @@ class OpenAICompatClient:
             },
             "required": [kind],
         }
+        return prompt, schema
+
+    async def _chat_json(self, batch, kind):
+        httpx = _httpx()
+
+        prompt, schema = self._prompt_and_schema(batch, kind)
         async with httpx.AsyncClient(timeout=self.timeout_s) as client:
             resp = await client.post(
                 f"{self.base_url}/v1/chat/completions",
@@ -250,6 +260,62 @@ class OpenAICompatClient:
             import json
 
             content = resp.json()["choices"][0]["message"]["content"]
+            return json.loads(content)[kind]
+
+
+class OllamaClient(OpenAICompatClient):
+    """Ollama-NATIVE chat client (reference Clients/python/
+    ollama_client.py:38-50): POST ``/api/chat`` with the JSON schema in
+    the top-level ``format=`` field (Ollama's structured-output mode —
+    the reference passes ``Response.model_json_schema()`` there),
+    ``stream=False``, ``keep_alive`` and ``options.temperature``
+    carried through. Response shape is ``{"message": {"content":
+    <json string>}}``.
+
+    Same interface and failure semantics as :class:`OpenAICompatClient`
+    (which covers the reference's llama.cpp deployment through the
+    OpenAI-compatible endpoint the same server also exposes); this
+    variant removes the last switch-over gap for users pointing at a
+    stock Ollama daemon. Inherits the semaphore-bounded ``call_many``
+    fan-out unchanged.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        *,
+        timeout_s: float = 60.0,
+        temperature: float = 0.9,
+        keep_alive: int = 20,      # reference ollama_client.py:44
+        api_key: str = "not-needed",
+    ):
+        super().__init__(
+            base_url, model,
+            timeout_s=timeout_s, temperature=temperature, api_key=api_key,
+        )
+        self.keep_alive = keep_alive
+
+    async def _chat_json(self, batch, kind):
+        httpx = _httpx()
+        import json
+
+        prompt, schema = self._prompt_and_schema(batch, kind)
+        async with httpx.AsyncClient(timeout=self.timeout_s) as client:
+            resp = await client.post(
+                f"{self.base_url}/api/chat",
+                headers={},
+                json={
+                    "model": self.model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "format": schema,
+                    "stream": False,
+                    "keep_alive": self.keep_alive,
+                    "options": {"temperature": self.temperature},
+                },
+            )
+            resp.raise_for_status()
+            content = resp.json()["message"]["content"]
             return json.loads(content)[kind]
 
 

@@ -42,7 +42,14 @@ class FakeOpenAIHandler(BaseHTTPRequestHandler):
         n = int(self.headers["Content-Length"])
         payload = json.loads(self.rfile.read(n))
         model = payload["model"]
-        kind = payload["response_format"]["json_schema"]["name"]
+        ollama = self.path == "/api/chat"
+        if ollama:
+            # Ollama-native structured output: schema rides the
+            # top-level format= field; record it for assertions.
+            kind = payload["format"]["required"][0]
+            self.server.last_ollama_payload = payload
+        else:
+            kind = payload["response_format"]["json_schema"]["name"]
         prompt = payload["messages"][0]["content"]
         ids = _ids_from_prompt(prompt)
 
@@ -65,9 +72,12 @@ class FakeOpenAIHandler(BaseHTTPRequestHandler):
         else:
             content = self._good(kind, ids)
 
-        body = json.dumps(
-            {"choices": [{"message": {"content": content}}]}
-        ).encode()
+        if ollama:
+            body = json.dumps({"message": {"content": content}}).encode()
+        else:
+            body = json.dumps(
+                {"choices": [{"message": {"content": content}}]}
+            ).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -83,13 +93,19 @@ class FakeOpenAIHandler(BaseHTTPRequestHandler):
         return json.dumps({kind: rows})
 
 
+_SRV = None  # the live fake server, for request-shape assertions
+
+
 @pytest.fixture(scope="module")
 def fake_openai():
+    global _SRV
     srv = ThreadingHTTPServer(("127.0.0.1", 0), FakeOpenAIHandler)
     srv.lock = threading.Lock()
     srv.attempts = {}
+    srv.last_ollama_payload = None
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
+    _SRV = srv
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
     thread.join(timeout=5)
@@ -176,3 +192,60 @@ def test_operator_nullfills_hard_failure(spark, fake_openai):
     assert len(out) == 10
     assert all(r.sentiment is None for r in out)
     assert {r.item_id for r in out} == set(range(1, 11))
+
+
+def test_ollama_client_native_protocol(fake_openai):
+    # Ollama-native /api/chat: schema in the top-level format= field,
+    # stream=False, keep_alive + options.temperature carried through
+    # (reference ollama_client.py:38-50), {"message": {"content"}} body.
+    from ai_powered_e_commerce_analytics_spark.operators.enrich import (
+        OllamaClient,
+    )
+
+    client = OllamaClient(fake_openai, "good", keep_alive=7, temperature=0.5)
+    out = client.classify_sentiments(BATCH, 0)
+    assert [r["item_id"] for r in out] == [1, 2, 3, 4, 5]
+    out = client.generate_reviews(BATCH, 0)
+    assert out[2] == {"item_id": 3, "review": "review 3"}
+
+
+def test_ollama_client_request_shape_and_errors(fake_openai):
+    from ai_powered_e_commerce_analytics_spark.operators.enrich import (
+        OllamaClient,
+    )
+
+    client = OllamaClient(fake_openai, "good", keep_alive=7, temperature=0.5)
+    client.generate_reviews(BATCH, 0)
+    # the handler stashed the last /api/chat payload — prove the native
+    # protocol shape the reference client sends (ollama_client.py:38-50)
+    p = _SRV.last_ollama_payload
+    assert p["stream"] is False and p["keep_alive"] == 7
+    assert p["options"] == {"temperature": 0.5}
+    assert p["format"]["properties"]["reviews"]["minItems"] == len(BATCH)
+
+    with pytest.raises(HTTPStatusError):
+        OllamaClient(fake_openai, "error500").classify_sentiments(BATCH, 0)
+    with pytest.raises(json.JSONDecodeError):
+        OllamaClient(fake_openai, "malformed").classify_sentiments(BATCH, 0)
+
+
+def test_operator_through_ollama_client(spark, fake_openai):
+    # The enrichment operator is client-agnostic: the Ollama-native
+    # client drives the same mapInPandas path end-to-end.
+    from ai_powered_e_commerce_analytics_spark.operators.enrich import (
+        OllamaClient,
+    )
+
+    items = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 21)], "item_id long, review string"
+    ).coalesce(1)
+    url = fake_openai
+    out = enrich_sentiments(
+        items,
+        client_factory=lambda: OllamaClient(url, "good"),
+        batch_size=10,
+        max_attempts=2,
+    ).collect()
+    assert len(out) == 20
+    assert {r.item_id for r in out} == set(range(1, 21))
+    assert all(r.sentiment is not None for r in out)
