@@ -202,25 +202,21 @@ def exact_percentiles_scalable(
     hi_in = F.col("__hi").between(F.col("__start"), F.col("__end"))
     hits = ranked.join(F.broadcast(tgt), cond & (lo_in | hi_in))
     v = F.col(value_col).cast("double")
-    per_q = hits.groupBy(*gc, "__qi", "__frac").agg(
-        F.max(F.when(lo_in, v)).alias("__vlo"),
-        F.max(F.when(hi_in, v)).alias("__vhi"),
-    )
-    # Percentile.getPercentile's interpolation, exactly: frac == 0 (the
-    # common integer-position case) returns __vlo with zero float ops.
-    pct = F.when(F.col("__frac") == 0.0, F.col("__vlo")).otherwise(
-        (F.lit(1.0) - F.col("__frac")) * F.col("__vlo")
-        + F.col("__frac") * F.col("__vhi")
-    )
-    return (
-        per_q.select(*gc, "__qi", pct.alias("__pct"))
-        .groupBy(*gc)
-        .agg(
-            *[
-                F.max(F.when(F.col("__qi") == i, F.col("__pct"))).alias(
-                    out_names[i]
-                )
-                for i in range(len(qs))
-            ]
+
+    # ONE agg folds both the per-target order-statistic pick and the
+    # qi->column pivot (the (group, qi) grain is tiny; a second
+    # exchange for it would be pure stage latency).
+    def _q(i: int):
+        qi = F.col("__qi") == i
+        vlo = F.max(F.when(qi & lo_in, v))
+        vhi = F.max(F.when(qi & hi_in, v))
+        frac = F.max(F.when(qi, F.col("__frac")))
+        # Percentile.getPercentile's interpolation, exactly: frac == 0
+        # (the common integer-position case) returns vlo, zero float ops.
+        return F.when(frac == 0.0, vlo).otherwise(
+            (F.lit(1.0) - frac) * vlo + frac * vhi
         )
+
+    return hits.groupBy(*gc).agg(
+        *[_q(i).alias(out_names[i]) for i in range(len(qs))]
     )

@@ -111,3 +111,28 @@ def test_no_exact_percentile_aggregate_in_plan(spark, sf_dir):
     got = exact_percentiles_scalable(spend, "v", QS, NAMES)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "percentile(" not in plan.lower()
+
+
+def test_plan_probes_cover_iterative_queries(spark, sf_dir):
+    """Probe-drift guard: every PLAN_PROBES entry names a registry query
+    and builds a real pre-checkpoint round (exchanges > 0 — the empty
+    post-checkpoint shape is exactly what probes exist to avoid)."""
+    import re
+
+    from ai_powered_e_commerce_analytics_spark.plans import registry
+    from ai_powered_e_commerce_analytics_spark.plans.probes import (
+        PLAN_PROBES,
+    )
+
+    names = {q.name for q in registry.QUERIES}
+    assert set(PLAN_PROBES) <= names
+    # one representative per distinct probe builder (they share bodies)
+    for qname in ("copurchase_pagerank", "dedup_components",
+                  "kmeans_lloyd_clusters"):
+        plan = (
+            PLAN_PROBES[qname](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"\bExchange\b", plan)) > 0, qname
