@@ -53,9 +53,10 @@ from pyspark.sql import functions as F
 
 # Same repeat-invocation eviction contract as pretrain._PACK_ARRANGED_CACHE:
 # each call pins one contracted frame; the next call (bench iterations,
-# long-lived drivers) evicts its predecessor. Best-effort — the cached
-# frame may belong to an already-stopped session.
-_ARRANGED_CACHE: list[DataFrame] = []
+# long-lived drivers) evicts its predecessor — the pinned frame AND its
+# rank-base broadcast. Best-effort — the cached pair may belong to an
+# already-stopped session.
+_ARRANGED_CACHE: list[tuple] = []
 
 
 def exact_percentiles_scalable(
@@ -97,10 +98,12 @@ def exact_percentiles_scalable(
         ).where(F.col(value_col).isNotNull())
 
     while _ARRANGED_CACHE:
-        try:
-            _ARRANGED_CACHE.pop().unpersist()
-        except Exception:  # noqa: BLE001 - stopped-session frame
-            pass
+        prev_df, prev_bc = _ARRANGED_CACHE.pop()
+        for cleanup in (prev_df.unpersist, prev_bc.unpersist):
+            try:
+                cleanup()
+            except Exception:  # noqa: BLE001 - stopped-session artifacts
+                pass
     # -- 2. range arrangement (partition = contiguous value slice) -----
     arranged = (
         dv.repartitionByRange(*gc, value_col)
@@ -108,7 +111,6 @@ def exact_percentiles_scalable(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    _ARRANGED_CACHE.append(arranged)
 
     # -- 3a. per-(pid, group) subtotals -> per-partition rank bases ----
     subtotals = arranged.groupBy("__pid", *gc).agg(
@@ -127,6 +129,7 @@ def exact_percentiles_scalable(
         base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
     bc = spark.sparkContext.broadcast(base_map)
+    _ARRANGED_CACHE.append((arranged, bc))
 
     # -- 3b. global rank interval of each value-run (zero shuffle) -----
     # The partitions are already sorted by (group, value); a pandas walk
