@@ -136,3 +136,46 @@ def test_plan_probes_cover_iterative_queries(spark, sf_dir):
             .toString()
         )
         assert len(re.findall(r"\bExchange\b", plan)) > 0, qname
+
+
+# ---------------------------------------------------------------------------
+# Property: the helper IS percentile(), on arbitrary grouped long data
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PSETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values with heavy duplication, negatives, and extremes; 2 small groups
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=-(2**40), max_value=2**40).map(
+            lambda v: v % 7 - 3 if abs(v) < 1000 else v  # force dup mass
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=rows)
+@settings(**_PSETTINGS)
+def test_property_grouped_equals_percentile(spark, data):
+    df = spark.createDataFrame(data, "g int, v long")
+    got = {
+        r["g"]: tuple(r[n] for n in NAMES)
+        for r in exact_percentiles_scalable(
+            df, "v", QS, NAMES, ("g",)
+        ).collect()
+    }
+    want = {
+        r["g"]: tuple(r[n] for n in NAMES)
+        for r in _exact(df, "v", ("g",)).collect()
+    }
+    assert got == want
