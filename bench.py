@@ -119,6 +119,14 @@ HEADLINE = [
     "copurchase_association_rules",
     "customer_revenue_pareto",
     "nation_revenue_hhi",
+    # round-7 additions (75 -> 81; the r6-comparable subset is the
+    # first 75 — compare per-query, the suite sum grew by design)
+    "term_doc_frequency_curve",
+    "doc_length_log2_histogram",
+    "customer_clv_cohort",
+    "ship_delay_ols_slope",
+    "events_dwell_percentiles",
+    "decontaminate_embedding_cosine",
 ]
 
 
