@@ -735,19 +735,22 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-source fold (doc-grain barrier → ReuseExchange, the
     ``tfidf_top_terms`` shape); the vocab is O(N) rows and broadcasts
     onto the token stream; the source rollup partial-aggregates
-    map-side to |sources| rows. The top-N contraction itself is a sort
-    on VOCABULARY-grain rows (bounded by distinct terms, not corpus
-    size — fine at any corpus scale).
+    map-side to |sources| rows. The top-N contraction is
+    ``orderBy(...).limit(N)``, which Spark compiles to
+    ``TakeOrderedAndProject`` — each frequency partition keeps a local
+    N-row heap and the driver merges |partitions|×N survivors — NOT a
+    global row_number window, whose single-partition sort over the
+    whole vocabulary (billions of distinct terms in a 100 TB web crawl:
+    typos, URLs, numerals) would bottleneck one executor.
     """
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "source", F.explode(tokens("text")).alias("term")
     ).repartition("source")
     freq = tok.groupBy("term").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), "term")
     vocab = (
-        freq.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= VOCAB_N)
+        freq.orderBy(F.desc("c"), "term")
+        .limit(VOCAB_N)
         .select("term", F.lit(True).alias("in_vocab"))
     )
     return (
