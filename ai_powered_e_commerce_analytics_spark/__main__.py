@@ -234,6 +234,7 @@ def _audit(spark, args) -> dict:
         except Exception as exc:  # noqa: BLE001 - audit must not die mid-list
             out[spec.name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
+        plan_lines = plan.splitlines()
         joins = Counter(
             re.findall(
                 r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
@@ -256,6 +257,27 @@ def _audit(spark, args) -> dict:
             # at non-dimension grain; approx_percentile doesn't count)
             "exact_percentile_aggs": len(
                 re.findall(r"(?<!approx_)\bpercentile\(", plan)
+            ),
+            # Sort-parented SinglePartition exchanges = an unpartitioned
+            # window moving DATA-SIZED rows to one task (a physical
+            # Window needs Sort directly above the exchange; a global
+            # orderBy exchanges by rangepartitioning instead, and a
+            # top-N limit becomes TakeOrderedAndProject with no exchange
+            # at all). The far more common benign SinglePartition — a
+            # global scalar aggregate's final stage, which carries only
+            # per-partition PARTIAL-AGG rows — has HashAggregate as the
+            # parent line and is deliberately NOT counted. Zero is the
+            # target; the nonzero entries are the three reference-parity
+            # ops (global contiguous ids / seeded shuffle — SURVEY §7,
+            # `_ranged` is the scale variant) and the two time-series
+            # queries whose window input is an ALREADY-CONTRACTED
+            # O(months)/O(days) frame (trailing_zscore caller contract).
+            "unpartitioned_window_sorts": sum(
+                1
+                for i, ln in enumerate(plan_lines)
+                if "Exchange SinglePartition" in ln
+                and i > 0
+                and re.search(r"\bSort \[", plan_lines[i - 1])
             ),
         }
         if probe is not None:

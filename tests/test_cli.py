@@ -55,3 +55,29 @@ def test_registry_specs_declare_coverage():
 
     missing = [q.name for q in QUERIES if not q.covers]
     assert not missing, f"specs without covers tags: {missing}"
+
+
+def test_cli_audit_flags_unpartitioned_windows(spark):
+    """The Sort-parented SinglePartition detector: the parity ops'
+    global-order windows flag; a global scalar agg (benign final stage
+    over partial-agg rows) and a TakeOrderedAndProject top-N do not."""
+    out = _run(
+        spark,
+        _ns(
+            cmd="audit",
+            sf_dir="/root/testdata/sf0.001",
+            queries=(
+                "item_id_assignment,pool_assignment,"
+                "tokenizer_vocab_coverage,tpch_q6_forecast_revenue,"
+                "item_id_assignment_ranged"
+            ),
+        ),
+    )
+    assert out["item_id_assignment"]["unpartitioned_window_sorts"] == 1
+    assert out["pool_assignment"]["unpartitioned_window_sorts"] == 1
+    # top-N via TakeOrderedAndProject — the r7 fix stays fixed
+    assert out["tokenizer_vocab_coverage"]["unpartitioned_window_sorts"] == 0
+    # global scalar agg: SinglePartition parent is HashAggregate, benign
+    assert out["tpch_q6_forecast_revenue"]["unpartitioned_window_sorts"] == 0
+    # the documented scale variant of the id assignment really avoids it
+    assert out["item_id_assignment_ranged"]["unpartitioned_window_sorts"] == 0
