@@ -723,36 +723,73 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan count (keys with no dimension match), and the pass verdict —
     the data-quality gate a warehouse runs after every load.
 
-    Plan: per edge, ONE left-anti join against the DISTINCT dimension
-    keys (dimension side contracts to its key set first — at 100 TB
-    the distinct-key frame is what shuffles or broadcasts, never the
-    dimension payload) plus a scan agg for row/null counts; the 7
-    per-edge 1-row aggregates union into the report LAZILY — a single
-    job at consumption, zero driver-side count loops. All counts exact
-    longs.
+    Plan: ONE scan per FACT table, not two per edge. All of a fact's
+    edges ride the same pass — the fact left-joins each edge's DISTINCT
+    dimension key set (key set + presence marker: the dimension
+    contracts to its keys first, so at 100 TB the distinct-key frame is
+    what shuffles or broadcasts, never the dimension payload; an
+    unmatched non-null fk = orphan, exactly the anti-join count), then
+    one wide agg per fact computes every edge's null/orphan counts
+    together and ``inline``s them to edge rows. lineitem (3 edges —
+    the 100 TB table) is scanned ONCE instead of 6×, and only its
+    biggest edge (l_orderkey, the non-broadcastable key set) pays a
+    shuffle; part/supplier key sets broadcast onto the same stream.
+    The 5 per-fact subtrees union LAZILY — a single job at consumption,
+    zero driver-side count loops. All counts exact longs.
     """
+    from collections import defaultdict
     from functools import reduce
 
-    reports = []
+    by_fact: dict[str, list[tuple[str, str, str]]] = defaultdict(list)
     for fact, fk, dim, dk in _RI_EDGES:
-        f = t(spark, sf_dir, fact)
-        d = t(spark, sf_dir, dim).select(F.col(dk).alias("__k")).distinct()
-        base = f.agg(
+        by_fact[fact].append((fk, dim, dk))
+
+    reports = []
+    for fact, edges in by_fact.items():
+        f = t(spark, sf_dir, fact).select([fk for fk, _, _ in edges])
+        for i, (fk, dim, dk) in enumerate(edges):
+            d = (
+                t(spark, sf_dir, dim)
+                .select(F.col(dk).alias(fk))
+                .distinct()
+                .withColumn(f"__hit{i}", F.lit(True))
+            )
+            f = f.join(d, fk, "left")
+        agg = f.agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_keys"),
-        )
-        orph = (
-            f.select(F.col(fk).alias("__k"))
-            .where(F.col("__k").isNotNull())
-            .join(d, "__k", "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
+            *[
+                e
+                for i, (fk, _, _) in enumerate(edges)
+                for e in (
+                    F.sum(F.col(fk).isNull().cast("long")).alias(
+                        f"__nulls{i}"
+                    ),
+                    F.sum(
+                        (
+                            F.col(fk).isNotNull()
+                            & F.col(f"__hit{i}").isNull()
+                        ).cast("long")
+                    ).alias(f"__orph{i}"),
+                )
+            ],
         )
         reports.append(
-            base.crossJoin(orph).select(
-                F.lit(f"{fact}.{fk}->{dim}.{dk}").alias("relationship"),
-                "n_rows",
-                "n_null_keys",
-                "n_orphans",
+            agg.select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(
+                                    f"{fact}.{fk}->{dim}.{dk}"
+                                ).alias("relationship"),
+                                F.col("n_rows"),
+                                F.col(f"__nulls{i}").alias("n_null_keys"),
+                                F.col(f"__orph{i}").alias("n_orphans"),
+                            )
+                            for i, (fk, dim, dk) in enumerate(edges)
+                        ]
+                    )
+                )
             )
         )
     out = reduce(lambda a, b: a.unionByName(b), reports)
