@@ -62,3 +62,21 @@ def test_vocab_broadcast_onto_token_stream(spark, sf_dir):
     # shuffle for the join.
     plan = _plan(tokenizer_vocab_coverage(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ri_report_scans_each_fact_once(spark, sf_dir):
+    # The r7 fusion: every fact table scanned ONCE for all its FK
+    # edges (5 fact + 7 dim-key scans), markers attached by equi-join
+    # — no per-edge rescans, no 1-row crossJoin nested loops.
+    import re
+
+    from ai_powered_e_commerce_analytics_spark.plans.analytics import (
+        referential_integrity_report,
+    )
+
+    plan = _plan(referential_integrity_report(spark, sf_dir))
+    # "(N) Scan parquet" = the detail entry, once per scan node (the
+    # tree section prints each node a second time).
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 12, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
