@@ -304,7 +304,11 @@ class OllamaClient(OpenAICompatClient):
         async with httpx.AsyncClient(timeout=self.timeout_s) as client:
             resp = await client.post(
                 f"{self.base_url}/api/chat",
-                headers={},
+                # A stock Ollama daemon ignores auth, but the accepted
+                # api_key must not be silently dropped — a daemon behind
+                # an authenticating proxy gets the same bearer header
+                # the OpenAI-compatible client sends.
+                headers={"Authorization": f"Bearer {self.api_key}"},
                 json={
                     "model": self.model,
                     "messages": [{"role": "user", "content": prompt}],

@@ -55,7 +55,11 @@ from pyspark.sql import functions as F
 # each call pins one contracted frame; the next call (bench iterations,
 # long-lived drivers) evicts its predecessor — the pinned frame AND its
 # rank-base broadcast. Best-effort — the cached pair may belong to an
-# already-stopped session.
+# already-stopped session. Caller contract: CONSUME the returned frame
+# before the next exact_percentiles_scalable call — a frame held across
+# a later call still computes correctly (the lineage survives in shuffle
+# files) but silently re-runs its arrangement stage, its persist having
+# been evicted.
 _ARRANGED_CACHE: list[tuple] = []
 
 
@@ -123,8 +127,12 @@ def exact_percentiles_scalable(
     running: dict[tuple, int] = {}
     base_map: dict[tuple, int] = {}
     # pid order IS value order within a group (range partitioner), so a
-    # (group-key, pid)-sorted fold yields each partition's base rank.
-    for row in sorted(subtotals, key=lambda r: (_gkey(r), r["__pid"])):
+    # pid-sorted fold yields each partition's base rank — `running` is
+    # keyed by group, so interleaving groups across the single pid-ordered
+    # pass is fine. Sorting by pid ALONE also keeps NULL group keys safe:
+    # a (group-key, pid) sort would compare None against non-null values
+    # and raise TypeError.
+    for row in sorted(subtotals, key=lambda r: r["__pid"]):
         k = _gkey(row)
         base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
@@ -194,7 +202,7 @@ def exact_percentiles_scalable(
             lo = math.floor(p)
             tgt_rows.append((*k, qi, lo, math.ceil(p), p - lo))
     tgt_schema = ", ".join(
-        [f"__t_{g} {dict(dv.dtypes)[g]}" for g in gc]
+        [f"__t_{g} {dv_types[g]}" for g in gc]
         + ["__qi int", "__lo long", "__hi long", "__frac double"]
     )
     tgt = spark.createDataFrame(tgt_rows, schema=tgt_schema)

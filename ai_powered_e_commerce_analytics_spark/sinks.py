@@ -484,19 +484,42 @@ def apply_cdc_parquet(
     silently upserted — the same corrupt-the-table-silently class the
     duplicate-key rejection below guards against.
     """
-    bad = (
-        changes.where(
-            F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
-        )
-        .select(op_col)
-        .limit(1)
-        .collect()
+    # Both validations ride ONE evaluation of the change lineage: a
+    # single groupBy(key) pass surfaces an out-of-domain op (NULL is
+    # flagged via a sentinel — max() alone would swallow it) AND, on
+    # the no-seq path, a duplicate key. The previous form ran each
+    # check as its own standalone job over the full lineage — for a
+    # change set derived from an expensive diff that meant two extra
+    # complete passes before the commit loop's own evaluation.
+    bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    bad_marker = F.max(
+        F.when(bad_op, F.coalesce(F.col(op_col), F.lit("<NULL>")))
     )
-    if bad:
+    if seq_col is not None:
+        diag = changes.agg(bad_marker.alias("__bad")).collect()[0]
+        dup_key = None
+    else:
+        diag = (
+            changes.groupBy(key)
+            .agg(F.count("*").alias("__c"), bad_marker.alias("__b"))
+            .agg(
+                F.max("__b").alias("__bad"),
+                F.max(F.when(F.col("__c") > 1, F.col(key))).alias("__dup"),
+            )
+            .collect()[0]
+        )
+        dup_key = diag["__dup"]
+    if diag["__bad"] is not None:
+        bad_repr = None if diag["__bad"] == "<NULL>" else diag["__bad"]
         raise ValueError(
-            f"CDC batch contains op {bad[0][0]!r} outside the valid "
+            f"CDC batch contains op {bad_repr!r} outside the valid "
             "domain ('I', 'U', 'D') — refusing to apply (a NULL or "
             "unknown op would silently corrupt the table)"
+        )
+    if dup_key is not None:
+        raise ValueError(
+            f"CDC batch has multiple changes for key {dup_key!r}; "
+            "pass seq_col to define which one wins"
         )
     if seq_col is not None:
         latest = (
@@ -510,18 +533,6 @@ def apply_cdc_parquet(
             .drop("__rn", seq_col)
         )
     else:
-        dup = (
-            changes.groupBy(key)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"CDC batch has multiple changes for key {dup[0][0]!r}; "
-                "pass seq_col to define which one wins"
-            )
         latest = changes
 
     def merge(bucketed: DataFrame, old: DataFrame | None) -> DataFrame:

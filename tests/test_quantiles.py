@@ -179,3 +179,16 @@ def test_property_grouped_equals_percentile(spark, data):
         for r in _exact(df, "v", ("g",)).collect()
     }
     assert got == want
+
+
+def test_null_group_key_mixed_with_values(spark):
+    # A NULL group key alongside non-null keys must not crash the
+    # driver-side rank-base fold (a (group, pid) sort would compare
+    # None to str and raise TypeError) and must produce percentile()'s
+    # own null-group row.
+    rows = [("a", float(v)) for v in range(1, 8)]
+    rows += [(None, float(v)) for v in (10, 20, 30, 40)]
+    rows += [("b", 5.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = exact_percentiles_scalable(df, "v", QS, NAMES, ("g",))
+    _assert_same(got, _exact(df, "v", ("g",)), ("g",))
