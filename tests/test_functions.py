@@ -291,3 +291,50 @@ def test_event_ts_us_equivalent_across_encodings(spark, tmp_path):
                 assert sorted(got) == sorted(expected), (name, tz)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# simhash64 band-LSH completeness invariant (pigeonhole)
+# ---------------------------------------------------------------------------
+
+def _bands60(sig: int):
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        SIMHASH64_BANDS,
+        _S64_BAND_BITS,
+    )
+
+    mask = (1 << _S64_BAND_BITS) - 1
+    return [
+        (b, (sig >> (b * _S64_BAND_BITS)) & mask)
+        for b in range(SIMHASH64_BANDS)
+    ]
+
+
+def test_simhash64_pigeonhole_constants():
+    # The completeness argument in dedup_simhash64's docstring requires
+    # the bands to tile the signature exactly and the verify radius to
+    # be < the band count (>= bands differing bands => hamming >= bands).
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        SIMHASH64_BANDS,
+        SIMHASH64_BITS,
+        SIMHASH_MAX_HAMMING,
+        _S64_BAND_BITS,
+    )
+
+    assert SIMHASH64_BANDS * _S64_BAND_BITS == SIMHASH64_BITS
+    assert SIMHASH_MAX_HAMMING < SIMHASH64_BANDS
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(**SETTINGS)
+def test_simhash64_radius3_pair_always_shares_a_band(sig, flip_bits):
+    # Flipping <= SIMHASH_MAX_HAMMING bits can touch at most 3 of the 4
+    # bands, so every pair the verify stage would accept shares at least
+    # one (band, value) key — the band join NEVER misses a true pair.
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    assert set(_bands60(sig)) & set(_bands60(other))
