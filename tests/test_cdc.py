@@ -362,6 +362,16 @@ def test_cdc_rejects_invalid_op_domain(spark, tmp_path):
         )
         with pytest.raises(ValueError, match="outside the valid domain"):
             apply_cdc_parquet(spark, changes, table, "k", num_buckets=2)
+        # The seq path validates through a separate (op-only) aggregate
+        # — same rejection with a seq_col present.
+        seq_changes = spark.createDataFrame(
+            [(2, "b", "I", 1), (1, "z", bad_op, 2)],
+            "k long, v string, op string, seq long",
+        )
+        with pytest.raises(ValueError, match="outside the valid domain"):
+            apply_cdc_parquet(
+                spark, seq_changes, table, "k", seq_col="seq", num_buckets=2
+            )
     assert _rows(spark, table) == {(1, "a")}  # nothing staged or applied
 
 
