@@ -430,3 +430,62 @@ def test_session_path_topk_plan_contractions(spark):
     assert "TakeOrderedAndProject" in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_read_csv_dir_declared_schema_recursive(spark, tmp_path):
+    # Nested per-batch dirs + a stray placeholder: the glob filters it
+    # (the read_json_dir contract), the declared schema types the rows,
+    # and FAILFAST surfaces a malformed file as an error instead of
+    # silent nulls.
+    from pyspark.sql import types as T
+
+    from ai_powered_e_commerce_analytics_spark.sources import read_csv_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    (tmp_path / "b1").mkdir()
+    (tmp_path / "b2").mkdir()
+    (tmp_path / "b1" / "part-0.csv").write_text("id,name\n1,a\n2,b\n")
+    (tmp_path / "b2" / "part-0.csv").write_text("id,name\n3,c\n")
+    (tmp_path / "b2" / ".emptyFolderPlaceholder").write_text("")
+    df = read_csv_dir(spark, str(tmp_path), schema)
+    assert df.schema == schema
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+    (tmp_path / "b2" / "part-1.csv").write_text("id,name\nnot_a_long,x\n")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        read_csv_dir(spark, str(tmp_path), schema).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "Malformed" in str(exc.value)
+    # PERMISSIVE lands the malformed row as nulls for quarantine flows
+    ok = read_csv_dir(spark, str(tmp_path), schema, mode="PERMISSIVE")
+    assert ok.where(ok.id.isNull()).count() == 1
+
+
+def test_read_orc_dir_roundtrip_and_schema_assert(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ai_powered_e_commerce_analytics_spark.sources import read_orc_dir
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "t.orc")
+    src.write.orc(path)
+    back = read_orc_dir(spark, path)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+    declared = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    typed = read_orc_dir(spark, path, declared)
+    assert [f.name for f in typed.schema.fields] == ["id", "name"]
+    assert typed.count() == 2
