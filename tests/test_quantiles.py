@@ -192,3 +192,19 @@ def test_null_group_key_mixed_with_values(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = exact_percentiles_scalable(df, "v", QS, NAMES, ("g",))
     _assert_same(got, _exact(df, "v", ("g",)), ("g",))
+
+
+def test_counts_col_path_matches_raw_path(spark):
+    # The pre-contracted entry (callers that build the distinct-value
+    # contraction for their own stats) must agree with the raw path and
+    # with percentile() itself — including multiplicities > 1.
+    rows = [("a", v) for v in (1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0)]
+    rows += [("b", v) for v in (3.0, 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    contracted = df.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    raw = exact_percentiles_scalable(df, "v", QS, NAMES, ("g",))
+    pre = exact_percentiles_scalable(
+        contracted, "v", QS, NAMES, ("g",), counts_col="cnt"
+    )
+    _assert_same(pre, raw, ("g",))
+    _assert_same(pre, _exact(df, "v", ("g",)), ("g",))
