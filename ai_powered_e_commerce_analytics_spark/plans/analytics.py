@@ -1104,13 +1104,16 @@ ANALYTICS_SPECS = [
     QuerySpec("order_value_outliers_zscore", order_value_outliers_zscore,
               ORDER_VALUE_OUTLIERS_SQL, ("grouped-zscore-outliers",)),
     QuerySpec("rfm_customer_segments", rfm_customer_segments,
-              RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",)),
+              RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",),
+              touched_round=7),  # r7: exact_percentiles_scalable rework
     QuerySpec("monthly_revenue_mom", monthly_revenue_mom,
               MONTHLY_REVENUE_MOM_SQL, ("seasonality-mom-trailing",)),
     QuerySpec("customer_segment_scd2", customer_segment_scd2,
-              CUSTOMER_SEGMENT_SCD2_SQL, ("scd2-gaps-and-islands",)),
+              CUSTOMER_SEGMENT_SCD2_SQL, ("scd2-gaps-and-islands",),
+              touched_round=7),  # r7: exact_percentiles_scalable rework
     QuerySpec("referential_integrity_report", referential_integrity_report,
-              REFERENTIAL_INTEGRITY_SQL, ("dq-relationship-tests",)),
+              REFERENTIAL_INTEGRITY_SQL, ("dq-relationship-tests",),
+              touched_round=7),  # r7: fused one-scan-per-fact rewrite
     QuerySpec("monthly_first_vs_repeat", monthly_first_vs_repeat,
               MONTHLY_FIRST_VS_REPEAT_SQL, ("acquisition-retention-mix",)),
     QuerySpec("customer_clv_cohort", customer_clv_cohort,

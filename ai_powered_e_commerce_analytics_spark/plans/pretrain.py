@@ -922,6 +922,7 @@ PRETRAIN_SPECS = [
         tokenizer_vocab_coverage,
         TOKENIZER_VOCAB_COVERAGE_SQL,
         ("vocab-oov-coverage",),
+        touched_round=7,  # r7: vocab via TakeOrderedAndProject rewrite
     ),
     QuerySpec(
         "decontaminate_embedding_cosine",

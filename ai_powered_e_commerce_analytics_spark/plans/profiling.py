@@ -814,6 +814,7 @@ PROFILING_SPECS = [
         shipping_sla_percentiles,
         SHIPPING_SLA_PERCENTILES_SQL,
         ("sla-delay-percentiles",),
+        touched_round=7,  # r7: exact_percentiles_scalable rework
     ),
     QuerySpec(
         "dataset_card_documents",
@@ -832,6 +833,7 @@ PROFILING_SPECS = [
         customer_revenue_pareto,
         CUSTOMER_REVENUE_PARETO_SQL,
         ("pareto-decile-share",),
+        touched_round=7,  # r7: exact_percentiles_scalable rework
     ),
     QuerySpec(
         "nation_revenue_hhi",

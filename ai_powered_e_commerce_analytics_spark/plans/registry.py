@@ -280,9 +280,8 @@ _R6_DRIVER_VERIFIED = {
     "term_cooccurrence_pmi", "tokenizer_vocab_coverage",
 }
 
-# Queries ADDED in round 7 (no driver evidence yet) — they lead the
-# round-7 window. Exactly 6, so the window is 6 additions + the 44
-# three-round-stale r4 rows (VERDICT r6 item 10).
+# Queries ADDED in round 7 (history — all 6 verified green in round 7's
+# driver window, see _R7_DRIVER_VERIFIED).
 _R7_ADDED: set[str] = {
     "term_doc_frequency_curve",
     "doc_length_log2_histogram",
@@ -292,22 +291,73 @@ _R7_ADDED: set[str] = {
     "decontaminate_embedding_cosine",
 }
 
+# Queries verified by round 7's driver window (CORRECTNESS_r07.json —
+# all 50 rows green: the 6 round-7 additions plus the remaining 44
+# r4-verified rows). After round 7 every r4 row has been re-verified,
+# so r5/r6/r7 partition the whole pre-r8 registry (verified disjoint
+# and covering, 50+50+50 = 150).
+_R7_DRIVER_VERIFIED = {
+    "approx_distinct_customers", "asof_last_click_before_purchase",
+    "boilerplate_shingle_ratio", "chunk_dedup_exact",
+    "cross_source_neardup_matrix", "customer_clv_cohort",
+    "decontaminate_embedding_cosine", "decontaminate_ngram_overlap",
+    "dedup_components", "dedup_containment", "dedup_edit_distance_verify",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_near_dup_survivors", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash64", "dedup_survivors_cc", "doc_chunk_tokens",
+    "doc_fingerprint", "doc_length_log2_histogram", "doc_repetition_stats",
+    "embedding_dedup_components", "embedding_knn_bruteforce",
+    "embedding_knn_partial_topk", "embedding_lsh_buckets", "embedding_norms",
+    "events_dwell_percentiles", "lang_id_heuristic",
+    "lsh_candidate_efficiency", "minhash_estimate_error",
+    "multimodal_features", "order_value_percentiles_approx",
+    "pack_sequences_greedy", "per_source_topk_sample",
+    "range_join_clicks_before_purchase", "retention_cohorts",
+    "ship_delay_ols_slope", "simsearch_ivf_recall", "simsearch_ivf_topk",
+    "simsearch_lsh_bucket_join", "source_mix_rebalance",
+    "stratified_sample_documents", "term_doc_frequency_curve",
+    "text_quality", "tfidf_top_terms", "token_budget_curriculum",
+    "token_stats_by_source", "train_test_split_assignment",
+}
+
+
+def _last_verified_round(name: str) -> int:
+    """Most recent driver round whose CORRECTNESS file holds a green row
+    for this query name, or 0 if never driver-checked."""
+    if name in _R7_DRIVER_VERIFIED:
+        return 7
+    if name in _R6_DRIVER_VERIFIED:
+        return 6
+    if name in _R5_DRIVER_VERIFIED:
+        return 5
+    if name in _R4_DRIVER_VERIFIED:
+        return 4
+    return 0
+
 
 # Order matters: the external driver verifies the FIRST 50 entries against
-# the DuckDB oracle each round. Stable partition by last-verified round,
-# least recent first: never-driver-checked queries lead (round-7
-# additions), then the group whose green evidence is oldest. The
-# round-7 window is thus the r7 additions + the 44 r4-verified rows
-# whose evidence is now three rounds old (rounds 4-6 re-verified every
-# older group, so r4/r5/r6 partition the rest of the registry).
+# the DuckDB oracle each round, least-recently-verified first. The
+# ordering is PLAN-AWARE (VERDICT r7 finding #1): a query whose
+# implementation was materially rewritten AFTER its last driver check
+# (QuerySpec.touched_round > last verified round) carries stale
+# evidence, so it jumps the queue alongside never-checked additions
+# instead of coasting on a pre-rewrite green row. Partition order:
+#
+#   1. never driver-checked (new additions)           -> key 0
+#   2. plan touched since last driver verification    -> key 1
+#   3. by last-verified round ascending (oldest first) -> key 2 + round
+#
+# The round-8 window is therefore: the r8 additions, then the six
+# r7-rewritten queries (pareto / rfm / scd2 / shipping-sla / RI report /
+# vocab coverage — local DuckDB oracle tests already cover them, this
+# restores DRIVER evidence), then the stalest r5 rows filling to 50.
 def _staleness(q: QuerySpec) -> float:
-    if q.name in _R6_DRIVER_VERIFIED:
-        return 6
-    if q.name in _R5_DRIVER_VERIFIED:
-        return 5
-    if q.name in _R4_DRIVER_VERIFIED:
-        return 4
-    return 0  # round-7 additions (never driver-checked)
+    verified = _last_verified_round(q.name)
+    if verified == 0:
+        return 0
+    if q.touched_round > verified:
+        return 1
+    return 2 + verified
 
 
 QUERIES: list[QuerySpec] = sorted(_ALL_SPECS, key=_staleness)
