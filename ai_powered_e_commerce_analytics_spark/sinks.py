@@ -482,7 +482,8 @@ def apply_cdc_parquet(
     (the row silently vanishes from BOTH the upsert and the delete
     set), and an unknown code like ``'d'`` or ``'delete'`` would be
     silently upserted — the same corrupt-the-table-silently class the
-    duplicate-key rejection below guards against.
+    duplicate-key rejection below guards against. NULL merge keys are
+    rejected on both paths for the same reason (see inline note).
     """
     # Both validations ride ONE evaluation of the change lineage: a
     # single groupBy(key) pass surfaces an out-of-domain op (NULL is
@@ -495,20 +496,35 @@ def apply_cdc_parquet(
     bad_marker = F.max(
         F.when(bad_op, F.coalesce(F.col(op_col), F.lit("<NULL>")))
     )
+    # NULL merge keys are rejected alongside the op domain: the delete
+    # path is an anti-JOIN (NULL never matches, so a NULL-key delete
+    # would silently no-op even when a NULL-key row exists), and a NULL
+    # key in a keyed CDC feed is a producer bug, not a mergeable change.
+    null_key_marker = F.max(F.when(F.col(key).isNull(), F.lit(True)))
     if seq_col is not None:
-        diag = changes.agg(bad_marker.alias("__bad")).collect()[0]
-        dup_key = None
+        diag = (
+            changes.agg(
+                bad_marker.alias("__bad"), null_key_marker.alias("__nullk")
+            ).collect()[0]
+        )
+        has_dup, dup_key = False, None
     else:
         diag = (
             changes.groupBy(key)
             .agg(F.count("*").alias("__c"), bad_marker.alias("__b"))
             .agg(
                 F.max("__b").alias("__bad"),
+                F.max(F.col(key).isNull()).alias("__nullk"),
+                # Null-safe dup FLAG (a max() over the key alone would
+                # read NULL — i.e. "no dup" — when the only duplicated
+                # group is the NULL key); the key is captured separately
+                # and only for the error message.
+                F.max(F.when(F.col("__c") > 1, F.lit(True))).alias("__hasdup"),
                 F.max(F.when(F.col("__c") > 1, F.col(key))).alias("__dup"),
             )
             .collect()[0]
         )
-        dup_key = diag["__dup"]
+        has_dup, dup_key = bool(diag["__hasdup"]), diag["__dup"]
     if diag["__bad"] is not None:
         bad_repr = None if diag["__bad"] == "<NULL>" else diag["__bad"]
         raise ValueError(
@@ -516,7 +532,13 @@ def apply_cdc_parquet(
             "domain ('I', 'U', 'D') — refusing to apply (a NULL or "
             "unknown op would silently corrupt the table)"
         )
-    if dup_key is not None:
+    if diag["__nullk"]:
+        raise ValueError(
+            f"CDC batch contains a NULL merge key ({key!r}) — refusing "
+            "to apply (deletes anti-join on the key, so a NULL-key "
+            "change can never match and would be silently dropped)"
+        )
+    if has_dup:
         raise ValueError(
             f"CDC batch has multiple changes for key {dup_key!r}; "
             "pass seq_col to define which one wins"
@@ -722,6 +744,7 @@ def upsert_dbapi(
     batch_size: int = 1000,
     paramstyle: str = "qmark",
     statement: str | None = None,
+    order_col: str | None = None,
 ) -> None:
     """Keyed upsert (MERGE) into a RELATIONAL database — the deployment
     target the reference actually has (data_loader.py:54-66 upserts the
@@ -742,10 +765,17 @@ def upsert_dbapi(
 
     Semantics match :func:`upsert_parquet`: last-writer-wins per key
     against the table. Duplicate keys WITHIN the batch are collapsed
-    first (``dropDuplicates``) — Postgres rejects a multi-hit ON
-    CONFLICT batch ("cannot affect row a second time") and SQLite
-    would keep an arbitrary one. Task retries re-run the same keyed
-    upserts — idempotent, so the sink is safely at-least-once.
+    first — Postgres rejects a multi-hit ON CONFLICT batch ("cannot
+    affect row a second time") and SQLite would keep an arbitrary one.
+    The collapse is DETERMINISTIC (``max_by`` over ``order_col`` when
+    given — a CDC seq/LSN — falling back to the row's full value
+    struct as the tiebreak and, without ``order_col``, as the whole
+    ordering): a ``dropDuplicates`` survivor depends on partitioning
+    and scan order, so a task retry or micro-batch replay could
+    recompute a DIFFERENT survivor and write a different value,
+    breaking replay idempotence. With a deterministic survivor, task
+    retries re-run the same keyed upserts — idempotent, so the sink is
+    safely at-least-once (columns must be orderable types — no maps).
 
     The default statement speaks the common Postgres/SQLite dialect
     (``ON CONFLICT (key) DO UPDATE SET col = excluded.col``) with
@@ -789,7 +819,26 @@ def upsert_dbapi(
             if conn is not None:
                 conn.close()
 
-    updates.dropDuplicates([key]).foreachPartition(write_partition)
+    if order_col is not None and order_col not in cols:
+        raise ValueError(f"order_col {order_col!r} not in {cols}")
+    nonkey = [c for c in cols if c != key]
+    order_fields = ([order_col] if order_col else []) + [
+        c for c in nonkey if c != order_col
+    ]
+    collapsed = (
+        updates.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(*[F.col(c) for c in order_fields]),
+            ).alias("__row")
+        )
+        .select("__row.*")
+        .select(*cols)
+        if nonkey
+        else updates.dropDuplicates([key])  # key-only rows: all equal
+    )
+    collapsed.foreachPartition(write_partition)
 
 
 def dbapi_upsert_sink(table: str, key: str, connection_factory, **kwargs):

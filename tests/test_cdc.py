@@ -85,6 +85,44 @@ def test_cdc_duplicate_keys_without_seq_rejected(spark, tmp_path):
         apply_cdc_parquet(spark, changes, table, "k", num_buckets=4)
 
 
+def test_cdc_null_key_rejected_both_paths(spark, tmp_path):
+    # A NULL merge key can never match through the delete anti-join, so
+    # it is rejected up front like an out-of-domain op. Regression: the
+    # r7 dup detector read max(when(c>1, key)) which is NULL when the
+    # only duplicated group IS the NULL key — a batch of several
+    # NULL-key changes sailed through validation (ADVICE r7 medium).
+    table = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        table,
+        "k",
+        num_buckets=4,
+    )
+    # multiple NULL-key changes, no seq: must NOT pass as "no dup"
+    changes = spark.createDataFrame(
+        [(None, "x", "U"), (None, "y", "U")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        apply_cdc_parquet(spark, changes, table, "k", num_buckets=4)
+    # single NULL-key change: rejected too (delete would silently no-op)
+    one = spark.createDataFrame(
+        [(None, None, "D")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        apply_cdc_parquet(spark, one, table, "k", num_buckets=4)
+    # seq path validates through the op-only aggregate — same rejection
+    seq_changes = spark.createDataFrame(
+        [(None, "x", "U", 1), (None, "y", "U", 2)],
+        "k long, v string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        apply_cdc_parquet(
+            spark, seq_changes, table, "k", seq_col="seq", num_buckets=4
+        )
+    assert _rows(spark, table) == {(1, "a")}  # untouched
+
+
 def test_cdc_emptied_bucket_drops_manifest_entry(spark, tmp_path):
     table = str(tmp_path / "t")
     # 1 bucket => deleting one of two keys rewrites THE bucket; deleting
