@@ -38,29 +38,56 @@ everywhere, via distributed order statistics:
    order_value_percentiles).
 
 No aggregation buffer ever holds more than one row per distinct value
-per partition; the driver only ever sees O(partitions x groups)
-subtotals. Memory is bounded regardless of grain size — the property
-the full-value-map aggregate lacks.
+per partition — EXECUTOR memory is bounded regardless of grain size,
+the property the full-value-map aggregate lacks. The DRIVER, however,
+sees O(partitions x groups) subtotal rows in the rank-base fold, which
+grows with the grain's cardinality: ``max_driver_subtotals`` guards
+that collect (raising, with the cardinality, instead of OOM-ing) so a
+high-cardinality ``group_cols`` fails loudly. All current consumers
+aggregate at dimension-sized grains (global / per-priority / per-year /
+per-event-type / per-metric); a per-customer grain at TPC-H scale
+would trip the guard — use a plain windowed rank instead, the grain is
+small per group there.
 """
 
 from __future__ import annotations
 
+import itertools
 import math
+import threading
+from collections import OrderedDict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Same repeat-invocation eviction contract as pretrain._PACK_ARRANGED_CACHE:
-# each call pins one contracted frame; the next call (bench iterations,
-# long-lived drivers) evicts its predecessor — the pinned frame AND its
-# rank-base broadcast. Best-effort — the cached pair may belong to an
-# already-stopped session. Caller contract: CONSUME the returned frame
-# before the next exact_percentiles_scalable call — a frame held across
-# a later call still computes correctly (the lineage survives in shuffle
-# files) but silently re-runs its arrangement stage, its persist having
-# been evicted.
-_ARRANGED_CACHE: list[tuple] = []
+# Each call pins its arranged frame + rank-base broadcast for the life
+# of the returned (lazy) plan. The cache is KEYED and BOUNDED: up to
+# _CACHE_CAPACITY in-flight helper plans coexist (interleaved
+# construction, bench iterations), evicted oldest-first beyond that —
+# the r7 single-slot version silently evicted a sibling's persist
+# mid-use (ADVICE r7), degrading its one-scan property. Eviction is
+# best-effort (the pair may belong to a stopped session); an EVICTED
+# plan still computes correctly — lineage survives — it just re-runs
+# its arrangement stage. A lock makes concurrent query construction on
+# one SparkSession safe.
+_ARRANGED_CACHE: OrderedDict[int, tuple] = OrderedDict()
+_CACHE_CAPACITY = 4
+_CACHE_LOCK = threading.Lock()
+_cache_token = itertools.count()
+
+
+def release_arranged_cache() -> None:
+    """Unpersist every cached arranged frame / broadcast (best-effort).
+    Call between bench iterations or at session teardown."""
+    with _CACHE_LOCK:
+        while _ARRANGED_CACHE:
+            _, (prev_df, prev_bc) = _ARRANGED_CACHE.popitem(last=False)
+            for cleanup in (prev_df.unpersist, prev_bc.unpersist):
+                try:
+                    cleanup()
+                except Exception:  # noqa: BLE001 - stopped-session artifacts
+                    pass
 
 
 def exact_percentiles_scalable(
@@ -70,6 +97,7 @@ def exact_percentiles_scalable(
     out_names: Sequence[str],
     group_cols: Sequence[str] = (),
     counts_col: str | None = None,
+    max_driver_subtotals: int = 1_000_000,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -83,6 +111,10 @@ def exact_percentiles_scalable(
     contraction — one row per (group, value) carrying its multiplicity
     — to skip step 1 (callers that need the contraction for their own
     stats build it once, checkpoint it, and share it).
+
+    ``max_driver_subtotals``: cap on the O(partitions x groups) rank-
+    base rows the driver collects; exceeding it raises ValueError (see
+    module docstring's grain-cardinality caveat).
     """
     assert len(qs) == len(out_names)
     gc = list(group_cols)
@@ -101,13 +133,6 @@ def exact_percentiles_scalable(
             *gc, value_col, F.col(counts_col).cast("long").alias("__cnt")
         ).where(F.col(value_col).isNotNull())
 
-    while _ARRANGED_CACHE:
-        prev_df, prev_bc = _ARRANGED_CACHE.pop()
-        for cleanup in (prev_df.unpersist, prev_bc.unpersist):
-            try:
-                cleanup()
-            except Exception:  # noqa: BLE001 - stopped-session artifacts
-                pass
     # -- 2. range arrangement (partition = contiguous value slice) -----
     arranged = (
         dv.repartitionByRange(*gc, value_col)
@@ -117,9 +142,23 @@ def exact_percentiles_scalable(
     )
 
     # -- 3a. per-(pid, group) subtotals -> per-partition rank bases ----
-    subtotals = arranged.groupBy("__pid", *gc).agg(
-        F.sum("__cnt").alias("__sub")
-    ).collect()
+    # limit(cap+1) bounds what ever reaches the driver: an over-cap
+    # grain raises BEFORE building a huge local list, not after.
+    subtotals = (
+        arranged.groupBy("__pid", *gc)
+        .agg(F.sum("__cnt").alias("__sub"))
+        .limit(max_driver_subtotals + 1)
+        .collect()
+    )
+    if len(subtotals) > max_driver_subtotals:
+        arranged.unpersist()
+        raise ValueError(
+            f"exact_percentiles_scalable: grain {gc} produced more than "
+            f"{max_driver_subtotals} (partition x group) subtotal rows — "
+            "the driver-side rank-base fold does not scale to this "
+            "cardinality; use a windowed rank per group, or raise "
+            "max_driver_subtotals deliberately"
+        )
 
     def _gkey(row):
         return tuple(row[g] for g in gc)
@@ -137,7 +176,15 @@ def exact_percentiles_scalable(
         base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
     bc = spark.sparkContext.broadcast(base_map)
-    _ARRANGED_CACHE.append((arranged, bc))
+    with _CACHE_LOCK:
+        _ARRANGED_CACHE[next(_cache_token)] = (arranged, bc)
+        while len(_ARRANGED_CACHE) > _CACHE_CAPACITY:
+            _, (prev_df, prev_bc) = _ARRANGED_CACHE.popitem(last=False)
+            for cleanup in (prev_df.unpersist, prev_bc.unpersist):
+                try:
+                    cleanup()
+                except Exception:  # noqa: BLE001 - stopped sessions
+                    pass
 
     # -- 3b. global rank interval of each value-run (zero shuffle) -----
     # The partitions are already sorted by (group, value); a pandas walk

@@ -208,3 +208,58 @@ def test_counts_col_path_matches_raw_path(spark):
     )
     _assert_same(pre, raw, ("g",))
     _assert_same(pre, _exact(df, "v", ("g",)), ("g",))
+
+
+def test_interleaved_helper_calls_keep_both_persists(spark):
+    # ADVICE r7: the single-slot cache made call B evict call A's
+    # persist before A was consumed. The keyed bounded cache keeps both
+    # in-flight plans pinned; both must produce exact values.
+    from ai_powered_e_commerce_analytics_spark.plans import quantiles as Q
+
+    Q.release_arranged_cache()
+    a = spark.createDataFrame([(i,) for i in range(101)], "v long")
+    b = spark.createDataFrame([(i * 3,) for i in range(57)], "v long")
+    got_a = exact_percentiles_scalable(a, "v", QS, NAMES)  # build A
+    got_b = exact_percentiles_scalable(b, "v", QS, NAMES)  # build B
+    with Q._CACHE_LOCK:
+        assert len(Q._ARRANGED_CACHE) == 2
+        assert all(
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+            for df, _ in Q._ARRANGED_CACHE.values()
+        )
+    # consume A AFTER B was built — its persist must still be live
+    _assert_same(got_a, _exact(a, "v"))
+    _assert_same(got_b, _exact(b, "v"))
+    Q.release_arranged_cache()
+    with Q._CACHE_LOCK:
+        assert not Q._ARRANGED_CACHE
+
+
+def test_cache_capacity_bounds_pinned_frames(spark):
+    from ai_powered_e_commerce_analytics_spark.plans import quantiles as Q
+
+    Q.release_arranged_cache()
+    frames = []
+    for k in range(Q._CACHE_CAPACITY + 2):
+        df = spark.createDataFrame([(i + k,) for i in range(10)], "v long")
+        frames.append((df, exact_percentiles_scalable(df, "v", QS, NAMES)))
+    with Q._CACHE_LOCK:
+        assert len(Q._ARRANGED_CACHE) == Q._CACHE_CAPACITY
+    # evicted (oldest) plans still compute correctly via lineage
+    for df, got in frames:
+        _assert_same(got, _exact(df, "v"))
+    Q.release_arranged_cache()
+
+
+def test_grain_guard_raises_on_high_cardinality(spark):
+    # per-row grain: groups ~= rows, far over the tiny cap -> loud error
+    df = spark.createDataFrame([(i, i % 97) for i in range(500)], "g long, v long")
+    with pytest.raises(ValueError, match="subtotal rows"):
+        exact_percentiles_scalable(
+            df, "v", QS, NAMES, ("g",), max_driver_subtotals=50
+        )
+    # same call with the cap lifted: exact values per group
+    got = exact_percentiles_scalable(
+        df.where("g < 20"), "v", QS, NAMES, ("g",)
+    )
+    _assert_same(got, _exact(df.where("g < 20"), "v", ("g",)), ("g",))
