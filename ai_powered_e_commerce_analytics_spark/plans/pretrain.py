@@ -475,7 +475,45 @@ FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
 SNIPPET_TOKENS = 2
 
 
-def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _aho_corasick_build(patterns: list[str]):
+    """Classic Aho-Corasick automaton (goto/fail/output tables) over the
+    snippet set. Pure-Python dict tables: built once per task over an
+    eval-suite-sized pattern list, so build cost is trivial next to the
+    text scanned."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    fail: list[int] = [0]
+    out: list[list[int]] = [[]]
+    for idx, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(idx)
+    dq = deque(goto[0].values())
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[s] = cand if cand != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def decontaminate_exact_substring(
+    spark: SparkSession, sf_dir: str, *, via_automaton: bool = False
+) -> DataFrame:
     """Second decontamination axis: EXACT-substring hits of benchmark
     snippets inside corpus documents (the n-gram overlap check above is
     fuzzy/aggregate; eval-suite leakage screens also grep for verbatim
@@ -483,13 +521,20 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     one sample snippet.
 
     The benchmark side contributes one ``SNIPPET_TOKENS``-token prefix
-    per eval doc — an eval-suite-sized set (KBs), broadcast. The corpus
-    side is a single scan probed by a broadcast nested-loop ``contains``
-    join: O(corpus × |snippets|) per-row substring checks, bounded by
-    the eval-set size, never a corpus shuffle. (At very large snippet
-    counts the production swap is a single Aho-Corasick automaton per
-    task via mapInPandas — same broadcast shape, one text pass for all
-    snippets.)
+    per eval doc — an eval-suite-sized set (KBs), broadcast. Two
+    physical strategies, identical output (equality is tested):
+
+    - Default: a broadcast nested-loop ``contains`` join — O(corpus ×
+      |snippets|) per-row substring checks, bounded by the eval-set
+      size, never a corpus shuffle. JVM-side, right up to the point
+      where the snippet count makes |snippets| passes per doc dominate.
+    - ``via_automaton=True`` (the 100 TB swap for LARGE snippet sets):
+      ONE Aho-Corasick automaton per task scans each document ONCE for
+      every snippet simultaneously — O(corpus_chars + hits), not
+      O(corpus × |snippets|). The snippet list rides the closure
+      (broadcast-shaped); the pass is a pure ``mapInPandas`` map — no
+      join, no shuffle; the per-doc hit SET dedups multiple occurrences
+      to match the join's distinct-snippet semantics.
     """
     docs = t(spark, sf_dir, "documents")
     is_bench = F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
@@ -507,6 +552,41 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     corpus = docs.where(~is_bench).select("doc_id", "text")
+    if via_automaton:
+        # eval-suite-sized collect (same bound as the broadcast join's
+        # build side); sorted so pattern index order is deterministic.
+        patterns = sorted(r["snippet"] for r in snippets.collect())
+
+        def _scan(batches):
+            tables = _aho_corasick_build(patterns)  # once per task
+            goto, fail, out = tables
+            root_goto = goto[0]
+            for pdf in batches:
+                rows = {"doc_id": [], "n_snippets_hit": [],
+                        "sample_snippet": []}
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    s = 0
+                    hits: set[int] = set()
+                    for ch in text or "":
+                        while s and ch not in goto[s]:
+                            s = fail[s]
+                        s = goto[s].get(ch, 0) if s else root_goto.get(ch, 0)
+                        if out[s]:
+                            hits.update(out[s])
+                    if hits:
+                        rows["doc_id"].append(doc_id)
+                        rows["n_snippets_hit"].append(len(hits))
+                        rows["sample_snippet"].append(
+                            patterns[min(hits)]  # patterns sorted => min
+                        )
+                import pandas as pd
+
+                yield pd.DataFrame(rows)
+
+        return corpus.mapInPandas(
+            _scan,
+            schema="doc_id long, n_snippets_hit long, sample_snippet string",
+        )
     return (
         corpus.join(
             F.broadcast(snippets), F.col("text").contains(F.col("snippet"))
