@@ -987,7 +987,9 @@ FROM cells c JOIN sizes s USING (cohort_ym)
 """
 
 
-def ship_delay_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ship_delay_ols_slope(
+    spark: SparkSession, sf_dir: str, *, decimal_sums: bool = False
+) -> DataFrame:
     """Exact-sum OLS per return flag: regress ship delay (days) on
     line-item quantity — slope, intercept, and Pearson r from the five
     classic sufficient statistics — the "does bigger quantity ship
@@ -1001,8 +1003,12 @@ def ship_delay_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands in both engines (sqrt is IEEE
     correctly-rounded) — bit-identical, no tolerance. Plan: ONE
     orderkey equi-join + one 3-group agg with map-side combine; nothing
-    else. At 100 TB sums of squares outgrow BIGINT ~1e18 — the
-    documented swap is DECIMAL(38,0) accumulation, same associativity.
+    else. At 100 TB sums of squares outgrow BIGINT ~1e18 rows — the
+    swap is ``decimal_sums=True``: per-row terms stay exact LONGs
+    (x*y <= ~2e5) and are cast to DECIMAL(38,0) only for ACCUMULATION
+    (same associativity, 38-digit headroom); the closed forms run in
+    decimal and cast to double at the very end, so at any scale where
+    both paths are exact they are bit-equal (property-tested).
     """
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -1018,13 +1024,28 @@ def ship_delay_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    return _ols_sufficient_stats(j, decimal_sums=decimal_sums)
+
+
+def _ols_sufficient_stats(
+    j: DataFrame, *, decimal_sums: bool = False
+) -> DataFrame:
+    """Slope/intercept/r per ``l_returnflag`` from exact sufficient-
+    statistic sums over (x, y) LONG columns; see
+    :func:`ship_delay_ols_slope` for the accumulation-type contract."""
+    if decimal_sums:
+        def acc(c):
+            return c.cast("decimal(38,0)")
+    else:
+        def acc(c):
+            return c
     s = j.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(acc(F.col("x"))).alias("sx"),
+        F.sum(acc(F.col("y"))).alias("sy"),
+        F.sum(acc(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(acc(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(acc(F.col("y") * F.col("y"))).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
