@@ -1,0 +1,63 @@
+"""Bounded, lock-guarded cache of pinned (persisted/broadcast) plan
+artifacts.
+
+Helpers like ``exact_percentiles_scalable`` and ``pack_sequences_greedy``
+persist an arranged frame (and sometimes a broadcast) that must outlive
+the function return — the returned lazy plan reads it. A module-global
+single slot (the r7 shape) made any second call evict the first call's
+persist before consumption (ADVICE r7): the evicted plan still computes
+via lineage, but silently re-runs its arrangement stage. This cache
+keeps up to ``capacity`` call artifacts pinned, evicting oldest-first,
+and is safe under concurrent plan construction on one SparkSession.
+
+Eviction unpersists every item of the evicted entry best-effort — a
+cached artifact may belong to an already-stopped session, in which case
+its memory is gone anyway.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from collections import OrderedDict
+
+
+class PinnedPlanCache:
+    def __init__(self, capacity: int = 4) -> None:
+        self.capacity = capacity
+        self._entries: OrderedDict[int, tuple] = OrderedDict()
+        self._lock = threading.Lock()
+        self._token = itertools.count()
+
+    @staticmethod
+    def _drop(entry: tuple) -> None:
+        for item in entry:
+            try:
+                item.unpersist()
+            except Exception:  # noqa: BLE001 - stopped-session artifacts
+                pass
+
+    def pin(self, *items) -> None:
+        """Pin one call's artifacts (each must expose ``unpersist()``),
+        evicting the oldest entries beyond capacity."""
+        with self._lock:
+            self._entries[next(self._token)] = items
+            while len(self._entries) > self.capacity:
+                _, entry = self._entries.popitem(last=False)
+                self._drop(entry)
+
+    def release(self) -> None:
+        """Unpersist everything (bench-iteration / teardown hygiene)."""
+        with self._lock:
+            while self._entries:
+                _, entry = self._entries.popitem(last=False)
+                self._drop(entry)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._entries)
+
+    def snapshot(self) -> list[tuple]:
+        """Current entries, oldest first (test introspection)."""
+        with self._lock:
+            return list(self._entries.values())

@@ -53,8 +53,12 @@ CHUNK_STRIDE = 30         # 10-token overlap between consecutive chunks
 
 PACK_BUDGET = 512         # tokens per packed bin
 
-# most-recent pack_sequences_greedy arrangement cache (bounded to one)
-_PACK_ARRANGED_CACHE: list = []
+# pack_sequences_greedy arrangement cache — bounded keyed pin cache
+# (r8: same hardening as plans/quantiles.py; a second call no longer
+# evicts an unconsumed sibling's persist)
+from .pincache import PinnedPlanCache  # noqa: E402 - after constants block
+
+_PACK_ARRANGED_CACHE = PinnedPlanCache(capacity=4)
 
 MIX_GATE_BUCKETS = 10_000  # hash-gate resolution (basis points)
 
@@ -245,25 +249,16 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = docs.select(
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    # Evict the previous call's cache (repeat invocations — bench warmup
-    # + iters, long-lived driver sessions — would otherwise accumulate
-    # one pinned frame per call; unpersisting a frame another consumer
-    # still holds only costs recompute, never correctness). The evict is
-    # best-effort: the cached frame may belong to an already-stopped
-    # SparkSession (harnesses that cycle sessions between calls), in
-    # which case its memory is gone anyway.
-    while _PACK_ARRANGED_CACHE:
-        try:
-            _PACK_ARRANGED_CACHE.pop().unpersist()
-        except Exception:  # noqa: BLE001 - stopped-session frame
-            pass
     arranged = (
         counted.repartitionByRange("source", "doc_id")
         .sortWithinPartitions("source", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
-    _PACK_ARRANGED_CACHE.append(arranged)
+    # Bounded pin (oldest evicted beyond capacity — repeat invocations
+    # can't accumulate unboundedly, and an unconsumed sibling keeps its
+    # persist; an evicted frame only costs recompute, never correctness).
+    _PACK_ARRANGED_CACHE.pin(arranged)
     subtotals = arranged.groupBy("pid", "source").agg(
         F.sum("n_tokens").alias("subtotal")
     ).collect()

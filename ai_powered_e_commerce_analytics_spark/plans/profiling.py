@@ -125,12 +125,21 @@ def table_profile_orders_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verdict-gated like ``approx_distinct_customers`` (plans/approx.py
     float-tolerance pattern): the hash-matching output carries the
-    EXACT anchors (n_rows, n_nulls, min/max reprs, exact n_distinct)
-    plus per-column ``nd_ok`` booleans asserting the sketch estimate
-    landed within HLL_TOLERANCE of the exact count — a green row PROVES
-    the error bound held, which is what licenses dropping the exact
-    battery (and this query's own exact columns) at scale. Both
-    deterministic: HLL++ is a pure function of the value set.
+    EXACT anchors (n_rows, n_nulls, exact n_distinct) plus per-column
+    ``nd_ok`` booleans asserting the sketch estimate landed within
+    HLL_TOLERANCE of the exact count — a green row PROVES the error
+    bound held, which is what licenses dropping the exact battery (and
+    this query's own exact columns) at scale. Both deterministic:
+    HLL++ is a pure function of the value set.
+
+    Plan note: the exact battery and the sketches are SEPARATE
+    aggregates over the scan, combined by a 1-row × 1-row cross join.
+    Folding the sketches into the distinct battery's agg looks like one
+    pass but is a trap: the multi-distinct Expand rewrite re-evaluates
+    every non-distinct aggregate on every column replica — 6 sketches
+    × 6 replicas = 36 HLL updates per input row (measured 8× the
+    two-agg form at sf0.1). Production runs the sketch aggregate ALONE:
+    one scan, mergeable partials, no Expand.
     """
     from .approx import HLL_RSD, HLL_TOLERANCE
 
@@ -140,9 +149,12 @@ def table_profile_orders_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(F.col(name)).alias(f"nn_{name}"),
             F.countDistinct(F.col(name)).alias(f"nd_{name}"),
-            F.approx_count_distinct(name, HLL_RSD).alias(f"ad_{name}"),
         ]
-    wide = o.agg(*aggs)
+    sketch_aggs = [
+        F.approx_count_distinct(name, HLL_RSD).alias(f"ad_{name}")
+        for name, _kind in _PROFILE_COLS
+    ]
+    wide = o.agg(*aggs).crossJoin(o.agg(*sketch_aggs))
     rows = F.array(
         *[
             F.struct(

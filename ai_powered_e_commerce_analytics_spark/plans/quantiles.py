@@ -52,42 +52,27 @@ small per group there.
 
 from __future__ import annotations
 
-import itertools
 import math
-import threading
-from collections import OrderedDict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pincache import PinnedPlanCache
+
 # Each call pins its arranged frame + rank-base broadcast for the life
-# of the returned (lazy) plan. The cache is KEYED and BOUNDED: up to
-# _CACHE_CAPACITY in-flight helper plans coexist (interleaved
-# construction, bench iterations), evicted oldest-first beyond that —
-# the r7 single-slot version silently evicted a sibling's persist
-# mid-use (ADVICE r7), degrading its one-scan property. Eviction is
-# best-effort (the pair may belong to a stopped session); an EVICTED
-# plan still computes correctly — lineage survives — it just re-runs
-# its arrangement stage. A lock makes concurrent query construction on
-# one SparkSession safe.
-_ARRANGED_CACHE: OrderedDict[int, tuple] = OrderedDict()
-_CACHE_CAPACITY = 4
-_CACHE_LOCK = threading.Lock()
-_cache_token = itertools.count()
+# of the returned (lazy) plan. Bounded keyed cache (see pincache.py):
+# up to 4 in-flight helper plans coexist — the r7 single-slot version
+# silently evicted a sibling's persist mid-use (ADVICE r7). An EVICTED
+# plan still computes correctly (lineage survives); it just re-runs
+# its arrangement stage.
+_ARRANGED_CACHE = PinnedPlanCache(capacity=4)
 
 
 def release_arranged_cache() -> None:
     """Unpersist every cached arranged frame / broadcast (best-effort).
     Call between bench iterations or at session teardown."""
-    with _CACHE_LOCK:
-        while _ARRANGED_CACHE:
-            _, (prev_df, prev_bc) = _ARRANGED_CACHE.popitem(last=False)
-            for cleanup in (prev_df.unpersist, prev_bc.unpersist):
-                try:
-                    cleanup()
-                except Exception:  # noqa: BLE001 - stopped-session artifacts
-                    pass
+    _ARRANGED_CACHE.release()
 
 
 def exact_percentiles_scalable(
@@ -176,15 +161,7 @@ def exact_percentiles_scalable(
         base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
     bc = spark.sparkContext.broadcast(base_map)
-    with _CACHE_LOCK:
-        _ARRANGED_CACHE[next(_cache_token)] = (arranged, bc)
-        while len(_ARRANGED_CACHE) > _CACHE_CAPACITY:
-            _, (prev_df, prev_bc) = _ARRANGED_CACHE.popitem(last=False)
-            for cleanup in (prev_df.unpersist, prev_bc.unpersist):
-                try:
-                    cleanup()
-                except Exception:  # noqa: BLE001 - stopped sessions
-                    pass
+    _ARRANGED_CACHE.pin(arranged, bc)
 
     # -- 3b. global rank interval of each value-run (zero shuffle) -----
     # The partitions are already sorted by (group, value); a pandas walk

@@ -105,6 +105,7 @@ HEADLINE = [
     "copurchase_triangles",
     "semantic_dedup_semdedup",
     "table_profile_orders",
+    "table_profile_orders_hll",
     "incremental_daily_revenue",
     "daily_revenue_anomalies",
     "order_value_histogram",

@@ -221,18 +221,16 @@ def test_interleaved_helper_calls_keep_both_persists(spark):
     b = spark.createDataFrame([(i * 3,) for i in range(57)], "v long")
     got_a = exact_percentiles_scalable(a, "v", QS, NAMES)  # build A
     got_b = exact_percentiles_scalable(b, "v", QS, NAMES)  # build B
-    with Q._CACHE_LOCK:
-        assert len(Q._ARRANGED_CACHE) == 2
-        assert all(
-            df.storageLevel.useMemory or df.storageLevel.useDisk
-            for df, _ in Q._ARRANGED_CACHE.values()
-        )
+    assert len(Q._ARRANGED_CACHE) == 2
+    assert all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+        for df, _ in Q._ARRANGED_CACHE.snapshot()
+    )
     # consume A AFTER B was built — its persist must still be live
     _assert_same(got_a, _exact(a, "v"))
     _assert_same(got_b, _exact(b, "v"))
     Q.release_arranged_cache()
-    with Q._CACHE_LOCK:
-        assert not Q._ARRANGED_CACHE
+    assert len(Q._ARRANGED_CACHE) == 0
 
 
 def test_cache_capacity_bounds_pinned_frames(spark):
@@ -240,11 +238,10 @@ def test_cache_capacity_bounds_pinned_frames(spark):
 
     Q.release_arranged_cache()
     frames = []
-    for k in range(Q._CACHE_CAPACITY + 2):
+    for k in range(Q._ARRANGED_CACHE.capacity + 2):
         df = spark.createDataFrame([(i + k,) for i in range(10)], "v long")
         frames.append((df, exact_percentiles_scalable(df, "v", QS, NAMES)))
-    with Q._CACHE_LOCK:
-        assert len(Q._ARRANGED_CACHE) == Q._CACHE_CAPACITY
+    assert len(Q._ARRANGED_CACHE) == Q._ARRANGED_CACHE.capacity
     # evicted (oldest) plans still compute correctly via lineage
     for df, got in frames:
         _assert_same(got, _exact(df, "v"))
