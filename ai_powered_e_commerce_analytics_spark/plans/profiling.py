@@ -853,6 +853,146 @@ FROM j GROUP BY 1
 """
 
 
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+def order_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value statistics per priority: clip each order's
+    price into the [p01, p99] band before averaging — the
+    outlier-robust mean a reporting pipeline uses when a handful of
+    mega-orders would swamp the plain average (the clipping twin of the
+    z-score DROP rule in ``order_value_outliers_zscore``).
+
+    Scale shape: the p01/p99 cutoffs per priority come from
+    :func:`exact_percentiles_scalable` (bounded memory, no
+    full-value-map ``percentile``); the O(groups)-row cutoff table
+    broadcasts back onto the fact scan, each row clips by comparison,
+    and ONE map-side-combinable agg folds the clipped sums. Facts are
+    never shuffled — the only corpus exchange is the helper's
+    distinct-value contraction.
+
+    Determinism: cutoffs are FLOORED to integer cents (both engines
+    floor the same IEEE interpolation result), so clipping happens in
+    the exact LONG domain and the winsorized sum is an exact integer —
+    the emitted average is then one deterministic double expression.
+    """
+    fact = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    cuts = exact_percentiles_scalable(
+        fact,
+        "c",
+        [_WINSOR_LO, _WINSOR_HI],
+        ["p_lo", "p_hi"],
+        ("o_orderpriority",),
+    ).select(
+        "o_orderpriority",
+        F.floor("p_lo").cast("long").alias("lo_cut_c"),
+        F.floor("p_hi").cast("long").alias("hi_cut_c"),
+    )
+    clipped = fact.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        "lo_cut_c",
+        "hi_cut_c",
+        F.least(F.greatest(F.col("c"), F.col("lo_cut_c")), F.col("hi_cut_c"))
+        .alias("w"),
+        (F.col("c") < F.col("lo_cut_c")).cast("long").alias("clip_lo"),
+        (F.col("c") > F.col("hi_cut_c")).cast("long").alias("clip_hi"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.first("lo_cut_c").alias("lo_cut_c"),
+        F.first("hi_cut_c").alias("hi_cut_c"),
+        (
+            (F.sum("w").cast("double") / F.count("*")) / F.lit(100.0)
+        ).alias("winsorized_avg"),
+        F.sum("clip_lo").alias("n_clip_low"),
+        F.sum("clip_hi").alias("n_clip_high"),
+    )
+
+
+ORDER_VALUE_WINSORIZED_SQL = f"""
+WITH fact AS (
+    SELECT o_orderpriority, {cents_sql('o_totalprice')} AS c FROM orders
+),
+cuts AS (
+    SELECT o_orderpriority,
+           floor(quantile_cont(c, {_WINSOR_LO}))::BIGINT AS lo_cut_c,
+           floor(quantile_cont(c, {_WINSOR_HI}))::BIGINT AS hi_cut_c
+    FROM fact GROUP BY 1
+)
+SELECT f.o_orderpriority, count(*)::BIGINT AS n_orders,
+       any_value(lo_cut_c) AS lo_cut_c, any_value(hi_cut_c) AS hi_cut_c,
+       (sum(least(greatest(f.c, lo_cut_c), hi_cut_c))::DOUBLE / count(*))
+           / 100.0 AS winsorized_avg,
+       sum((f.c < lo_cut_c)::BIGINT)::BIGINT AS n_clip_low,
+       sum((f.c > hi_cut_c)::BIGINT)::BIGINT AS n_clip_high
+FROM fact f JOIN cuts USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
+_SKEW_TOP_K = 20
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic: the top-``_SKEW_TOP_K`` heaviest
+    join keys of ``lineitem.l_suppkey`` with each key's row share and
+    its skew ratio versus a perfectly uniform key distribution — the
+    report you run BEFORE deciding whether a join needs salting or AQE
+    skew splitting (SCALE.md §2's skew playbook, made queryable).
+
+    Plan: one combiner-friendly ``groupBy(key).count()`` contraction;
+    BOTH its consumers — the global totals (1 row) and the top-k
+    (``TakeOrderedAndProject``, no global sort) — hang off the SAME
+    exchange, which Spark de-duplicates via ReusedExchange: the fact
+    scans once, shuffles once, and only (key, cnt) rows ever move.
+    Ties order by key for cross-engine determinism.
+    """
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("l_suppkey")).limit(
+        _SKEW_TOP_K
+    )
+    nr = F.col("n_rows").cast("double")
+    return top.crossJoin(F.broadcast(totals)).select(
+        "l_suppkey",
+        "n_rows",
+        "total_rows",
+        "n_keys",
+        (nr / F.col("total_rows")).alias("row_share"),
+        (
+            nr * F.col("n_keys").cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+JOIN_KEY_SKEW_SQL = f"""
+WITH counts AS (
+    SELECT l_suppkey, count(*)::BIGINT AS n_rows FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT sum(n_rows)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+    FROM counts
+)
+SELECT l_suppkey, n_rows, total_rows, n_keys,
+       n_rows::DOUBLE / total_rows AS row_share,
+       n_rows::DOUBLE * n_keys / total_rows::DOUBLE AS skew_ratio
+FROM counts CROSS JOIN tot
+ORDER BY n_rows DESC, l_suppkey
+LIMIT {_SKEW_TOP_K}
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -865,6 +1005,18 @@ PROFILING_SPECS = [
         table_profile_orders_hll,
         TABLE_PROFILE_ORDERS_HLL_SQL,
         ("table-profiling-hll-swap",),
+    ),
+    QuerySpec(
+        "order_value_winsorized_stats",
+        order_value_winsorized_stats,
+        ORDER_VALUE_WINSORIZED_SQL,
+        ("winsorized-robust-stats",),
+    ),
+    QuerySpec(
+        "join_key_skew_profile",
+        join_key_skew_profile,
+        JOIN_KEY_SKEW_SQL,
+        ("join-skew-diagnostic",),
     ),
     QuerySpec(
         "incremental_daily_revenue",

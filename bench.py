@@ -83,6 +83,8 @@ HEADLINE = [
     "pack_sequences_greedy",
     "bm25_rank_topk",
     "order_value_outliers_zscore",
+    "order_value_winsorized_stats",
+    "join_key_skew_profile",
     "events_transition_matrix",
     "events_hourly_gapfill",
     "quality_filter_battery",

@@ -489,3 +489,17 @@ def test_read_orc_dir_roundtrip_and_schema_assert(spark, tmp_path):
     typed = read_orc_dir(spark, path, declared)
     assert [f.name for f in typed.schema.fields] == ["id", "name"]
     assert typed.count() == 2
+
+
+def test_join_key_skew_profile_plan_reuses_contraction(spark, sf_dir):
+    """Both consumers of the (key, cnt) contraction — totals and top-k —
+    must hang off ONE exchange (ReusedExchange), so the fact scans and
+    shuffles once; top-k must be TakeOrderedAndProject, never a global
+    sort. AQE only materializes the reuse in the POST-execution plan."""
+    from ai_powered_e_commerce_analytics_spark.plans import registry
+
+    df = registry.query_map()["join_key_skew_profile"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "TakeOrderedAndProject" in plan
