@@ -42,12 +42,19 @@ per partition — EXECUTOR memory is bounded regardless of grain size,
 the property the full-value-map aggregate lacks. The DRIVER, however,
 sees O(partitions x groups) subtotal rows in the rank-base fold, which
 grows with the grain's cardinality: ``max_driver_subtotals`` guards
-that collect (raising, with the cardinality, instead of OOM-ing) so a
-high-cardinality ``group_cols`` fails loudly. All current consumers
-aggregate at dimension-sized grains (global / per-priority / per-year /
-per-event-type / per-metric); a per-customer grain at TPC-H scale
-would trip the guard — use a plain windowed rank instead, the grain is
-small per group there.
+that collect. Above the cap the helper SPILLS to the complementary
+distributed plan instead of failing: a per-group window fold
+(:func:`_windowed_percentiles` — one shuffle on the group keys, cumsum
+rank + the same IEEE rank-target arithmetic, zero driver state). The
+two regimes partition the grain space: few big groups -> range
+arrangement (a per-group window would funnel the corpus through a
+handful of window partitions); many small groups -> per-group windows
+(each partition holds whole small groups, bounded by the largest
+group's distinct values, and the driver never sees a subtotal row).
+All current consumers aggregate at dimension-sized grains and take the
+range path; ``strategy=`` lets a caller with a known high-cardinality
+grain (per-customer at TPC-H scale) pick ``"window"`` up front and
+skip the doomed arrangement attempt.
 """
 
 from __future__ import annotations
@@ -83,6 +90,7 @@ def exact_percentiles_scalable(
     group_cols: Sequence[str] = (),
     counts_col: str | None = None,
     max_driver_subtotals: int = 1_000_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -98,10 +106,18 @@ def exact_percentiles_scalable(
     stats build it once, checkpoint it, and share it).
 
     ``max_driver_subtotals``: cap on the O(partitions x groups) rank-
-    base rows the driver collects; exceeding it raises ValueError (see
-    module docstring's grain-cardinality caveat).
+    base rows the driver collects for the range path.
+
+    ``strategy``: ``"auto"`` (default) runs the range-arrangement plan
+    and spills to the per-group window plan if the grain blows the
+    subtotal cap; ``"range"`` raises ValueError at the cap instead
+    (loud-failure mode for callers that sized the cap deliberately);
+    ``"window"`` goes straight to the per-group window plan — the
+    right opening move for a known high-cardinality grain, where the
+    arrangement attempt would only waste a scan before spilling.
     """
     assert len(qs) == len(out_names)
+    assert strategy in ("auto", "range", "window")
     gc = list(group_cols)
     spark = df.sparkSession
 
@@ -117,6 +133,9 @@ def exact_percentiles_scalable(
         dv = df.select(
             *gc, value_col, F.col(counts_col).cast("long").alias("__cnt")
         ).where(F.col(value_col).isNotNull())
+
+    if strategy == "window":
+        return _windowed_percentiles(dv, value_col, qs, out_names, gc)
 
     # -- 2. range arrangement (partition = contiguous value slice) -----
     arranged = (
@@ -137,12 +156,18 @@ def exact_percentiles_scalable(
     )
     if len(subtotals) > max_driver_subtotals:
         arranged.unpersist()
+        if strategy == "auto":
+            # Over-cap grain means MANY groups -> each group is small
+            # relative to the corpus, exactly the regime where a
+            # per-group window is bounded. The arrangement scan is
+            # sunk cost, paid once per over-cap call.
+            return _windowed_percentiles(dv, value_col, qs, out_names, gc)
         raise ValueError(
             f"exact_percentiles_scalable: grain {gc} produced more than "
             f"{max_driver_subtotals} (partition x group) subtotal rows — "
             "the driver-side rank-base fold does not scale to this "
-            "cardinality; use a windowed rank per group, or raise "
-            "max_driver_subtotals deliberately"
+            "cardinality; use strategy='window' (per-group window fold), "
+            "or raise max_driver_subtotals deliberately"
         )
 
     def _gkey(row):
@@ -255,3 +280,59 @@ def exact_percentiles_scalable(
     return hits.groupBy(*gc).agg(
         *[_q(i).alias(out_names[i]) for i in range(len(qs))]
     )
+
+
+def _windowed_percentiles(
+    dv: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Sequence[str],
+    gc: list[str],
+) -> DataFrame:
+    """Per-group window fold over the distinct-value contraction ``dv``.
+
+    The high-cardinality complement of the range-arrangement plan: ONE
+    shuffle on the group keys co-locates each group, a cumulative-sum
+    window over the (small) per-group distinct values assigns exact
+    rank intervals, and the rank targets are evaluated INLINE — ``n``
+    is a per-group window constant, so ``q*(n-1)`` / floor / ceil /
+    frac run as Spark double expressions (the identical IEEE steps the
+    range path folds driver-side; ``FLOOR``/``CEIL`` on double return
+    LONG, matching ``math.floor``/``math.ceil``). No driver state, no
+    broadcast, no join: each value-run row checks whether it covers a
+    target order statistic and one groupBy folds the pick + pivot.
+
+    Memory is bounded by the largest single group's distinct values
+    (window partition) — the inverse of the range path's bound. With
+    an EMPTY ``gc`` this degrades to a single window partition; the
+    caller contract routes that regime to the range path.
+    """
+    from pyspark.sql import Window
+
+    w_ord = (
+        Window.partitionBy(*gc)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gc)
+    ranked = (
+        dv.withColumn("__end", F.sum("__cnt").over(w_ord) - 1)
+        .withColumn("__start", F.col("__end") - F.col("__cnt") + 1)
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+    )
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for i, q in enumerate(qs):
+        p = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
+        lo = F.floor(p)
+        hi = F.ceil(p)
+        frac = p - lo.cast("double")
+        vlo = F.max(F.when(lo.between(F.col("__start"), F.col("__end")), v))
+        vhi = F.max(F.when(hi.between(F.col("__start"), F.col("__end")), v))
+        fr = F.max(frac)  # per-group constant; max = the value
+        aggs.append(
+            F.when(fr == 0.0, vlo)
+            .otherwise((F.lit(1.0) - fr) * vlo + fr * vhi)
+            .alias(out_names[i])
+        )
+    return ranked.groupBy(*gc).agg(*aggs)

@@ -169,17 +169,21 @@ rows = st.lists(
 @settings(**_PSETTINGS)
 def test_property_grouped_equals_percentile(spark, data):
     df = spark.createDataFrame(data, "g int, v long")
-    got = {
-        r["g"]: tuple(r[n] for n in NAMES)
-        for r in exact_percentiles_scalable(
-            df, "v", QS, NAMES, ("g",)
-        ).collect()
-    }
     want = {
         r["g"]: tuple(r[n] for n in NAMES)
         for r in _exact(df, "v", ("g",)).collect()
     }
-    assert got == want
+    # BOTH strategies must be bit-identical to percentile() on the
+    # same arbitrary data — the spill is a plan change, not a
+    # semantics change.
+    for strat in ("auto", "window"):
+        got = {
+            r["g"]: tuple(r[n] for n in NAMES)
+            for r in exact_percentiles_scalable(
+                df, "v", QS, NAMES, ("g",), strategy=strat
+            ).collect()
+        }
+        assert got == want, strat
 
 
 def test_null_group_key_mixed_with_values(spark):
@@ -250,14 +254,65 @@ def test_cache_capacity_bounds_pinned_frames(spark):
 
 
 def test_grain_guard_raises_on_high_cardinality(spark):
-    # per-row grain: groups ~= rows, far over the tiny cap -> loud error
+    # strategy="range" is the loud-failure mode: per-row grain (groups
+    # ~= rows), far over the tiny cap -> ValueError, never driver OOM
     df = spark.createDataFrame([(i, i % 97) for i in range(500)], "g long, v long")
     with pytest.raises(ValueError, match="subtotal rows"):
         exact_percentiles_scalable(
-            df, "v", QS, NAMES, ("g",), max_driver_subtotals=50
+            df, "v", QS, NAMES, ("g",),
+            max_driver_subtotals=50, strategy="range",
         )
     # same call with the cap lifted: exact values per group
     got = exact_percentiles_scalable(
         df.where("g < 20"), "v", QS, NAMES, ("g",)
     )
     _assert_same(got, _exact(df.where("g < 20"), "v", ("g",)), ("g",))
+
+
+def test_auto_spills_to_window_fold_above_cap(spark):
+    # default strategy="auto": the over-cap grain silently spills to
+    # the per-group window plan and still returns exact values
+    df = spark.createDataFrame(
+        [(i % 120, float((i * 37) % 251)) for i in range(600)],
+        "g long, v double",
+    )
+    got = exact_percentiles_scalable(
+        df, "v", QS, NAMES, ("g",), max_driver_subtotals=50
+    )
+    _assert_same(got, _exact(df, "v", ("g",)), ("g",))
+
+
+def test_window_strategy_matches_percentile(spark):
+    # explicit strategy="window": no arrangement attempt, exact values
+    # — including duplicate runs, a NULL group key, and NULL values
+    rows = [("a", float(v)) for v in (1, 1, 2, 5, 5, 5, 9)]
+    rows += [("b", float(v)) for v in (3, 4, 4)]
+    rows += [(None, 7.0), (None, 2.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = exact_percentiles_scalable(
+        df, "v", QS, NAMES, ("g",), strategy="window"
+    )
+    _assert_same(got, _exact(df, "v", ("g",)), ("g",))
+    # pre-contracted entry takes the window path too
+    contracted = df.where("v is not null").groupBy("g", "v").agg(
+        F.count("*").alias("cnt")
+    )
+    pre = exact_percentiles_scalable(
+        contracted, "v", QS, NAMES, ("g",),
+        counts_col="cnt", strategy="window",
+    )
+    _assert_same(pre, got, ("g",))
+
+
+def test_window_strategy_plan_has_no_collect_or_broadcast(spark):
+    # the spill path must be driver-free: no mapInPandas walk, no
+    # broadcast rank targets — window exchange on the group keys only
+    df = spark.createDataFrame(
+        [(i % 7, float(i)) for i in range(100)], "g long, v double"
+    )
+    plan = exact_percentiles_scalable(
+        df, "v", QS, NAMES, ("g",), strategy="window"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Window" in plan
