@@ -1,0 +1,164 @@
+"""Bloom-filter pre-shuffle join pruning (explicit runtime filter).
+
+The 100 TB problem: an inner/semi join whose build side is too big to
+broadcast forces a full shuffle of the probe side — even when only a
+sliver of probe rows can match. Spark's own adaptive runtime filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) inject this
+automatically for eligible shuffle joins, but only within one
+optimizer pass: a build side that crosses a checkpoint, feeds several
+downstream probe scans, or comes from a non-equi derivation gets no
+filter. This module is the explicit form — build the filter once,
+prune any number of probe scans with it — on public JVM-side
+primitives only (``bloom_filter_agg``/``might_contain`` are internal
+expressions, unreachable from SQL or the Python DataFrame API).
+
+Design:
+
+1. **Build** (distributed contraction): k positions per build key via
+   seed-varied ``xxhash64(key, i) mod m`` (whole-stage codegen),
+   exploded and folded into a sparse bitset — ``groupBy(pos div
+   64).agg(bit_or(shiftleft(1, pos mod 64)))``. The only shuffle, and
+   it carries at most ``m/64`` (word, bits) rows.
+2. **Densify** (bounded): the sparse words are collected and zero-
+   filled into ONE ``array<long>`` row of length ``m/64``. This
+   driver hop is NOT a scale leak: anything broadcast passes through
+   the driver anyway, so the collect is bounded by the exact quantity
+   that must be broadcast-sized for the technique to apply at all —
+   ``m/8`` bytes, ~1.2 MB per million build keys at 1% fpp. That is
+   10-50x smaller than broadcasting the raw key set for string or
+   composite keys, which is the regime where this beats letting Spark
+   broadcast the keys themselves.
+3. **Probe** (zero joins, zero shuffles): one ``crossJoin(broadcast(
+   single_row))`` pins the array alongside every probe partition
+   (a BroadcastNestedLoopJoin against ONE row — a constant), and the
+   k membership tests are inline ``element_at`` + bit-shift
+   expressions in the scan's own whole-stage-codegen stage. The probe
+   side is never shuffled, never exploded, never re-scanned.
+
+Guarantees: NO false negatives (every probe row whose key exists on
+the build side survives — the downstream join's result is provably
+unchanged), false-positive rate ~``fpp``. NULL probe keys are dropped
+(an inner/semi join eliminates them anyway — do not use this to
+prefilter the PRESERVED side of an outer join). Mirrors the design of
+Spark's InjectRuntimeFilter (public source) without its internal
+expressions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    """Sizing of a built filter: ``m_bits`` total bits, ``k`` hashes."""
+
+    m_bits: int
+    k: int
+
+
+def _positions(key_col: str, m_bits: int, k: int) -> list:
+    # Seed-varied double hashing: xxhash64 folds the extra literal into
+    # the stream, giving k independent 64-bit hashes JVM-side.
+    return [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> tuple[DataFrame, BloomParams]:
+    """Fold the build side's keys into a one-row dense bitset frame.
+
+    Returns ``(bits, params)``: ``bits`` is a single-row DataFrame
+    with one ``__bloom array<long>`` column of length ``m/64``
+    (``m/8`` bytes — broadcastable by construction wherever the
+    technique is worth applying), ``params`` carries the sizing the
+    probe needs. Runs two tiny eager jobs: the sizing agg (skipped
+    when ``expected_items`` is given; the +-5% ``approx_count_
+    distinct`` estimate only perturbs fpp, never correctness) and the
+    sparse-word fold. Standard sizing: ``m = -n ln(p) / ln(2)^2``,
+    ``k = (m/n) ln 2``.
+    """
+    spark = keys.sparkSession
+    n = expected_items
+    if n is None:
+        n = keys.agg(
+            F.approx_count_distinct(key_col).alias("n")
+        ).first()["n"]
+    n = max(int(n), 1)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m_bits / n * math.log(2)))
+    n_words = (m_bits + 63) // 64
+    pos = F.explode(
+        F.array(*_positions(key_col, m_bits, k))
+    ).alias("__pos")
+    sparse = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
+        .groupBy(F.shiftrightunsigned("__pos", 6).alias("__w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, int(__pos % 64))")
+            ).alias("__b")
+        )
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in sparse:
+        dense[r["__w"]] = r["__b"]
+    bits = spark.createDataFrame([(dense,)], "__bloom array<long>")
+    return bits, BloomParams(m_bits=m_bits, k=k)
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    params: BloomParams,
+) -> DataFrame:
+    """Keep only probe rows whose key MIGHT exist on the build side.
+
+    One single-row broadcast + k inline word/bit tests; output schema
+    == probe schema. Safe (a superset of the true semi-join) ahead of
+    an inner join, a semi join, or the non-preserved side of an outer
+    join.
+    """
+    out = probe.where(F.col(key_col).isNotNull()).crossJoin(
+        F.broadcast(bits)
+    )
+    keep = F.lit(True)
+    for p in _positions(key_col, params.m_bits, params.k):
+        word = F.element_at(
+            F.col("__bloom"), (F.shiftrightunsigned(p, 6) + 1).cast("int")
+        )
+        # shiftleft with a COLUMN shift count needs call_function (the
+        # F.shiftleft wrapper only takes a literal int)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        keep = keep & (word.bitwiseAND(mask) != 0)
+    return out.where(keep).drop("__bloom")
+
+
+def bloom_semi_prune(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Convenience: build from ``build[build_key]`` and prune ``probe``."""
+    bits, params = bloom_build(
+        build.select(F.col(build_key).alias("__k")), "__k", fpp, expected_items
+    )
+    return bloom_prune(probe, probe_key, bits, params)

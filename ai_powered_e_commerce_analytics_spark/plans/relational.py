@@ -1235,6 +1235,46 @@ GROUP BY p_brand
 """
 
 
+def bloom_pruned_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue of a selective part slice (~2% of parts), with
+    the FACT SCAN pre-pruned by the explicit Bloom runtime filter
+    (operators/bloom.py) built from the filtered dimension keys — the
+    pruning must be invisible in the result (no false negatives; false
+    positives die in the real join), which is exactly what the oracle
+    gate proves. At 100 TB this is the shape where the dimension slice
+    is too large to broadcast as raw keys but its ~10-bits-per-key
+    bitset is not: ~98% of fact rows never reach the join exchange.
+    Money in integer cents (spec.py float policy)."""
+    from ..operators.bloom import bloom_semi_prune
+
+    part_f = t(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = bloom_semi_prune(li, "l_partkey", part_f, "p_partkey")
+    return (
+        pruned.join(part_f, pruned["l_partkey"] == part_f["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+BLOOM_PRUNED_PART_REVENUE_SQL = """
+SELECT p_brand, count(*)::BIGINT AS n_items,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+"""
+
+
 WAU_DAYS = 7
 MAU_DAYS = 28
 
@@ -1545,5 +1585,12 @@ RELATIONAL_SPECS = [
         salted_skew_join_brand_revenue,
         SALTED_SKEW_JOIN_SQL,
         ("skew-salted-join",),
+    ),
+    QuerySpec(
+        "bloom_pruned_part_revenue",
+        bloom_pruned_part_revenue,
+        BLOOM_PRUNED_PART_REVENUE_SQL,
+        ("bloom-runtime-filter",),
+        touched_round=8,
     ),
 ]

@@ -85,6 +85,7 @@ HEADLINE = [
     "order_value_outliers_zscore",
     "order_value_winsorized_stats",
     "join_key_skew_profile",
+    "bloom_pruned_part_revenue",
     "events_transition_matrix",
     "events_hourly_gapfill",
     "quality_filter_battery",

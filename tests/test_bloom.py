@@ -1,0 +1,121 @@
+"""Bloom pre-shuffle pruning: no false negatives, bounded fpp, and a
+probe plan that never shuffles or re-scans the pruned side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_powered_e_commerce_analytics_spark.operators.bloom import (
+    bloom_build,
+    bloom_prune,
+    bloom_semi_prune,
+)
+
+
+def test_no_false_negatives_and_join_equality(spark):
+    # string keys — the regime where bits beat broadcasting raw keys
+    build = spark.createDataFrame(
+        [(f"key_{i:05d}",) for i in range(0, 3000, 3)], "k string"
+    )
+    probe = spark.createDataFrame(
+        [(f"key_{i:05d}", i) for i in range(4000)], "k string, v int"
+    )
+    pruned = bloom_semi_prune(probe, "k", build, "k")
+    assert pruned.columns == probe.columns
+    true_semi = {
+        r["k"] for r in probe.join(build, "k", "left_semi").collect()
+    }
+    kept = {r["k"] for r in pruned.collect()}
+    assert true_semi <= kept  # NO false negatives — ever
+    # the downstream inner join is provably unchanged
+    a = sorted(
+        (r["k"], r["v"]) for r in probe.join(build, "k").collect()
+    )
+    b = sorted(
+        (r["k"], r["v"]) for r in pruned.join(build, "k").collect()
+    )
+    assert a == b
+
+
+def test_false_positive_rate_near_sizing(spark):
+    build = spark.createDataFrame(
+        [(f"in_{i}",) for i in range(2000)], "k string"
+    )
+    # probe keys fully disjoint from the build side
+    probe = spark.createDataFrame(
+        [(f"out_{i}",) for i in range(10000)], "k string"
+    )
+    pruned = bloom_semi_prune(
+        probe, "k", build, "k", fpp=0.01, expected_items=2000
+    )
+    fp = pruned.count() / 10000
+    assert fp < 0.05, fp  # ~1% nominal; generous margin for hash luck
+
+
+def test_null_probe_keys_dropped_empty_build_prunes_all(spark):
+    build = spark.createDataFrame([(1,)], "k long").where("k < 0")
+    probe = spark.createDataFrame(
+        [(None,), (1,), (2,)], "k long"
+    )
+    assert bloom_semi_prune(
+        probe, "k", build, "k", expected_items=1
+    ).count() == 0
+    # null keys never survive even when their garbage positions hit
+    some = spark.createDataFrame([(1,), (2,)], "k long")
+    kept = bloom_semi_prune(probe, "k", some, "k").collect()
+    assert all(r["k"] is not None for r in kept)
+
+
+def test_probe_plan_no_shuffle_single_broadcast(spark):
+    build = spark.createDataFrame(
+        [(i,) for i in range(5000)], "k long"
+    )
+    probe = spark.createDataFrame(
+        [(i, i * 2) for i in range(20000)], "k long, v long"
+    )
+    bits, params = bloom_build(build, "k", expected_items=5000)
+    assert params.k >= 2  # multiple inline probes exercised
+    plan = (
+        bloom_prune(probe, "k", bits, params)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # probe side: scan -> one single-row broadcast pin -> inline
+    # filter; never shuffled, never joined per-probe, never exploded
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Generate" not in plan  # the build-side explode is upstream
+
+
+def test_one_filter_prunes_many_probe_scans(spark):
+    # the docstring's reuse claim: build ONCE, prune several scans —
+    # the thing Spark's single-pass injected runtime filter can't do
+    build = spark.createDataFrame(
+        [(i,) for i in range(0, 1000, 5)], "k long"
+    )
+    bits, params = bloom_build(build, "k", expected_items=200)
+    probe_a = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    probe_b = spark.createDataFrame(
+        [(i,) for i in range(500, 1500)], "k long"
+    )
+    for probe in (probe_a, probe_b):
+        kept = {
+            r["k"] for r in bloom_prune(probe, "k", bits, params).collect()
+        }
+        want = {
+            r["k"] for r in probe.join(build, "k", "left_semi").collect()
+        }
+        assert want <= kept
+
+
+def test_bits_frame_is_compact_dense(spark):
+    # 1% fpp sizing: ONE row, array length == ceil(m/64)
+    build = spark.createDataFrame(
+        [(f"wide_composite_key_{i:08d}",) for i in range(4000)],
+        "k string",
+    )
+    bits, params = bloom_build(build, "k", expected_items=4000)
+    rows = bits.collect()
+    assert len(rows) == 1
+    assert len(rows[0]["__bloom"]) == (params.m_bits + 63) // 64
