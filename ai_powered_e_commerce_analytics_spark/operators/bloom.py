@@ -96,7 +96,10 @@ def bloom_build(
         ).first()["n"]
     n = max(int(n), 1)
     m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
-    k = max(1, round(m_bits / n * math.log(2)))
+    # k from fpp directly (-log2 p), NOT from m/n: the m >= 64 floor
+    # would otherwise inflate k into dozens of probe expressions for a
+    # tiny build side; extra floored bits only lower the realized fpp.
+    k = max(1, round(-math.log(fpp) / math.log(2)))
     n_words = (m_bits + 63) // 64
     pos = F.explode(
         F.array(*_positions(key_col, m_bits, k))
