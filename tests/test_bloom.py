@@ -109,6 +109,54 @@ def test_one_filter_prunes_many_probe_scans(spark):
         assert want <= kept
 
 
+def test_undersized_filter_still_has_no_false_negatives(spark):
+    # a wildly wrong expected_items only degrades fpp (here: the 64-bit
+    # floor saturates and everything passes) — NEVER completeness
+    build = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "k string"
+    )
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1000)], "k string"
+    )
+    kept = {
+        r["k"]
+        for r in bloom_semi_prune(
+            probe, "k", build, "k", expected_items=1
+        ).collect()
+    }
+    want = {r["k"] for r in probe.join(build, "k", "left_semi").collect()}
+    assert want <= kept
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), max_size=60
+)
+
+
+@given(build_keys=_keys, probe_keys=_keys)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_no_false_negatives(spark, build_keys, probe_keys):
+    # the load-bearing invariant on arbitrary key sets (dups, extremes,
+    # empty sides): the pruned set is a superset of the true semi-join
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys], "k long"
+    )
+    probe = spark.createDataFrame(
+        [(k,) for k in probe_keys], "k long"
+    )
+    kept = {
+        r["k"] for r in bloom_semi_prune(probe, "k", build, "k").collect()
+    }
+    assert (set(build_keys) & set(probe_keys)) <= kept
+
+
 def test_bits_frame_is_compact_dense(spark):
     # 1% fpp sizing: ONE row, array length == ceil(m/64)
     build = spark.createDataFrame(
