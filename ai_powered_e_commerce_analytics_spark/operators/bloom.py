@@ -47,6 +47,7 @@ expressions.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -61,18 +62,37 @@ class BloomParams:
     k: int
 
 
-def _positions(key_col: str, m_bits: int, k: int) -> list:
-    # Seed-varied double hashing: xxhash64 folds the extra literal into
-    # the stream, giving k independent 64-bit hashes JVM-side.
+def _cols(key_cols: str | Sequence[str]) -> list[str]:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def _positions(key_cols: list[str], m_bits: int, k: int) -> list:
+    # Seed-varied double hashing: xxhash64 folds the key columns and
+    # the extra literal into one stream, giving k independent 64-bit
+    # hashes JVM-side. Composite keys hash all columns together — an
+    # equi-join on (a, b) matches only on per-column equality, which
+    # implies identical hashes, so completeness survives; null-pattern
+    # aliasing (xxhash64 skips nulls) can only add false positives,
+    # and any-null keys are dropped on both sides anyway.
     return [
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(i)),
+            F.lit(m_bits),
+        )
         for i in range(k)
     ]
 
 
+def _all_not_null(key_cols: list[str]):
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
 def bloom_build(
     keys: DataFrame,
-    key_col: str,
+    key_col: str | Sequence[str],
     fpp: float = 0.01,
     expected_items: int | None = None,
 ) -> tuple[DataFrame, BloomParams]:
@@ -89,10 +109,11 @@ def bloom_build(
     ``k = (m/n) ln 2``.
     """
     spark = keys.sparkSession
+    kc = _cols(key_col)
     n = expected_items
     if n is None:
         n = keys.agg(
-            F.approx_count_distinct(key_col).alias("n")
+            F.approx_count_distinct(F.struct(*kc)).alias("n")
         ).first()["n"]
     n = max(int(n), 1)
     m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
@@ -102,10 +123,10 @@ def bloom_build(
     k = max(1, round(-math.log(fpp) / math.log(2)))
     n_words = (m_bits + 63) // 64
     pos = F.explode(
-        F.array(*_positions(key_col, m_bits, k))
+        F.array(*_positions(kc, m_bits, k))
     ).alias("__pos")
     sparse = (
-        keys.where(F.col(key_col).isNotNull())
+        keys.where(_all_not_null(kc))
         .select(pos)
         .groupBy(F.shiftrightunsigned("__pos", 6).alias("__w"))
         .agg(
@@ -124,7 +145,7 @@ def bloom_build(
 
 def bloom_prune(
     probe: DataFrame,
-    key_col: str,
+    key_col: str | Sequence[str],
     bits: DataFrame,
     params: BloomParams,
 ) -> DataFrame:
@@ -133,13 +154,13 @@ def bloom_prune(
     One single-row broadcast + k inline word/bit tests; output schema
     == probe schema. Safe (a superset of the true semi-join) ahead of
     an inner join, a semi join, or the non-preserved side of an outer
-    join.
+    join. ``key_col`` may be a list for composite join keys — pass
+    the columns in the SAME order used at build time.
     """
-    out = probe.where(F.col(key_col).isNotNull()).crossJoin(
-        F.broadcast(bits)
-    )
+    kc = _cols(key_col)
+    out = probe.where(_all_not_null(kc)).crossJoin(F.broadcast(bits))
     keep = F.lit(True)
-    for p in _positions(key_col, params.m_bits, params.k):
+    for p in _positions(kc, params.m_bits, params.k):
         word = F.element_at(
             F.col("__bloom"), (F.shiftrightunsigned(p, 6) + 1).cast("int")
         )
@@ -154,14 +175,29 @@ def bloom_prune(
 
 def bloom_semi_prune(
     probe: DataFrame,
-    probe_key: str,
+    probe_key: str | Sequence[str],
     build: DataFrame,
-    build_key: str,
+    build_key: str | Sequence[str],
     fpp: float = 0.01,
     expected_items: int | None = None,
 ) -> DataFrame:
-    """Convenience: build from ``build[build_key]`` and prune ``probe``."""
+    """Convenience: build from ``build[build_key]`` and prune ``probe``.
+
+    ``probe_key``/``build_key`` may be equal-length column lists for
+    composite join keys (positionally paired). Column NAMES may differ
+    across the sides (only the hashed values matter) but TYPES must
+    match exactly — ``xxhash64`` of an int and of the same value as a
+    long differ, which would break completeness. Same rule Spark's own
+    runtime filters live under; cast first if needed.
+    """
+    bk, pk = _cols(build_key), _cols(probe_key)
+    assert len(bk) == len(pk)
     bits, params = bloom_build(
-        build.select(F.col(build_key).alias("__k")), "__k", fpp, expected_items
+        build.select(
+            *[F.col(b).alias(f"__k{i}") for i, b in enumerate(bk)]
+        ),
+        [f"__k{i}" for i in range(len(bk))],
+        fpp,
+        expected_items,
     )
-    return bloom_prune(probe, probe_key, bits, params)
+    return bloom_prune(probe, pk, bits, params)

@@ -109,6 +109,40 @@ def test_one_filter_prunes_many_probe_scans(spark):
         assert want <= kept
 
 
+def test_composite_key_no_false_negatives_join_equality(spark):
+    # composite (string, long) join key, different column names per
+    # side; any-null composite keys are dropped like the 1-col path
+    build = spark.createDataFrame(
+        [(f"s{i % 11}", i % 17) for i in range(200)], "bk1 string, bk2 long"
+    )
+    probe = spark.createDataFrame(
+        [(f"s{i % 23}", i % 29, i) for i in range(2000)]
+        + [(None, 1, -1), ("s1", None, -2)],
+        "pk1 string, pk2 long, v int",
+    )
+    pruned = bloom_semi_prune(
+        probe, ["pk1", "pk2"], build, ["bk1", "bk2"]
+    )
+    cond = (F.col("pk1") == F.col("bk1")) & (F.col("pk2") == F.col("bk2"))
+    want = sorted(
+        (r["pk1"], r["pk2"], r["v"])
+        for r in probe.join(build, cond).select("pk1", "pk2", "v").collect()
+    )
+    got = sorted(
+        (r["pk1"], r["pk2"], r["v"])
+        for r in pruned.join(build, cond).select("pk1", "pk2", "v").collect()
+    )
+    assert want == got
+    kept = {
+        (r["pk1"], r["pk2"]) for r in pruned.collect()
+    }
+    matches = {
+        (r["bk1"], r["bk2"]) for r in build.collect()
+    } & {(r["pk1"], r["pk2"]) for r in probe.collect()}
+    assert matches <= kept
+    assert all(a is not None and b is not None for a, b in kept)
+
+
 def test_undersized_filter_still_has_no_false_negatives(spark):
     # a wildly wrong expected_items only degrades fpp (here: the 64-bit
     # floor saturates and everything passes) — NEVER completeness
