@@ -125,6 +125,13 @@ def bloom_build(
     pos = F.explode(
         F.array(*_positions(kc, m_bits, k))
     ).alias("__pos")
+    # Arrow collect + numpy densify: the sparse words come back as two
+    # columnar int64 buffers and scatter into the dense bitset without
+    # per-word Python objects — the driver hop stays within a small
+    # constant of the m/8-byte filter it exists to broadcast.
+    import numpy as np
+    import pandas as pd
+
     sparse = (
         keys.where(_all_not_null(kc))
         .select(pos)
@@ -134,12 +141,14 @@ def bloom_build(
                 F.expr("shiftleft(1L, int(__pos % 64))")
             ).alias("__b")
         )
-        .collect()
+        .toPandas()
     )
-    dense = [0] * n_words
-    for r in sparse:
-        dense[r["__w"]] = r["__b"]
-    bits = spark.createDataFrame([(dense,)], "__bloom array<long>")
+    dense = np.zeros(n_words, dtype=np.int64)
+    if len(sparse):
+        dense[sparse["__w"].to_numpy()] = sparse["__b"].to_numpy()
+    bits = spark.createDataFrame(
+        pd.DataFrame({"__bloom": [dense]}), schema="__bloom array<long>"
+    )
     return bits, BloomParams(m_bits=m_bits, k=k)
 
 
@@ -158,11 +167,19 @@ def bloom_prune(
     the columns in the SAME order used at build time.
     """
     kc = _cols(key_col)
+    # collision-proof the bitset column against the probe's own schema
+    bcol = bits.columns[0]
+    if bcol in probe.columns:
+        i = 0
+        while f"{bcol}_{i}" in probe.columns:
+            i += 1
+        bits = bits.withColumnRenamed(bcol, f"{bcol}_{i}")
+        bcol = f"{bcol}_{i}"
     out = probe.where(_all_not_null(kc)).crossJoin(F.broadcast(bits))
     keep = F.lit(True)
     for p in _positions(kc, params.m_bits, params.k):
         word = F.element_at(
-            F.col("__bloom"), (F.shiftrightunsigned(p, 6) + 1).cast("int")
+            F.col(bcol), (F.shiftrightunsigned(p, 6) + 1).cast("int")
         )
         # shiftleft with a COLUMN shift count needs call_function (the
         # F.shiftleft wrapper only takes a literal int)
@@ -170,7 +187,7 @@ def bloom_prune(
             "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
         )
         keep = keep & (word.bitwiseAND(mask) != 0)
-    return out.where(keep).drop("__bloom")
+    return out.where(keep).drop(bcol)
 
 
 def bloom_semi_prune(
@@ -187,11 +204,29 @@ def bloom_semi_prune(
     composite join keys (positionally paired). Column NAMES may differ
     across the sides (only the hashed values matter) but TYPES must
     match exactly — ``xxhash64`` of an int and of the same value as a
-    long differ, which would break completeness. Same rule Spark's own
-    runtime filters live under; cast first if needed.
+    long differ, which would silently break the no-false-negatives
+    guarantee; both schemas are in hand, so the mismatch raises here.
+    Cast first if needed (the same rule Spark's own runtime filters
+    live under).
     """
     bk, pk = _cols(build_key), _cols(probe_key)
-    assert len(bk) == len(pk)
+    if len(bk) != len(pk):
+        raise ValueError(
+            f"bloom_semi_prune: build_key {bk} and probe_key {pk} must "
+            "pair positionally (equal length)"
+        )
+    bt, pt = dict(build.dtypes), dict(probe.dtypes)
+    mismatched = [
+        f"{b}:{bt[b]} vs {p}:{pt[p]}"
+        for b, p in zip(bk, pk)
+        if bt[b] != pt[p]
+    ]
+    if mismatched:
+        raise ValueError(
+            "bloom_semi_prune: key column types must match exactly "
+            "(xxhash64 is type-sensitive; a mismatch would silently "
+            "prune true matches) — cast first: " + "; ".join(mismatched)
+        )
     bits, params = bloom_build(
         build.select(
             *[F.col(b).alias(f"__k{i}") for i, b in enumerate(bk)]

@@ -42,19 +42,24 @@ per partition — EXECUTOR memory is bounded regardless of grain size,
 the property the full-value-map aggregate lacks. The DRIVER, however,
 sees O(partitions x groups) subtotal rows in the rank-base fold, which
 grows with the grain's cardinality: ``max_driver_subtotals`` guards
-that collect. Above the cap the helper SPILLS to the complementary
-distributed plan instead of failing: a per-group window fold
-(:func:`_windowed_percentiles` — one shuffle on the group keys, cumsum
-rank + the same IEEE rank-target arithmetic, zero driver state). The
-two regimes partition the grain space: few big groups -> range
-arrangement (a per-group window would funnel the corpus through a
-handful of window partitions); many small groups -> per-group windows
-(each partition holds whole small groups, bounded by the largest
-group's distinct values, and the driver never sees a subtotal row).
-All current consumers aggregate at dimension-sized grains and take the
-range path; ``strategy=`` lets a caller with a known high-cardinality
-grain (per-customer at TPC-H scale) pick ``"window"`` up front and
-skip the doomed arrangement attempt.
+that collect. When the cap blows BECAUSE the grain is high-cardinality
+(distinct groups dominate the subtotal sample), the helper SPILLS to
+the complementary distributed plan instead of failing: a per-group
+window fold (:func:`_windowed_percentiles` — one shuffle on the group
+keys, cumsum rank + the same IEEE rank-target arithmetic, zero driver
+state), fed the already-materialized contraction so the corpus scan is
+not repaid. The two regimes partition the grain space: few big groups
+-> range arrangement (a per-group window would funnel the corpus
+through a handful of window partitions); many small groups ->
+per-group windows (each partition holds whole small groups, bounded by
+the largest group's distinct values, and the driver never sees a
+subtotal row). A cap overflow that is PARTITION-driven (few groups x
+huge partition count) stays a loud error — neither plan's bound
+improves by spilling there. All current consumers aggregate at
+dimension-sized grains and take the range path; ``strategy=`` lets a
+caller with a known high-cardinality grain (per-customer at TPC-H
+scale) pick ``"window"`` up front and skip the doomed arrangement
+attempt.
 """
 
 from __future__ import annotations
@@ -109,12 +114,14 @@ def exact_percentiles_scalable(
     base rows the driver collects for the range path.
 
     ``strategy``: ``"auto"`` (default) runs the range-arrangement plan
-    and spills to the per-group window plan if the grain blows the
-    subtotal cap; ``"range"`` raises ValueError at the cap instead
-    (loud-failure mode for callers that sized the cap deliberately);
-    ``"window"`` goes straight to the per-group window plan — the
-    right opening move for a known high-cardinality grain, where the
-    arrangement attempt would only waste a scan before spilling.
+    and spills to the per-group window plan when a cap overflow is
+    group-cardinality-driven (partition-driven overflows still raise —
+    see the module docstring's regime discriminator); ``"range"``
+    raises ValueError at the cap unconditionally (loud-failure mode
+    for callers that sized the cap deliberately); ``"window"`` goes
+    straight to the per-group window plan — the right opening move for
+    a known high-cardinality grain, where the arrangement attempt
+    would only waste a scan before spilling.
     """
     assert len(qs) == len(out_names)
     assert strategy in ("auto", "range", "window")
@@ -154,24 +161,46 @@ def exact_percentiles_scalable(
         .limit(max_driver_subtotals + 1)
         .collect()
     )
-    if len(subtotals) > max_driver_subtotals:
-        arranged.unpersist()
-        if strategy == "auto":
-            # Over-cap grain means MANY groups -> each group is small
-            # relative to the corpus, exactly the regime where a
-            # per-group window is bounded. The arrangement scan is
-            # sunk cost, paid once per over-cap call.
-            return _windowed_percentiles(dv, value_col, qs, out_names, gc)
-        raise ValueError(
-            f"exact_percentiles_scalable: grain {gc} produced more than "
-            f"{max_driver_subtotals} (partition x group) subtotal rows — "
-            "the driver-side rank-base fold does not scale to this "
-            "cardinality; use strategy='window' (per-group window fold), "
-            "or raise max_driver_subtotals deliberately"
-        )
-
     def _gkey(row):
         return tuple(row[g] for g in gc)
+
+    if len(subtotals) > max_driver_subtotals:
+        # Discriminate WHY the cap blew before spilling. The range
+        # arrangement gives each group >= one subtotal row per
+        # partition it spans, so in the collected (capped) sample:
+        # many small groups -> rows ~ distinct groups (the window
+        # regime); few big groups or a huge partition count -> rows ~
+        # partitions x groups with FEW distinct groups — spilling
+        # there would funnel the corpus into a handful of window
+        # partitions, the exact failure this module exists to avoid,
+        # so it stays a loud error (coalesce partitions or raise the
+        # cap instead).
+        groups_seen = len({_gkey(r) for r in subtotals})
+        group_driven = bool(gc) and groups_seen * 4 > len(subtotals)
+        if strategy == "auto" and group_driven:
+            # Reuse the materialized arrangement (persisted, and just
+            # computed by the subtotal job) as the pre-contracted
+            # input: the window fold re-shuffles on the group keys
+            # anyway, but the corpus scan + contraction are not
+            # repaid. Pinned like the range path's plan artifacts.
+            _ARRANGED_CACHE.pin(arranged)
+            return _windowed_percentiles(
+                arranged.drop("__pid"), value_col, qs, out_names, gc
+            )
+        arranged.unpersist()
+        raise ValueError(
+            f"exact_percentiles_scalable: grain {gc} produced more than "
+            f"{max_driver_subtotals} (partition x group) subtotal rows "
+            f"({groups_seen} distinct groups in the sample) — "
+            + (
+                "the overflow is partition-driven, so the per-group "
+                "window spill would be worse than the range path: "
+                "coalesce the input, or raise max_driver_subtotals"
+                if not group_driven
+                else "use strategy='window' (per-group window fold), "
+                "or raise max_driver_subtotals deliberately"
+            )
+        )
 
     running: dict[tuple, int] = {}
     base_map: dict[tuple, int] = {}

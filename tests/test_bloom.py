@@ -3,6 +3,7 @@ probe plan that never shuffles or re-scans the pruned side."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ai_powered_e_commerce_analytics_spark.operators.bloom import (
@@ -141,6 +142,33 @@ def test_composite_key_no_false_negatives_join_equality(spark):
     } & {(r["pk1"], r["pk2"]) for r in probe.collect()}
     assert matches <= kept
     assert all(a is not None and b is not None for a, b in kept)
+
+
+def test_key_type_and_arity_mismatches_raise(spark):
+    # int-vs-long keys hash differently -> would silently prune true
+    # matches; both schemas are in hand, so it must raise instead
+    build = spark.createDataFrame([(1,)], "k int")
+    probe = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="types must match"):
+        bloom_semi_prune(probe, "k", build, "k")
+    with pytest.raises(ValueError, match="pair positionally"):
+        bloom_semi_prune(probe, ["k"], build.withColumn(
+            "k2", F.col("k")
+        ), ["k", "k2"])
+
+
+def test_probe_with_reserved_column_name_survives(spark):
+    # a probe frame that already owns a __bloom column must neither
+    # collide at analysis time nor lose its column
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probe = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(100)], "k long, __bloom string"
+    )
+    out = bloom_semi_prune(probe, "k", build, "k")
+    assert out.columns == ["k", "__bloom"]
+    rows = {r["k"]: r["__bloom"] for r in out.collect()}
+    assert set(range(50)) <= set(rows)
+    assert rows[7] == "x7"
 
 
 def test_undersized_filter_still_has_no_false_negatives(spark):

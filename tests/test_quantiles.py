@@ -282,6 +282,33 @@ def test_auto_spills_to_window_fold_above_cap(spark):
     _assert_same(got, _exact(df, "v", ("g",)), ("g",))
 
 
+def test_partition_driven_overflow_raises_even_on_auto(spark):
+    # one group spanning many partitions: the cap blows on partition
+    # count, not grain cardinality — spilling to a per-group window
+    # would funnel everything into ONE window partition, so auto must
+    # stay a loud error (code-review r8 finding)
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(500)], "g string, v double"
+    )
+    # AQE would coalesce this toy arrangement to ~1 partition and hide
+    # the regime; at 100 TB the partition count is real
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="partition-driven"):
+            exact_percentiles_scalable(
+                df, "v", QS, NAMES, ("g",), max_driver_subtotals=4
+            )
+        # ungrouped: same regime, same loud error
+        with pytest.raises(ValueError, match="partition-driven"):
+            exact_percentiles_scalable(
+                df, "v", QS, NAMES, (), max_driver_subtotals=4
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+
+
 def test_window_strategy_matches_percentile(spark):
     # explicit strategy="window": no arrangement attempt, exact values
     # — including duplicate runs, a NULL group key, and NULL values
