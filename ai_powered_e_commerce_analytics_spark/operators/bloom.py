@@ -110,9 +110,16 @@ def bloom_build(
     """
     spark = keys.sparkSession
     kc = _cols(key_col)
+    keys_nn = keys.select(*kc).where(_all_not_null(kc))
     n = expected_items
+    pinned = False
     if n is None:
-        n = keys.agg(
+        # the sizing agg and the bit fold both scan the build side —
+        # persist the projected keys across the two eager jobs so the
+        # (potentially multi-GB) source is read once
+        keys_nn = keys_nn.persist()
+        pinned = True
+        n = keys_nn.agg(
             F.approx_count_distinct(F.struct(*kc)).alias("n")
         ).first()["n"]
     n = max(int(n), 1)
@@ -133,8 +140,7 @@ def bloom_build(
     import pandas as pd
 
     sparse = (
-        keys.where(_all_not_null(kc))
-        .select(pos)
+        keys_nn.select(pos)
         .groupBy(F.shiftrightunsigned("__pos", 6).alias("__w"))
         .agg(
             F.bit_or(
@@ -143,6 +149,8 @@ def bloom_build(
         )
         .toPandas()
     )
+    if pinned:
+        keys_nn.unpersist()
     dense = np.zeros(n_words, dtype=np.int64)
     if len(sparse):
         dense[sparse["__w"].to_numpy()] = sparse["__b"].to_numpy()
@@ -215,11 +223,23 @@ def bloom_semi_prune(
             f"bloom_semi_prune: build_key {bk} and probe_key {pk} must "
             "pair positionally (equal length)"
         )
-    bt, pt = dict(build.dtypes), dict(probe.dtypes)
+    def _dtype(df: DataFrame, col: str, side: str) -> str:
+        matches = [t for n, t in df.dtypes if n == col]
+        if len(matches) != 1:
+            raise ValueError(
+                f"bloom_semi_prune: {side} key column {col!r} "
+                + (
+                    "not found in the frame"
+                    if not matches
+                    else "is ambiguous (duplicate column name)"
+                )
+            )
+        return matches[0]
+
     mismatched = [
-        f"{b}:{bt[b]} vs {p}:{pt[p]}"
+        f"{b}:{_dtype(build, b, 'build')} vs {p}:{_dtype(probe, p, 'probe')}"
         for b, p in zip(bk, pk)
-        if bt[b] != pt[p]
+        if _dtype(build, b, "build") != _dtype(probe, p, "probe")
     ]
     if mismatched:
         raise ValueError(

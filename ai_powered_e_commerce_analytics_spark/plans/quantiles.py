@@ -167,14 +167,15 @@ def exact_percentiles_scalable(
     if len(subtotals) > max_driver_subtotals:
         # Discriminate WHY the cap blew before spilling. The range
         # arrangement gives each group >= one subtotal row per
-        # partition it spans, so in the collected (capped) sample:
-        # many small groups -> rows ~ distinct groups (the window
-        # regime); few big groups or a huge partition count -> rows ~
-        # partitions x groups with FEW distinct groups — spilling
-        # there would funnel the corpus into a handful of window
-        # partitions, the exact failure this module exists to avoid,
-        # so it stays a loud error (coalesce partitions or raise the
-        # cap instead).
+        # partition it spans, so the sample's rows-per-group ratio is
+        # an average partition-SPAN estimate: near 1 -> many small
+        # groups, the window regime; large -> groups individually
+        # span many range partitions, i.e. each group's distinct
+        # values are a multiple of a shuffle partition — a per-group
+        # window partition would be that multiple in ONE task, so
+        # auto does NOT silently spill there (a caller who knows the
+        # largest group fits an executor can still force
+        # strategy='window').
         groups_seen = len({_gkey(r) for r in subtotals})
         group_driven = bool(gc) and groups_seen * 4 > len(subtotals)
         if strategy == "auto" and group_driven:
@@ -193,9 +194,13 @@ def exact_percentiles_scalable(
             f"{max_driver_subtotals} (partition x group) subtotal rows "
             f"({groups_seen} distinct groups in the sample) — "
             + (
-                "the overflow is partition-driven, so the per-group "
-                "window spill would be worse than the range path: "
-                "coalesce the input, or raise max_driver_subtotals"
+                "the overflow is partition-driven (groups individually "
+                "span many range partitions), so auto will not spill: "
+                "a per-group window would put each group's whole "
+                "distinct-value run in one task. Coalesce the input, "
+                "raise max_driver_subtotals, or — if the largest "
+                "group's distinct values fit one executor — force "
+                "strategy='window'"
                 if not group_driven
                 else "use strategy='window' (per-group window fold), "
                 "or raise max_driver_subtotals deliberately"

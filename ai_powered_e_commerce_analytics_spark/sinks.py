@@ -544,11 +544,22 @@ def apply_cdc_parquet(
             "pass seq_col to define which one wins"
         )
     if seq_col is not None:
+        # Tiebreak equal seqs (one transaction's rows often share a
+        # commit LSN) by the FULL value struct, so a replay or task
+        # retry always commits the same winner — the deterministic-
+        # collapse rule upsert_dbapi follows; desc(seq) alone resolves
+        # ties by scan order, i.e. nondeterministically.
+        value_cols = [
+            c for c in changes.columns if c not in (key, seq_col)
+        ]
+        order = [F.desc(seq_col)]
+        if value_cols:
+            order.append(F.desc(F.struct(*value_cols)))
         latest = (
             changes.withColumn(
                 "__rn",
                 F.row_number().over(
-                    Window.partitionBy(key).orderBy(F.desc(seq_col))
+                    Window.partitionBy(key).orderBy(*order)
                 ),
             )
             .where(F.col("__rn") == 1)

@@ -157,6 +157,18 @@ def test_key_type_and_arity_mismatches_raise(spark):
         ), ["k", "k2"])
 
 
+def test_missing_or_ambiguous_key_column_raises_loudly(spark):
+    build = spark.createDataFrame([(1,)], "k long")
+    probe = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="not found"):
+        bloom_semi_prune(probe, "k", build, "kk")  # typo
+    dup = build.join(probe.withColumnRenamed("k", "j"), F.lit(True)).select(
+        "k", F.col("j").alias("k")
+    )  # two columns literally named k
+    with pytest.raises(ValueError, match="ambiguous"):
+        bloom_semi_prune(probe, "k", dup, "k")
+
+
 def test_probe_with_reserved_column_name_survives(spark):
     # a probe frame that already owns a __bloom column must neither
     # collide at analysis time nor lose its column

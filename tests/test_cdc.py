@@ -69,6 +69,36 @@ def test_cdc_seq_collapses_to_latest_change_per_key(spark, tmp_path):
     assert _rows(spark, table) == {(2, "b2")}
 
 
+def test_cdc_equal_seq_tie_is_deterministic(spark, tmp_path):
+    # One transaction's rows often share a commit LSN: two changes for
+    # the same key with EQUAL seq must resolve to the same winner on
+    # every apply/replay (value-struct tiebreak — the upsert_dbapi
+    # deterministic-collapse rule), not to scan order (code-review r8).
+    for attempt in range(3):
+        table = str(tmp_path / f"t{attempt}")
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(1, "z")], "k long, v string"),
+            table,
+            "k",
+            num_buckets=4,
+        )
+        changes = spark.createDataFrame(
+            [(1, "a", "U", 5), (1, "b", "U", 5), (2, "c", "I", 5)],
+            "k long, v string, op string, seq long",
+        )
+        if attempt == 2:  # input order must not matter either
+            changes = spark.createDataFrame(
+                [(2, "c", "I", 5), (1, "b", "U", 5), (1, "a", "U", 5)],
+                "k long, v string, op string, seq long",
+            )
+        apply_cdc_parquet(
+            spark, changes, table, "k", seq_col="seq", num_buckets=4
+        )
+        # struct-desc tiebreak: ("b","U") > ("a","U") -> "b" always wins
+        assert _rows(spark, table) == {(1, "b"), (2, "c")}, attempt
+
+
 def test_cdc_duplicate_keys_without_seq_rejected(spark, tmp_path):
     table = str(tmp_path / "t")
     upsert_parquet(
