@@ -1184,3 +1184,106 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
     return wau_estimate_from_day_sketches(daily)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-state first-seen filter: bounded-FOREVER approximate dedup
+# ---------------------------------------------------------------------------
+
+#: Sharding/sizing of the streaming first-seen Bloom filter. Total
+#: state = SHARDS x BITS_PER_SHARD/8 bytes (default 64 x 16 KiB =
+#: 1 MiB) and NEVER grows; at ~9.6 bits/key that absorbs ~875k
+#: distinct keys before the false-drop rate passes ~1%. Both knobs
+#: scale linearly — 1024 shards x 1 MiB handles ~850M keys in 1 GiB
+#: of total state spread across the cluster's state store.
+BLOOM_SEEN_SHARDS = 64
+BLOOM_SEEN_BITS_PER_SHARD = 1 << 17
+BLOOM_SEEN_K = 7
+
+_BLOOM_SEEN_STATE = T.StructType([T.StructField("bits", T.BinaryType())])
+_BLOOM_SEEN_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("key", T.StringType()),
+    ]
+)
+
+
+def _bloom_seen_positions(key: str, m_bits: int, k: int) -> list[int]:
+    # Deterministic across processes/restarts (hashlib, not PYTHONHASHSEED
+    # -dependent hash()); no JVM-hash consistency needed — set and test
+    # both happen here, inside one shard's state.
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{i}|{key}".encode()).digest()[:8], "big"
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-shard first-seen gate: a row passes iff at least one of its
+    key's k bits is still unset, then its bits are set. Duplicates of
+    an emitted key NEVER pass again (no false negatives in the bitset);
+    a never-seen key can be falsely suppressed at the sized fp rate.
+    Rows fold in (key, doc_id) order, so intra-batch duplicate groups
+    deterministically emit their lowest doc_id. State is the bitset
+    itself — constant bytes per shard, NO timeout: unlike the exact
+    ``dedup_stream`` (state = one entry per distinct key, bounded only
+    by its watermark expiry), this holds its footprint FOREVER over an
+    unbounded key universe, which is the 100 TB contract for global
+    never-reprocess dedup."""
+    if state.exists:
+        bits = bytearray(state.get[0])
+    else:
+        bits = bytearray(BLOOM_SEEN_BITS_PER_SHARD // 8)
+    rows = sorted(
+        (str(k_), int(d))
+        for pdf in pdfs
+        for k_, d in zip(pdf["key"].tolist(), pdf["doc_id"].tolist())
+    )
+    kept = []
+    for k_, doc_id in rows:
+        pos = _bloom_seen_positions(k_, BLOOM_SEEN_BITS_PER_SHARD, BLOOM_SEEN_K)
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+            continue  # seen before (or sized-rate false positive)
+        for p in pos:
+            bits[p >> 3] |= 1 << (p & 7)
+        kept.append({"doc_id": doc_id, "key": k_})
+    state.update((bytes(bits),))
+    if kept:
+        yield pd.DataFrame(kept)
+
+
+def bloom_first_seen_stream(rows: DataFrame) -> DataFrame:
+    """Streaming approximate first-seen filter over (doc_id, key) rows
+    — the key is caller-computed (e.g. ``sha2`` of normalized text,
+    JVM-side, before this operator). Keys shard by ``xxhash64 mod
+    BLOOM_SEEN_SHARDS`` so each state group owns a fixed-size bitset
+    slice; shard assignment is JVM-side and sticky, bit arithmetic is
+    pandas-side within the shard. Emits only rows whose key was never
+    seen across ALL prior micro-batches; total state is constant
+    (SHARDS x BITS_PER_SHARD bits) regardless of stream volume or key
+    cardinality. The trade versus the exact ``dedup_stream``: a sized
+    false-DROP rate (never a duplicate pass) in exchange for state
+    that an unbounded key universe cannot grow."""
+    return (
+        rows.select("doc_id", "key")
+        .withColumn(
+            "__shard",
+            F.pmod(F.xxhash64("key"), F.lit(BLOOM_SEEN_SHARDS)),
+        )
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            _bloom_seen_fn,
+            outputStructType=_BLOOM_SEEN_OUT,
+            stateStructType=_BLOOM_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
