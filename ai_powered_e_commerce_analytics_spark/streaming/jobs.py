@@ -1271,9 +1271,12 @@ def bloom_first_seen_stream(rows: DataFrame) -> DataFrame:
     (SHARDS x BITS_PER_SHARD bits) regardless of stream volume or key
     cardinality. The trade versus the exact ``dedup_stream``: a sized
     false-DROP rate (never a duplicate pass) in exchange for state
-    that an unbounded key universe cannot grow."""
+    that an unbounded key universe cannot grow. NULL keys (e.g. sha2
+    of a null text) are dropped here — pandas would otherwise coerce
+    them into the literal string 'None' and dedup them as one key."""
     return (
         rows.select("doc_id", "key")
+        .where(F.col("key").isNotNull())
         .withColumn(
             "__shard",
             F.pmod(F.xxhash64("key"), F.lit(BLOOM_SEEN_SHARDS)),

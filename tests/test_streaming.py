@@ -1125,7 +1125,9 @@ def test_bloom_first_seen_stream_suppresses_cross_batch_dups(spark, tmp_path):
         _await(q)
 
     schema = "doc_id long, key string"
-    batch1 = [(1, "ka"), (2, "kb"), (3, "ka"), (4, "kc")]  # ka duplicated
+    # ka duplicated; doc 10's NULL key must be dropped, not coerced to
+    # the string 'None' and deduped as a real key
+    batch1 = [(1, "ka"), (2, "kb"), (3, "ka"), (4, "kc"), (10, None)]
     spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
         "overwrite"
     ).json(src)
