@@ -25,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Iterator
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1195,7 +1197,13 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
 #: 1 MiB) and NEVER grows; at ~9.6 bits/key that absorbs ~875k
 #: distinct keys before the false-drop rate passes ~1%. Both knobs
 #: scale linearly — 1024 shards x 1 MiB handles ~850M keys in 1 GiB
-#: of total state spread across the cluster's state store.
+#: of total state spread across the cluster's state store — but ONLY
+#: against a FRESH checkpoint: changing SHARDS remaps key->shard so
+#: absorbed keys would pass again (a silent contract break), and
+#: changing BITS_PER_SHARD re-bases the bit positions; the state-size
+#: guard in ``_bloom_seen_fn`` fails fast on the latter, and resizing
+#: always means a new checkpoint plus a re-seed from reprocessed
+#: history. Monitor saturation via ``read_bloom_seen_fill``.
 BLOOM_SEEN_SHARDS = 64
 BLOOM_SEEN_BITS_PER_SHARD = 1 << 17
 BLOOM_SEEN_K = 7
@@ -1210,18 +1218,21 @@ _BLOOM_SEEN_OUT = T.StructType(
 
 
 def _bloom_seen_positions(key: str, m_bits: int, k: int) -> list[int]:
-    # Deterministic across processes/restarts (hashlib, not PYTHONHASHSEED
-    # -dependent hash()); no JVM-hash consistency needed — set and test
-    # both happen here, inside one shard's state.
+    # ONE md5 per key, split into (h1, h2) and extended by Kirsch-
+    # Mitzenmacher double hashing — same sized fp rate and the same
+    # no-false-negative property as k independent hashes at ~1/k the
+    # digest cost (the plans/textops.py minhash scheme's rationale,
+    # applied to the per-row streaming hot loop). h2 forced odd so the
+    # stride never degenerates to 0. Deterministic across processes/
+    # restarts (hashlib, not PYTHONHASHSEED-dependent hash()); no
+    # JVM-hash consistency needed — set and test both happen here,
+    # inside one shard's state.
     import hashlib
 
-    return [
-        int.from_bytes(
-            hashlib.md5(f"{i}|{key}".encode()).digest()[:8], "big"
-        )
-        % m_bits
-        for i in range(k)
-    ]
+    d = hashlib.md5(key.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
 
 
 def _bloom_seen_fn(
@@ -1240,6 +1251,15 @@ def _bloom_seen_fn(
     never-reprocess dedup."""
     if state.exists:
         bits = bytearray(state.get[0])
+        if len(bits) != BLOOM_SEEN_BITS_PER_SHARD // 8:
+            raise ValueError(
+                f"bloom_first_seen_stream: checkpointed bitset is "
+                f"{len(bits)} bytes but BLOOM_SEEN_BITS_PER_SHARD now "
+                f"implies {BLOOM_SEEN_BITS_PER_SHARD // 8} — resizing "
+                "re-bases bit positions and requires a FRESH checkpoint "
+                "(and a re-seed from reprocessed history); shard-count "
+                "changes likewise remap keys and need the same"
+            )
     else:
         bits = bytearray(BLOOM_SEEN_BITS_PER_SHARD // 8)
     rows = sorted(
@@ -1248,14 +1268,20 @@ def _bloom_seen_fn(
         for k_, d in zip(pdf["key"].tolist(), pdf["doc_id"].tolist())
     )
     kept = []
+    changed = False
     for k_, doc_id in rows:
         pos = _bloom_seen_positions(k_, BLOOM_SEEN_BITS_PER_SHARD, BLOOM_SEEN_K)
         if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
             continue  # seen before (or sized-rate false positive)
         for p in pos:
             bits[p >> 3] |= 1 << (p & 7)
+        changed = True
         kept.append({"doc_id": doc_id, "key": k_})
-    state.update((bytes(bits),))
+    if changed:
+        # duplicate-heavy steady state flips no bits — skip the 16 KiB
+        # state-store rewrite then (the _funnel_fn `changed` pattern);
+        # unmodified GroupState persists across batches without update.
+        state.update((bytes(bits),))
     if kept:
         yield pd.DataFrame(kept)
 
@@ -1271,12 +1297,20 @@ def bloom_first_seen_stream(rows: DataFrame) -> DataFrame:
     (SHARDS x BITS_PER_SHARD bits) regardless of stream volume or key
     cardinality. The trade versus the exact ``dedup_stream``: a sized
     false-DROP rate (never a duplicate pass) in exchange for state
-    that an unbounded key universe cannot grow. NULL keys (e.g. sha2
-    of a null text) are dropped here — pandas would otherwise coerce
-    them into the literal string 'None' and dedup them as one key."""
+    that an unbounded key universe cannot grow. Rows with a NULL key
+    or NULL doc_id are dropped here: pandas would coerce a NULL key
+    into the literal string 'None' and dedup all such rows as one key,
+    and a NULL doc_id arrives as float NaN whose int() conversion
+    would kill the stream. Per-batch seen/kept counts publish through
+    ``observe()`` -> ``StreamingQueryProgress.observedMetrics``
+    (``bloom_seen_in`` / ``bloom_seen_kept``) — a falling kept/in
+    ratio is EITHER a duplicate-heavy stream or filter saturation;
+    disambiguate with :func:`read_bloom_seen_fill` over the
+    checkpoint's state store."""
     return (
         rows.select("doc_id", "key")
-        .where(F.col("key").isNotNull())
+        .where(F.col("key").isNotNull() & F.col("doc_id").isNotNull())
+        .observe("bloom_seen_in", F.count(F.lit(1)).alias("n_in"))
         .withColumn(
             "__shard",
             F.pmod(F.xxhash64("key"), F.lit(BLOOM_SEEN_SHARDS)),
@@ -1289,4 +1323,44 @@ def bloom_first_seen_stream(rows: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+        .observe("bloom_seen_kept", F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+def read_bloom_seen_fill(spark: SparkSession, checkpoint_dir: str) -> dict:
+    """Saturation monitor for :func:`bloom_first_seen_stream`: read the
+    checkpointed bitsets back through Spark's state-store data source
+    and report the bit fill ratio plus the implied absorbed-key count
+    (``n ~= -(m/k) ln(1 - fill)``, the standard Bloom inversion). The
+    false-drop rate is only "sized" while fill stays under ~50%
+    (~9.6 bits/key); past that it climbs toward dropping EVERY new key
+    as seen — and from the outside that is indistinguishable from a
+    duplicate-heavy stream, so dashboards should alarm on fill, not on
+    kept/in. Driver-side popcount is bounded by SHARDS rows x the
+    bitset bytes — the state's constant total size, not the stream's.
+    """
+    # applyInPandasWithState wraps the user state struct in a
+    # `groupState` field in the state-store reader's value schema
+    rows = (
+        spark.read.format("statestore")
+        .load(checkpoint_dir)
+        .select(F.col("value.groupState.bits").alias("bits"))
+        .collect()
+    )
+    m_total = len(rows) * BLOOM_SEEN_BITS_PER_SHARD
+    set_bits = sum(
+        bin(b).count("1") for r in rows if r["bits"] for b in r["bits"]
+    )
+    fill = set_bits / m_total if m_total else 0.0
+    est_keys = (
+        -(m_total / BLOOM_SEEN_K) * math.log(1.0 - fill)
+        if 0.0 < fill < 1.0
+        else (0.0 if fill == 0.0 else float("inf"))
+    )
+    return {
+        "shards": len(rows),
+        "m_total_bits": m_total,
+        "set_bits": set_bits,
+        "fill_ratio": fill,
+        "est_absorbed_keys": est_keys,
+    }

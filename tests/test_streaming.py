@@ -1125,9 +1125,11 @@ def test_bloom_first_seen_stream_suppresses_cross_batch_dups(spark, tmp_path):
         _await(q)
 
     schema = "doc_id long, key string"
-    # ka duplicated; doc 10's NULL key must be dropped, not coerced to
-    # the string 'None' and deduped as a real key
-    batch1 = [(1, "ka"), (2, "kb"), (3, "ka"), (4, "kc"), (10, None)]
+    # ka duplicated; doc 10's NULL key must be dropped (not coerced to
+    # the string 'None' and deduped as a real key) and the NULL doc_id
+    # must be dropped (not crash the stream as float-NaN -> int())
+    batch1 = [(1, "ka"), (2, "kb"), (3, "ka"), (4, "kc"), (10, None),
+              (None, "kz")]
     spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
         "overwrite"
     ).json(src)
@@ -1179,3 +1181,24 @@ def test_bloom_first_seen_low_false_drop_at_sized_load(spark, tmp_path):
     _await(q)
     n = spark.read.parquet(out).count()
     assert n >= 497, n  # <= 3 false drops out of 500 (sized ~0)
+
+    # observability: per-batch seen/kept counts via observedMetrics
+    seen = kept = 0
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if "observedMetrics" in p else {}
+        if "bloom_seen_in" in om:
+            seen += om["bloom_seen_in"][0]
+        if "bloom_seen_kept" in om:
+            kept += om["bloom_seen_kept"][0]
+    assert seen == 500 and kept == n, (seen, kept, n)
+
+    # saturation monitor: state-store read-back popcount + inversion
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        BLOOM_SEEN_K,
+        read_bloom_seen_fill,
+    )
+
+    fill = read_bloom_seen_fill(spark, str(tmp_path / "c"))
+    assert 0.0 < fill["fill_ratio"] < 0.01  # 500 keys vs 8.4M bits
+    assert fill["set_bits"] <= n * BLOOM_SEEN_K
+    assert 400 <= fill["est_absorbed_keys"] <= 600, fill
