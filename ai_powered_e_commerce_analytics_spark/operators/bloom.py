@@ -95,6 +95,7 @@ def bloom_build(
     key_col: str | Sequence[str],
     fpp: float = 0.01,
     expected_items: int | None = None,
+    max_filter_bytes: int = 256 * 1024 * 1024,
 ) -> tuple[DataFrame, BloomParams]:
     """Fold the build side's keys into a one-row dense bitset frame.
 
@@ -102,11 +103,23 @@ def bloom_build(
     with one ``__bloom array<long>`` column of length ``m/64``
     (``m/8`` bytes — broadcastable by construction wherever the
     technique is worth applying), ``params`` carries the sizing the
-    probe needs. Runs two tiny eager jobs: the sizing agg (skipped
-    when ``expected_items`` is given; the +-5% ``approx_count_
-    distinct`` estimate only perturbs fpp, never correctness) and the
-    sparse-word fold. Standard sizing: ``m = -n ln(p) / ln(2)^2``,
-    ``k = (m/n) ln 2``.
+    probe needs; the column's schema metadata also carries
+    ``m_bits``/``k`` so a probe can detect a bits/params pairing
+    mismatch without running a job. Runs two tiny eager jobs: the
+    sizing agg (skipped when ``expected_items`` is given; the +-5%
+    ``approx_count_distinct`` estimate only perturbs fpp, never
+    correctness) and the sparse-word fold. Standard sizing:
+    ``m = -n ln(p) / ln(2)^2``, ``k = (m/n) ln 2``.
+
+    ``max_filter_bytes`` bounds the dense bitset (default 256 MiB,
+    ~200M build keys at 1% fpp). Past it — e.g. ~1.2 GB for 1e9 keys
+    at 1% — the filter lives in ONE array cell, beyond practical
+    broadcast and near single-object serialization limits, so the
+    build raises instead of producing an unbroadcastable artifact.
+    At that scale either relax fpp, pre-aggregate the build keys, or
+    split the build side into key ranges and run build+prune per
+    range (a sharded filter: each shard stays under the bound and
+    probe rows are pruned by their own range's filter).
     """
     spark = keys.sparkSession
     kc = _cols(key_col)
@@ -124,6 +137,18 @@ def bloom_build(
         ).first()["n"]
     n = max(int(n), 1)
     m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    if m_bits // 8 > max_filter_bytes:
+        if pinned:
+            keys_nn.unpersist()
+        raise ValueError(
+            f"bloom_build: sized filter ({m_bits // 8:,} bytes for "
+            f"n={n:,} keys at fpp={fpp}) exceeds max_filter_bytes="
+            f"{max_filter_bytes:,}. A filter this large lives in one "
+            "array cell and cannot be broadcast sanely. Relax fpp, "
+            "pre-aggregate the build keys, or shard: split the build "
+            "side into key ranges and run bloom_build/bloom_prune per "
+            "range so each shard's filter stays under the bound."
+        )
     # k from fpp directly (-log2 p), NOT from m/n: the m >= 64 floor
     # would otherwise inflate k into dozens of probe expressions for a
     # tiny build side; extra floored bits only lower the realized fpp.
@@ -154,9 +179,15 @@ def bloom_build(
     dense = np.zeros(n_words, dtype=np.int64)
     if len(sparse):
         dense[sparse["__w"].to_numpy()] = sparse["__b"].to_numpy()
+    # tolist() at the createDataFrame boundary: plain Python ints pass
+    # BOTH converters. Under the non-Arrow path (any session without
+    # spark.sql.execution.arrow.pyspark.enabled) the _createFromLocal
+    # verifier REJECTS numpy.int64 array elements — correctness must
+    # not depend on the caller's session config (VERDICT r8 #1).
     bits = spark.createDataFrame(
-        pd.DataFrame({"__bloom": [dense]}), schema="__bloom array<long>"
-    )
+        pd.DataFrame({"__bloom": [dense.tolist()]}),
+        schema="__bloom array<long>",
+    ).withMetadata("__bloom", {"m_bits": m_bits, "k": k})
     return bits, BloomParams(m_bits=m_bits, k=k)
 
 
@@ -173,8 +204,27 @@ def bloom_prune(
     an inner join, a semi join, or the non-preserved side of an outer
     join. ``key_col`` may be a list for composite join keys — pass
     the columns in the SAME order used at build time.
+
+    ``bits`` and ``params`` must come from the SAME ``bloom_build``
+    call: a larger ``params.m_bits`` than the bitset was built with
+    sends ``element_at`` out of range, which (ANSI off) yields NULL
+    and silently DROPS true-match rows — a false negative in an
+    operator whose headline guarantee is no false negatives. The
+    build stamps its sizing into the column's schema metadata, so a
+    mismatched pairing raises here without running any job.
     """
     kc = _cols(key_col)
+    meta = bits.schema[bits.columns[0]].metadata or {}
+    if meta.get("m_bits") is not None and (
+        int(meta["m_bits"]) != params.m_bits or int(meta["k"]) != params.k
+    ):
+        raise ValueError(
+            "bloom_prune: bits/params mismatch — the bitset was built "
+            f"with m_bits={meta['m_bits']}, k={meta['k']} but params "
+            f"say m_bits={params.m_bits}, k={params.k}. Pass the "
+            "(bits, params) pair from ONE bloom_build call; a larger "
+            "m_bits would silently drop true-match rows."
+        )
     # collision-proof the bitset column against the probe's own schema
     bcol = bits.columns[0]
     if bcol in probe.columns:

@@ -1,0 +1,64 @@
+"""Session-config independence: driver-side frame construction must not
+depend on Arrow being enabled.
+
+The round-8 driver failure class (VERDICT r8 #1-2): the engine's own
+fixture session enables ``spark.sql.execution.arrow.pyspark.enabled``,
+under which ``createDataFrame(pd.DataFrame(...))`` accepts numpy
+scalars — but the correctness contract is "any session the driver
+brings", and the NON-Arrow ``_createFromLocal`` verifier rejects
+numpy.int64 elements. ``bloom_build`` passed 12 local tests and then
+crashed in the driver's harness session.
+
+This file runs, under a throwaway ``newSession()`` with Arrow OFF,
+every registry query whose plan constructs driver-side frames
+(``grep createDataFrame`` under the package):
+
+- ``operators/bloom.py`` bitset densify -> bloom_pruned_part_revenue
+- ``plans/quantiles.py`` rank-target frame -> shipping_sla_percentiles,
+  order_value_winsorized_stats, rfm_customer_segments (all three
+  exact_percentiles_scalable callers with distinct grains)
+- ``operators/enrich.py`` rdd/local frames -> item_id_assignment,
+  item_id_assignment_ranged, pool_assignment, batch_assignment
+
+``newSession()`` shares the JVM/SparkContext but clones SQLConf, so
+flipping Arrow off is isolated to this test and costs no second JVM.
+Row counts are compared against the Arrow-on fixture session — same
+plan, same data, so any divergence is a conversion-path bug.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_powered_e_commerce_analytics_spark.plans.registry import query_map
+
+DRIVER_FRAME_QUERIES = [
+    "bloom_pruned_part_revenue",
+    "shipping_sla_percentiles",
+    "order_value_winsorized_stats",
+    "rfm_customer_segments",
+    "item_id_assignment",
+    "item_id_assignment_ranged",
+    "pool_assignment",
+    "batch_assignment",
+]
+
+
+@pytest.fixture(scope="module")
+def arrow_off(spark):
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    assert ns.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "false"
+    # the fixture session keeps Arrow on — confs are per-session
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
+    return ns
+
+
+@pytest.mark.parametrize("name", DRIVER_FRAME_QUERIES)
+def test_query_runs_identically_without_arrow(spark, arrow_off, sf_dir, name):
+    q = query_map()[name]
+    off = q(arrow_off, sf_dir).count()
+    on = q(spark, sf_dir).count()
+    assert off == on and off >= 0

@@ -241,3 +241,48 @@ def test_bits_frame_is_compact_dense(spark):
     rows = bits.collect()
     assert len(rows) == 1
     assert len(rows[0]["__bloom"]) == (params.m_bits + 63) // 64
+
+
+def test_oversized_filter_raises_with_sharding_guidance(spark):
+    # 1e9 keys at 1% fpp sizes ~1.2 GB — one array cell, past any sane
+    # broadcast. The build must refuse loudly, not emit the artifact.
+    build = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="shard"):
+        bloom_build(build, "k", fpp=0.01, expected_items=1_000_000_000)
+    # and an explicit tiny bound trips on a modest build side too
+    with pytest.raises(ValueError, match="max_filter_bytes"):
+        bloom_build(
+            build, "k", expected_items=100_000, max_filter_bytes=1024
+        )
+
+
+def test_mismatched_bits_params_pairing_raises(spark):
+    # pairing bits with params from a DIFFERENT build would send
+    # element_at out of range -> NULL keep -> silent false negatives.
+    # The build stamps sizing into column metadata; the probe checks.
+    build_small = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    build_big = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    bits_small, params_small = bloom_build(build_small, "k")
+    _, params_big = bloom_build(build_big, "k")
+    assert params_big.m_bits > params_small.m_bits
+    probe = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    with pytest.raises(ValueError, match="mismatch"):
+        bloom_prune(probe, "k", bits_small, params_big)
+    # the correct pairing still keeps everything (sanity)
+    assert bloom_prune(probe, "k", bits_small, params_small).count() == 10
+
+
+def test_metadata_survives_reserved_column_rename(spark):
+    # bloom_prune renames __bloom on collision; withColumnRenamed must
+    # carry the sizing metadata so the guard still sees it
+    build = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    bits, params = bloom_build(build, "k")
+    probe = spark.createDataFrame(
+        [(i, i) for i in range(20)], "k long, __bloom long"
+    )
+    _, params_other = bloom_build(
+        spark.createDataFrame([(i,) for i in range(9000)], "k long"), "k"
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        bloom_prune(probe, "k", bits, params_other)
+    assert bloom_prune(probe, "k", bits, params).count() == 20
