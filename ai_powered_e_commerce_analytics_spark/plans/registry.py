@@ -321,9 +321,54 @@ _R7_DRIVER_VERIFIED = {
 }
 
 
+# Queries ADDED in round 8. All were verified by the round-8 driver
+# window EXCEPT bloom_pruned_part_revenue, which errored (numpy.int64
+# densify crash under the driver's Arrow-less session — fixed round 9,
+# operators/bloom.py). It therefore still has ZERO driver evidence and
+# leads the round-9 window via the never-checked partition.
+_R8_ADDED: set[str] = {
+    "bloom_pruned_part_revenue",
+    "table_profile_orders_hll",
+    "order_value_winsorized_stats",
+    "join_key_skew_profile",
+}
+
+# Queries verified GREEN by round 8's driver window (CORRECTNESS_r08 —
+# 49 of 50 rows: 3 of the 4 round-8 additions, the six r7-rewritten
+# queries whose driver evidence the plan-aware rotation had flagged
+# stale, and 40 re-certified r5 rows). The one err row
+# (bloom_pruned_part_revenue) is deliberately ABSENT so it re-enters
+# the window at the front.
+_R8_DRIVER_VERIFIED = {
+    "acctbal_minmax_normalized", "batch_assignment", "customer_rank_battery",
+    "customer_revenue_pareto", "customer_segment_scd2", "customers_1996_only",
+    "customers_both_years", "customers_without_orders", "date_kpis",
+    "events_props_extract", "gold_enrichment_join", "item_id_assignment",
+    "item_id_assignment_ranged", "join_key_skew_profile",
+    "lineitem_price_stats", "multimodal_frame_sample",
+    "multimodal_metadata_stats", "order_gaps_lag_lead",
+    "order_priority_pivot_table", "order_value_winsorized_stats",
+    "pool_assignment", "referential_integrity_report", "rfm_customer_segments",
+    "rolling_weekly_revenue", "running_revenue_per_customer",
+    "salted_skew_join_brand_revenue", "shipping_sla_percentiles", "shop_kpis",
+    "table_profile_orders_hll", "tokenizer_vocab_coverage", "top100_orders",
+    "top3_orders_per_customer", "tpch_q10_returned_revenue",
+    "tpch_q12_priority_pivot", "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_variety", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary", "tpch_q22_idle_wealthy_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_late_shipment_semi", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "union_all_orders",
+    "user_kpis",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R8_DRIVER_VERIFIED:
+        return 8
     if name in _R7_DRIVER_VERIFIED:
         return 7
     if name in _R6_DRIVER_VERIFIED:
@@ -347,10 +392,10 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-8 window is therefore: the r8 additions, then the six
-# r7-rewritten queries (pareto / rfm / scd2 / shipping-sla / RI report /
-# vocab coverage — local DuckDB oracle tests already cover them, this
-# restores DRIVER evidence), then the stalest r5 rows filling to 50.
+# The round-9 window is therefore: bloom_pruned_part_revenue (errored
+# in r8, fixed, zero green driver evidence — front of the queue) and
+# any round-9 additions, then the 10 r5-verified rows round 8 didn't
+# reach, then the stalest r6 rows filling to 50.
 def _staleness(q: QuerySpec) -> float:
     verified = _last_verified_round(q.name)
     if verified == 0:
