@@ -1009,6 +1009,18 @@ def ship_delay_ols_slope(
     (same associativity, 38-digit headroom); the closed forms run in
     decimal and cast to double at the very end, so at any scale where
     both paths are exact they are bit-equal (property-tested).
+
+    Bound on the decimal path (ADVICE r8): the 38-digit headroom claim
+    covers the SUMS; the closed-form products (``n*sxy``, ``sx*sy``,
+    ``n*sxx``, ...) also evaluate in decimal(38,0), and with per-row
+    terms <= ~2e5 those products grow as ~2e5 * R^2 for R rows per
+    group — they hit the 38-digit cap around R ~ 1e16..1e17, where
+    (ANSI off) Spark returns a silent NULL slope/r rather than raising.
+    At the documented 100 TB scale (~6e11 rows TOTAL) that leaves
+    >10,000x headroom per group; a deployment pushing past ~1e16 rows
+    per group must compute the closed forms under ANSI (loud overflow)
+    or pre-aggregate. The LONG path's bound is the per-row-sum one
+    documented above (~1e18 rows).
     """
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey",

@@ -12,7 +12,18 @@ and is safe under concurrent plan construction on one SparkSession.
 
 Eviction unpersists every item of the evicted entry best-effort — a
 cached artifact may belong to an already-stopped session, in which case
-its memory is gone anyway.
+its memory is gone anyway. Items that expose ``destroy`` (broadcast
+variables) are additionally destroyed: ``unpersist`` alone only drops
+executor blocks and leaves the driver-held value plus its
+BroadcastManager registration alive until GC, so a long-lived session
+accumulates driver-side broadcast metadata (VERDICT r8). The contract
+consequence: an evicted PERSIST recomputes silently via lineage, but a
+plan holding an evicted BROADCAST raises loudly on its next execution
+("Attempted to use Broadcast after it was destroyed") — ``capacity``
+therefore sizes the number of helper plans concurrently in flight
+between construction and consumption, not an indefinite retention
+window. Every in-repo consumer constructs and consumes a plan
+back-to-back, so capacity 4 leaves ample slack.
 """
 
 from __future__ import annotations
@@ -34,6 +45,13 @@ class PinnedPlanCache:
         for item in entry:
             try:
                 item.unpersist()
+            except Exception:  # noqa: BLE001 - stopped-session artifacts
+                pass
+            destroy = getattr(item, "destroy", None)
+            if destroy is None:
+                continue  # DataFrame persist — lineage must survive
+            try:
+                destroy(blocking=False)
             except Exception:  # noqa: BLE001 - stopped-session artifacts
                 pass
 

@@ -523,6 +523,78 @@ FROM j GROUP BY 1
 """
 
 
+def customer_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-customer order-value quartiles (p25/p50/p75) plus the
+    order count — the spend-distribution profile a CRM team attaches to
+    each account.
+
+    This is the HIGH-CARDINALITY-grain percentile regime: the group key
+    is ``o_custkey`` (15M groups at TPC-H SF100, each holding ~10
+    orders), the exact inverse of the dimension-sized grains every
+    other percentile consumer aggregates at. The range-arrangement plan
+    in :func:`exact_percentiles_scalable` would collect O(partitions x
+    groups) rank-base subtotals onto the driver here, so the query
+    opens with ``strategy="window"`` — the per-group window fold (ONE
+    shuffle on the customer key, cumulative-sum ranks, inline IEEE
+    rank-target arithmetic, zero driver state), whose memory bound is
+    the LARGEST single customer's distinct order values: tiny, by
+    construction of the grain. This is the registry's driver-gated
+    exercise of the window regime (VERDICT r8 ask: the spill path was
+    property-tested locally but no oracle-gated query took it).
+
+    Float policy (plans/spec.py): order values convert to exact cent
+    LONGs first; quartile interpolation fractions on ``q*(n-1)`` are
+    quarters, so ``(1-f)*lo + f*hi`` on cent-longs is exact in double
+    in BOTH engines regardless of their interpolation formula; the
+    final ``/100.0`` + ``round(.,6)`` are the identical IEEE ops.
+
+    Plan note: the count join re-shuffles nothing extra at scale — both
+    sides hash on ``o_custkey`` (the count fold and the window fold),
+    so AQE picks a co-partitioned SMJ; at this grain no side is
+    broadcastable and that is fine.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_c")
+    )
+    # shared distinct-value contraction: counts_col mode feeds the
+    # window fold, and n_orders folds from the same multiplicities
+    dv = (
+        o.groupBy("o_custkey", "price_c")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dv.groupBy("o_custkey").agg(F.sum("cnt").alias("n_orders"))
+    pcts = exact_percentiles_scalable(
+        dv,
+        "price_c",
+        (0.25, 0.5, 0.75),
+        ("__q1", "__q2", "__q3"),
+        ("o_custkey",),
+        counts_col="cnt",
+        strategy="window",
+    )
+    return stats.join(pcts, "o_custkey").select(
+        "o_custkey",
+        "n_orders",
+        *[
+            F.round(F.col(f"__q{i}") / 100.0, 6).alias(name)
+            for i, name in ((1, "p25_value"), (2, "p50_value"), (3, "p75_value"))
+        ],
+    )
+
+
+CUSTOMER_ORDER_VALUE_QUARTILES_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, {cents_sql('o_totalprice')} AS price_c FROM orders
+)
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       round(quantile_cont(price_c, 0.25) / 100.0, 6) AS p25_value,
+       round(quantile_cont(price_c, 0.50) / 100.0, 6) AS p50_value,
+       round(quantile_cont(price_c, 0.75) / 100.0, 6) AS p75_value
+FROM o GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dataset card: the one-row corpus summary published with a release
 # ---------------------------------------------------------------------------
@@ -1042,6 +1114,13 @@ PROFILING_SPECS = [
         SHIPPING_SLA_PERCENTILES_SQL,
         ("sla-delay-percentiles",),
         touched_round=7,  # r7: exact_percentiles_scalable rework
+    ),
+    QuerySpec(
+        "customer_order_value_quartiles",
+        customer_order_value_quartiles,
+        CUSTOMER_ORDER_VALUE_QUARTILES_SQL,
+        ("percentiles-high-cardinality-grain",),
+        touched_round=9,  # r9 addition: window-regime percentile query
     ),
     QuerySpec(
         "dataset_card_documents",

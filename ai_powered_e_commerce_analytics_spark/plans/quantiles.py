@@ -80,6 +80,15 @@ from .pincache import PinnedPlanCache
 # its arrangement stage.
 _ARRANGED_CACHE = PinnedPlanCache(capacity=4)
 
+#: Widest per-group range-partition span (sampled) the auto spill will
+#: hand to the per-group window plan. A group spanning S range
+#: partitions carries roughly S partitions' worth of distinct values,
+#: all of which land in ONE window task after the spill — so auto only
+#: spills when every sampled group stays a small multiple of a
+#: partition. Callers who know their widest group fits an executor
+#: force strategy="window" instead.
+_MAX_SPILL_GROUP_SPAN = 16
+
 
 def release_arranged_cache() -> None:
     """Unpersist every cached arranged frame / broadcast (best-effort).
@@ -176,8 +185,28 @@ def exact_percentiles_scalable(
         # auto does NOT silently spill there (a caller who knows the
         # largest group fits an executor can still force
         # strategy='window').
-        groups_seen = len({_gkey(r) for r in subtotals})
-        group_driven = bool(gc) and groups_seen * 4 > len(subtotals)
+        #
+        # The AVERAGE ratio alone is blind to a MIXED grain (ADVICE
+        # r8): one huge group plus many small ones averages "small",
+        # yet the window plan would put the huge group's whole
+        # distinct-value run in one task. So the spill additionally
+        # requires the WIDEST span observed in the sample to stay
+        # window-task-sized (<= _MAX_SPILL_GROUP_SPAN range
+        # partitions' worth of distinct values). Both statistics come
+        # from the ARBITRARY limit(cap+1) subset of the subtotal
+        # shuffle, so a span can only be UNDERstated when the limit
+        # truncates a group's rows — the guard is best-effort
+        # screening, not a bound; the loud-error contract for
+        # partition-driven overflow is exact only on the sample.
+        from collections import Counter
+
+        spans = Counter(_gkey(r) for r in subtotals)
+        groups_seen = len(spans)
+        group_driven = (
+            bool(gc)
+            and groups_seen * 4 > len(subtotals)
+            and max(spans.values()) <= _MAX_SPILL_GROUP_SPAN
+        )
         if strategy == "auto" and group_driven:
             # Reuse the materialized arrangement (persisted, and just
             # computed by the subtotal job) as the pre-contracted
@@ -192,10 +221,11 @@ def exact_percentiles_scalable(
         raise ValueError(
             f"exact_percentiles_scalable: grain {gc} produced more than "
             f"{max_driver_subtotals} (partition x group) subtotal rows "
-            f"({groups_seen} distinct groups in the sample) — "
+            f"({groups_seen} distinct groups in the sample, widest "
+            f"spanning {max(spans.values())} range partitions) — "
             + (
-                "the overflow is partition-driven (groups individually "
-                "span many range partitions), so auto will not spill: "
+                "the overflow is partition-driven (at least one group "
+                "spans many range partitions), so auto will not spill: "
                 "a per-group window would put each group's whole "
                 "distinct-value run in one task. Coalesce the input, "
                 "raise max_driver_subtotals, or — if the largest "

@@ -131,11 +131,16 @@ HEADLINE = [
     "ship_delay_ols_slope",
     "events_dwell_percentiles",
     "decontaminate_embedding_cosine",
+    # round-9 addition (85 -> 86; r8-comparable subset = first 85)
+    "customer_order_value_quartiles",
 ]
 
 
 def main() -> None:
     from ai_powered_e_commerce_analytics_spark.plans import query_map
+    from ai_powered_e_commerce_analytics_spark.plans.quantiles import (
+        release_arranged_cache,
+    )
     from ai_powered_e_commerce_analytics_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -153,6 +158,14 @@ def main() -> None:
         # consumption is complete.
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
+        # Broadcast hygiene (VERDICT r8): the quantile helper pins a
+        # rank-base broadcast per call; the RDD loop above covers its
+        # persisted frame but not the broadcast, whose driver-side
+        # metadata otherwise accumulates across the suite. The release
+        # destroys evicted broadcasts; safe here because the query's
+        # consumption is complete and every helper call in the NEXT
+        # iteration re-pins fresh artifacts.
+        release_arranged_cache()
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise.

@@ -88,7 +88,7 @@ def test_nulls_ignored_and_empty(spark):
     "qname",
     ["customer_revenue_pareto", "rfm_customer_segments",
      "customer_segment_scd2", "shipping_sla_percentiles",
-     "order_value_winsorized_stats"],
+     "order_value_winsorized_stats", "customer_order_value_quartiles"],
 )
 def test_percentile_trio_plan_pins(spark, sf_dir, qname):
     """The cutoff/SLA queries must keep the full-value-map exact
@@ -101,6 +101,22 @@ def test_percentile_trio_plan_pins(spark, sf_dir, qname):
     import re
 
     assert not re.search(r"(?<!approx_)\bpercentile\(", plan), qname
+
+
+def test_quartiles_query_takes_window_regime(spark, sf_dir):
+    """customer_order_value_quartiles (r9, the VERDICT r8 ask) must run
+    the WINDOW percentile regime: a Window node on the customer grain,
+    no rank-base broadcast-of-driver-state artifacts (the plan is built
+    with zero driver collects), and no mapInPandas python island."""
+    from ai_powered_e_commerce_analytics_spark.plans import registry
+
+    df = registry.query_map()["customer_order_value_quartiles"](
+        spark, sf_dir
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "mapInPandas" not in plan.lower()
+    assert "percentile(" not in plan.lower()
 
 
 def test_no_exact_percentile_aggregate_in_plan(spark, sf_dir):
@@ -247,10 +263,52 @@ def test_cache_capacity_bounds_pinned_frames(spark):
         df = spark.createDataFrame([(i + k,) for i in range(10)], "v long")
         frames.append((df, exact_percentiles_scalable(df, "v", QS, NAMES)))
     assert len(Q._ARRANGED_CACHE) == Q._ARRANGED_CACHE.capacity
-    # evicted (oldest) plans still compute correctly via lineage
-    for df, got in frames:
+    # VERDICT r8 hygiene changed the eviction contract: an evicted
+    # entry's BROADCAST is destroyed (not just unpersisted), so the
+    # evicted plans fail LOUDLY on consumption instead of silently
+    # re-running their arrangement; live entries compute exactly.
+    n_evicted = len(frames) - Q._ARRANGED_CACHE.capacity
+    for df, got in frames[n_evicted:]:
         _assert_same(got, _exact(df, "v"))
+    for df, got in frames[:n_evicted]:
+        with pytest.raises(Exception, match="(?i)broadcast"):
+            got.collect()
     Q.release_arranged_cache()
+
+
+def test_evicted_broadcasts_are_destroyed():
+    # VERDICT r8: unpersist alone leaves driver-side broadcast
+    # metadata alive until GC; eviction must also destroy items that
+    # expose destroy(), and must NOT try to destroy plain persists.
+    from ai_powered_e_commerce_analytics_spark.plans.pincache import (
+        PinnedPlanCache,
+    )
+
+    class FakeBroadcast:
+        unpersisted = destroyed = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+        def destroy(self, blocking=True):
+            assert blocking is False  # never stall eviction
+            self.destroyed = True
+
+    class FakePersist:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache = PinnedPlanCache(capacity=1)
+    df, bc = FakePersist(), FakeBroadcast()
+    cache.pin(df, bc)
+    df2, bc2 = FakePersist(), FakeBroadcast()
+    cache.pin(df2, bc2)  # evicts (df, bc)
+    assert df.unpersisted and bc.unpersisted and bc.destroyed
+    assert not df2.unpersisted and not bc2.destroyed
+    cache.release()
+    assert df2.unpersisted and bc2.unpersisted and bc2.destroyed
 
 
 def test_grain_guard_raises_on_high_cardinality(spark):
