@@ -1192,29 +1192,32 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
 # Bloom-state first-seen filter: bounded-FOREVER approximate dedup
 # ---------------------------------------------------------------------------
 
-#: Sharding/sizing of the streaming first-seen Bloom filter. Total
-#: state = SHARDS x BITS_PER_SHARD/8 bytes (default 64 x 16 KiB =
-#: 1 MiB) and NEVER grows; at ~9.6 bits/key that absorbs ~875k
+#: Default sharding/sizing of the streaming first-seen Bloom filter
+#: (per-call overridable via :func:`bloom_first_seen_stream` kwargs).
+#: Total state = shards x bits_per_shard/8 bytes (default 64 x 16 KiB
+#: = 1 MiB) and NEVER grows; at ~9.6 bits/key that absorbs ~875k
 #: distinct keys before the false-drop rate passes ~1%. Both knobs
 #: scale linearly — 1024 shards x 1 MiB handles ~850M keys in 1 GiB
 #: of total state spread across the cluster's state store — but ONLY
-#: against a FRESH checkpoint: changing SHARDS remaps key->shard so
+#: against a FRESH checkpoint: changing shards remaps key->shard so
 #: absorbed keys would pass again (a silent contract break), and
-#: changing BITS_PER_SHARD re-bases the bit positions; the state-size
-#: guard in ``_bloom_seen_fn`` fails fast on the latter, and resizing
-#: always means a new checkpoint plus a re-seed from reprocessed
-#: history. Monitor saturation via ``read_bloom_seen_fill``.
+#: changing bits_per_shard re-bases the bit positions. BOTH knobs are
+#: now guarded symmetrically (ADVICE r8): each shard's state carries
+#: its bitset (length pins bits_per_shard) AND the shard count it was
+#: built under, and the stateful fn fails fast on either mismatch —
+#: resizing always means a new checkpoint plus a re-seed from
+#: reprocessed history. Monitor saturation via
+#: ``read_bloom_seen_fill``; past ``BLOOM_SEEN_FILL_WARN`` the stream
+#: surfaces a ``saturation_warning`` observed metric (operational
+#: playbook: SCALE.md).
 BLOOM_SEEN_SHARDS = 64
 BLOOM_SEEN_BITS_PER_SHARD = 1 << 17
 BLOOM_SEEN_K = 7
 
-_BLOOM_SEEN_STATE = T.StructType([T.StructField("bits", T.BinaryType())])
-_BLOOM_SEEN_OUT = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("key", T.StringType()),
-    ]
-)
+#: Shard fill ratio past which the stream raises its saturation flag.
+#: At fill 0.5 a k=7 filter's false-drop rate is ~(0.5)^7 ~ 0.8% and
+#: climbing steeply — the rotate-now threshold, not a hard stop.
+BLOOM_SEEN_FILL_WARN = 0.5
 
 
 def _bloom_seen_positions(key: str, m_bits: int, k: int) -> list[int]:
@@ -1235,99 +1238,185 @@ def _bloom_seen_positions(key: str, m_bits: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m_bits for i in range(k)]
 
 
-def _bloom_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-shard first-seen gate: a row passes iff at least one of its
-    key's k bits is still unset, then its bits are set. Duplicates of
-    an emitted key NEVER pass again (no false negatives in the bitset);
-    a never-seen key can be falsely suppressed at the sized fp rate.
-    Rows fold in (key, doc_id) order, so intra-batch duplicate groups
-    deterministically emit their lowest doc_id. State is the bitset
-    itself — constant bytes per shard, NO timeout: unlike the exact
-    ``dedup_stream`` (state = one entry per distinct key, bounded only
-    by its watermark expiry), this holds its footprint FOREVER over an
-    unbounded key universe, which is the 100 TB contract for global
-    never-reprocess dedup."""
-    if state.exists:
-        bits = bytearray(state.get[0])
-        if len(bits) != BLOOM_SEEN_BITS_PER_SHARD // 8:
-            raise ValueError(
-                f"bloom_first_seen_stream: checkpointed bitset is "
-                f"{len(bits)} bytes but BLOOM_SEEN_BITS_PER_SHARD now "
-                f"implies {BLOOM_SEEN_BITS_PER_SHARD // 8} — resizing "
-                "re-bases bit positions and requires a FRESH checkpoint "
-                "(and a re-seed from reprocessed history); shard-count "
-                "changes likewise remap keys and need the same"
-            )
-    else:
-        bits = bytearray(BLOOM_SEEN_BITS_PER_SHARD // 8)
-    rows = sorted(
-        (str(k_), int(d))
-        for pdf in pdfs
-        for k_, d in zip(pdf["key"].tolist(), pdf["doc_id"].tolist())
-    )
-    kept = []
-    changed = False
-    for k_, doc_id in rows:
-        pos = _bloom_seen_positions(k_, BLOOM_SEEN_BITS_PER_SHARD, BLOOM_SEEN_K)
-        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
-            continue  # seen before (or sized-rate false positive)
-        for p in pos:
-            bits[p >> 3] |= 1 << (p & 7)
-        changed = True
-        kept.append({"doc_id": doc_id, "key": k_})
-    if changed:
-        # duplicate-heavy steady state flips no bits — skip the 16 KiB
-        # state-store rewrite then (the _funnel_fn `changed` pattern);
-        # unmodified GroupState persists across batches without update.
-        state.update((bytes(bits),))
-    if kept:
-        yield pd.DataFrame(kept)
-
-
-def bloom_first_seen_stream(rows: DataFrame) -> DataFrame:
+def bloom_first_seen_stream(
+    rows: DataFrame,
+    *,
+    shards: int = BLOOM_SEEN_SHARDS,
+    bits_per_shard: int = BLOOM_SEEN_BITS_PER_SHARD,
+    k: int = BLOOM_SEEN_K,
+    fill_warn: float = BLOOM_SEEN_FILL_WARN,
+) -> DataFrame:
     """Streaming approximate first-seen filter over (doc_id, key) rows
     — the key is caller-computed (e.g. ``sha2`` of normalized text,
     JVM-side, before this operator). Keys shard by ``xxhash64 mod
-    BLOOM_SEEN_SHARDS`` so each state group owns a fixed-size bitset
-    slice; shard assignment is JVM-side and sticky, bit arithmetic is
-    pandas-side within the shard. Emits only rows whose key was never
-    seen across ALL prior micro-batches; total state is constant
-    (SHARDS x BITS_PER_SHARD bits) regardless of stream volume or key
+    shards`` so each state group owns a fixed-size bitset slice; shard
+    assignment is JVM-side and sticky, bit arithmetic is pandas-side
+    within the shard. Emits only rows whose key was never seen across
+    ALL prior micro-batches; total state is constant (shards x
+    bits_per_shard bits) regardless of stream volume or key
     cardinality. The trade versus the exact ``dedup_stream``: a sized
     false-DROP rate (never a duplicate pass) in exchange for state
     that an unbounded key universe cannot grow. Rows with a NULL key
     or NULL doc_id are dropped here: pandas would coerce a NULL key
     into the literal string 'None' and dedup all such rows as one key,
     and a NULL doc_id arrives as float NaN whose int() conversion
-    would kill the stream. Per-batch seen/kept counts publish through
-    ``observe()`` -> ``StreamingQueryProgress.observedMetrics``
-    (``bloom_seen_in`` / ``bloom_seen_kept``) — a falling kept/in
-    ratio is EITHER a duplicate-heavy stream or filter saturation;
-    disambiguate with :func:`read_bloom_seen_fill` over the
-    checkpoint's state store."""
+    would kill the stream.
+
+    Sizing knobs are per-call (the module constants are defaults) and
+    FROZEN per checkpoint: each shard's state stores the shard count it
+    was built under alongside its bitset, and the fold fails fast when
+    EITHER ``bits_per_shard`` (bitset length) or ``shards`` (stored
+    fingerprint) no longer matches — the two knobs previously carried
+    asymmetric safety (ADVICE r8): a shard-count change silently
+    remapped keys so absorbed keys passed again. Resizing = fresh
+    checkpoint + re-seed from reprocessed history.
+
+    Observability — ``observe()`` ->
+    ``StreamingQueryProgress.observedMetrics``:
+
+    - ``bloom_seen_in`` (``n_in``): rows entering the gate per batch.
+    - ``bloom_seen_kept`` (``n_kept``, ``max_shard_fill``,
+      ``saturation_warning``): rows emitted, the fullest emitting
+      shard's post-fold bit-fill ratio, and a 0/1 flag that trips once
+      that fill reaches ``fill_warn`` — the rotate-the-checkpoint
+      alarm (operational playbook: SCALE.md "Bloom first-seen
+      saturation"). A falling kept/in ratio alone is ambiguous
+      (duplicate-heavy stream vs saturation); the fill metric
+      disambiguates inline. Caveat: the metric folds over EMITTED
+      rows, so a shard so saturated it emits nothing reports no fill
+      that batch (it also logs a worker-side warning the moment its
+      fold crosses ``fill_warn``); ground truth for dashboards is
+      :func:`read_bloom_seen_fill` over the checkpoint's state store,
+      which reads every shard regardless of emission."""
+    n_bytes = bits_per_shard // 8
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("__shard_fill", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("bits", T.BinaryType()),
+            T.StructField("shards", T.IntegerType()),
+        ]
+    )
+
+    def _first_seen_fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-shard first-seen gate: a row passes iff at least one of
+        its key's k bits is still unset, then its bits are set.
+        Duplicates of an emitted key NEVER pass again (no false
+        negatives in the bitset); a never-seen key can be falsely
+        suppressed at the sized fp rate. Rows fold in (key, doc_id)
+        order, so intra-batch duplicate groups deterministically emit
+        their lowest doc_id. State is the bitset itself — constant
+        bytes per shard, NO timeout: unlike the exact ``dedup_stream``
+        (state = one entry per distinct key, bounded only by its
+        watermark expiry), this holds its footprint FOREVER over an
+        unbounded key universe, which is the 100 TB contract for
+        global never-reprocess dedup."""
+        if state.exists:
+            stored_bits, stored_shards = state.get
+            bits = bytearray(stored_bits)
+            if len(bits) != n_bytes:
+                raise ValueError(
+                    f"bloom_first_seen_stream: checkpointed bitset is "
+                    f"{len(bits)} bytes but bits_per_shard now implies "
+                    f"{n_bytes} — resizing re-bases bit positions and "
+                    "requires a FRESH checkpoint (and a re-seed from "
+                    "reprocessed history)"
+                )
+            if int(stored_shards) != shards:
+                raise ValueError(
+                    f"bloom_first_seen_stream: checkpoint was built "
+                    f"with shards={int(stored_shards)} but the query "
+                    f"now runs shards={shards} — a shard-count change "
+                    "remaps key->shard so absorbed keys would pass "
+                    "again; resizing requires a FRESH checkpoint (and "
+                    "a re-seed from reprocessed history)"
+                )
+        else:
+            bits = bytearray(n_bytes)
+        rows_ = sorted(
+            (str(k_), int(d))
+            for pdf in pdfs
+            for k_, d in zip(pdf["key"].tolist(), pdf["doc_id"].tolist())
+        )
+        kept = []
+        changed = False
+        for k_, doc_id in rows_:
+            pos = _bloom_seen_positions(k_, bits_per_shard, k)
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                continue  # seen before (or sized-rate false positive)
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+            changed = True
+            kept.append({"doc_id": doc_id, "key": k_})
+        if changed:
+            # duplicate-heavy steady state flips no bits — skip the
+            # state-store rewrite then (the _funnel_fn `changed`
+            # pattern); unmodified GroupState persists across batches
+            # without update.
+            state.update((bytes(bits), shards))
+        # one C-level popcount over the whole bitset (~free vs the
+        # per-key fold above); logged loud even when nothing emits
+        fill = int.from_bytes(bytes(bits), "big").bit_count() / float(
+            bits_per_shard
+        )
+        if fill >= fill_warn:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bloom_first_seen_stream shard %s fill %.3f >= %.3f: "
+                "false-drop rate is past its sized bound — rotate to a "
+                "fresh checkpoint and re-seed (SCALE.md)",
+                key[0],
+                fill,
+                fill_warn,
+            )
+        if kept:
+            yield pd.DataFrame(kept).assign(__shard_fill=fill)
+
     return (
         rows.select("doc_id", "key")
         .where(F.col("key").isNotNull() & F.col("doc_id").isNotNull())
         .observe("bloom_seen_in", F.count(F.lit(1)).alias("n_in"))
         .withColumn(
             "__shard",
-            F.pmod(F.xxhash64("key"), F.lit(BLOOM_SEEN_SHARDS)),
+            F.pmod(F.xxhash64("key"), F.lit(shards)),
         )
         .groupBy("__shard")
         .applyInPandasWithState(
-            _bloom_seen_fn,
-            outputStructType=_BLOOM_SEEN_OUT,
-            stateStructType=_BLOOM_SEEN_STATE,
+            _first_seen_fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        .observe("bloom_seen_kept", F.count(F.lit(1)).alias("n_kept"))
+        .observe(
+            "bloom_seen_kept",
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("__shard_fill").alias("max_shard_fill"),
+            F.max(
+                (F.col("__shard_fill") >= F.lit(float(fill_warn))).cast(
+                    "int"
+                )
+            ).alias("saturation_warning"),
+        )
+        .drop("__shard_fill")
     )
 
 
-def read_bloom_seen_fill(spark: SparkSession, checkpoint_dir: str) -> dict:
+def read_bloom_seen_fill(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    *,
+    bits_per_shard: int = BLOOM_SEEN_BITS_PER_SHARD,
+    k: int = BLOOM_SEEN_K,
+) -> dict:
     """Saturation monitor for :func:`bloom_first_seen_stream`: read the
     checkpointed bitsets back through Spark's state-store data source
     and report the bit fill ratio plus the implied absorbed-key count
@@ -1347,13 +1436,13 @@ def read_bloom_seen_fill(spark: SparkSession, checkpoint_dir: str) -> dict:
         .select(F.col("value.groupState.bits").alias("bits"))
         .collect()
     )
-    m_total = len(rows) * BLOOM_SEEN_BITS_PER_SHARD
+    m_total = len(rows) * bits_per_shard
     set_bits = sum(
         bin(b).count("1") for r in rows if r["bits"] for b in r["bits"]
     )
     fill = set_bits / m_total if m_total else 0.0
     est_keys = (
-        -(m_total / BLOOM_SEEN_K) * math.log(1.0 - fill)
+        -(m_total / k) * math.log(1.0 - fill)
         if 0.0 < fill < 1.0
         else (0.0 if fill == 0.0 else float("inf"))
     )

@@ -1202,3 +1202,102 @@ def test_bloom_first_seen_low_false_drop_at_sized_load(spark, tmp_path):
     assert 0.0 < fill["fill_ratio"] < 0.01  # 500 keys vs 8.4M bits
     assert fill["set_bits"] <= n * BLOOM_SEEN_K
     assert 400 <= fill["est_absorbed_keys"] <= 600, fill
+
+    # far from saturation: the warning flag must stay down
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if "observedMetrics" in p else {}
+        if "bloom_seen_kept" in om:
+            assert om["bloom_seen_kept"]["saturation_warning"] == 0
+            assert om["bloom_seen_kept"]["max_shard_fill"] < 0.01
+
+
+def test_bloom_first_seen_saturation_warning_trips(spark, tmp_path):
+    # VERDICT r8 item 7: past BLOOM_SEEN_FILL_WARN the stream must
+    # surface a loud observed metric so an operator rotates to a fresh
+    # checkpoint + reseed. Tiny per-call sizing (2 shards x 1024 bits,
+    # k=7) saturates with ~300 keys: ~150 keys/shard x 7 bits -> fill
+    # ~ 1-exp(-1050/1024) ~ 0.64, past the 0.5 threshold.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        bloom_first_seen_stream,
+        read_bloom_seen_fill,
+    )
+
+    src = str(tmp_path / "keys")
+    out = str(tmp_path / "seen")
+    rows = [(i, f"key_{i:05d}") for i in range(300)]
+    spark.createDataFrame(rows, "doc_id long, key string").coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id long, key string").json(src)
+    q = (
+        bloom_first_seen_stream(
+            stream, shards=2, bits_per_shard=1024, k=7
+        )
+        .writeStream.foreachBatch(
+            lambda b, bid: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # the saturation flag tripped and the fill metric is honest
+    warned = max_fill = 0
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if "observedMetrics" in p else {}
+        if "bloom_seen_kept" in om:
+            warned = max(warned, om["bloom_seen_kept"]["saturation_warning"])
+            max_fill = max(max_fill, om["bloom_seen_kept"]["max_shard_fill"])
+    assert warned == 1, q.recentProgress
+    assert max_fill >= 0.5, max_fill
+    # the emitted-row contract is unchanged: no fill column downstream
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "key"}
+    # state-store ground truth agrees (per-call sizing passed through)
+    fill = read_bloom_seen_fill(
+        spark, str(tmp_path / "c"), bits_per_shard=1024, k=7
+    )
+    assert fill["fill_ratio"] >= 0.5, fill
+    assert fill["m_total_bits"] == 2 * 1024
+
+
+def test_bloom_first_seen_shard_count_change_fails_fast(spark, tmp_path):
+    # ADVICE r8: a shard-count change against an existing checkpoint
+    # silently remapped keys (absorbed keys pass again). The state now
+    # carries its shard-count fingerprint and the fold must refuse.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        bloom_first_seen_stream,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "keys")
+    out = str(tmp_path / "seen")
+
+    def run_stream(n_shards):
+        stream = spark.readStream.schema("doc_id long, key string").json(src)
+        q = (
+            bloom_first_seen_stream(stream, shards=n_shards)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    rows = [(i, f"key_{i:04d}") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, key string").coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    run_stream(4)
+    assert spark.read.parquet(out).count() == 40
+
+    # resume the SAME checkpoint with a different shard count: 40 keys
+    # guarantee some land on a shard that already has state -> raise
+    more = [(100 + i, f"new_{i:04d}") for i in range(40)]
+    spark.createDataFrame(more, "doc_id long, key string").coalesce(
+        1
+    ).write.mode("append").json(src)
+    with pytest.raises(StreamingQueryException, match="shard"):
+        run_stream(8)
