@@ -380,6 +380,125 @@ WHERE abs(round(({cents_sql('o_totalprice')}::DOUBLE - st.mean_c) / st.std_c, 6)
 """
 
 
+#: Iglewicz-Hosmer modified-z cutoff (|0.6745 * (x - median) / MAD|).
+MAD_Z_THRESHOLD = 3.5
+
+
+def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per order priority: median, MAD (median
+    absolute deviation), and the count/share of orders whose
+    modified z-score ``0.6745 * (x - median) / MAD`` exceeds 3.5 —
+    the Iglewicz-Hosmer robust twin of
+    :func:`order_value_outliers_zscore`. Mean/std flagging breaks down
+    exactly when it matters (the contamination inflates the std it is
+    measured against); median and MAD have a 50% breakdown point.
+
+    Plan — two composed :func:`exact_percentiles_scalable` passes over
+    ONE corpus scan (plans/quantiles.py; the 100 TB-safe order
+    statistics, never the full-value-map ``percentile`` aggregate):
+    the (priority, price) distinct-value contraction is checkpointed
+    once and feeds (1) the per-group median, (2) the deviation
+    contraction ``|price - median|`` — contraction-sized, NOT a second
+    fact scan — whose median is the MAD, and (3) the final fold, where
+    the two 5-row cutoff frames broadcast back onto the contraction
+    and outlier counts fold from multiplicities. The facts are scanned
+    once and never re-shuffled.
+
+    Determinism: prices are exact integer cents; the medians
+    interpolate at frac 0/0.5 (exact in double), so deviations and the
+    modified z evaluate the identical IEEE chain in both engines —
+    the raw-z threshold comparison is bit-stable cross-engine.
+    """
+    x = cents("o_totalprice")
+    dv = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", x.alias("price_c"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # each cutoff frame is O(groups) rows but its helper SUBTREE is
+    # contraction-sized; med is consumed twice (deviations + final
+    # fold) and an uncheckpointed reference would clone the whole
+    # subtree into the plan — eager-checkpoint the 5-row results so
+    # each helper pass executes exactly once
+    med = exact_percentiles_scalable(
+        dv, "price_c", (0.5,), ("med_c",), ("o_orderpriority",),
+        counts_col="cnt",
+    ).localCheckpoint(eager=True)
+    devs = (
+        dv.join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.abs(F.col("price_c").cast("double") - F.col("med_c")).alias(
+                "dev_c"
+            ),
+            "cnt",
+        )
+        # re-contract: median±d collide on the same deviation value,
+        # and the helper's counts_col contract is one row per
+        # (group, value)
+        .groupBy("o_orderpriority", "dev_c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = exact_percentiles_scalable(
+        devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
+        counts_col="cnt",
+    ).localCheckpoint(eager=True)
+    zmod = (
+        F.lit(0.6745)
+        * (F.col("price_c").cast("double") - F.col("med_c"))
+        / F.col("mad_c")
+    )
+    return (
+        dv.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.round(F.max("med_c") / 100.0, 6).alias("median_value"),
+            F.round(F.max("mad_c") / 100.0, 6).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.abs(zmod) > MAD_Z_THRESHOLD, F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.col("n_outliers").cast("double") / F.col("n_orders"),
+        )
+    )
+
+
+ORDER_VALUE_MAD_OUTLIERS_SQL = f"""
+WITH o AS (
+    SELECT o_orderpriority, {cents_sql('o_totalprice')} AS price_c
+    FROM orders
+),
+med AS (
+    SELECT o_orderpriority, quantile_cont(price_c, 0.5) AS med_c
+    FROM o GROUP BY 1
+),
+mad AS (
+    SELECT o.o_orderpriority,
+           quantile_cont(abs(o.price_c::DOUBLE - m.med_c), 0.5) AS mad_c
+    FROM o JOIN med m USING (o_orderpriority) GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(any_value(m.med_c) / 100.0, 6) AS median_value,
+       round(any_value(d.mad_c) / 100.0, 6) AS mad_value,
+       sum((abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
+            > {MAD_Z_THRESHOLD})::INT)::BIGINT AS n_outliers,
+       sum((abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
+            > {MAD_Z_THRESHOLD})::INT)::DOUBLE / count(*) AS outlier_rate
+FROM o
+JOIN med m USING (o_orderpriority)
+JOIN mad d USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # RFM customer segmentation (recency / frequency / monetary quartiles)
 # ---------------------------------------------------------------------------
@@ -1136,6 +1255,9 @@ ANALYTICS_SPECS = [
               CUSTOMERS_1996_ONLY_SQL, ("set-except",)),
     QuerySpec("order_value_outliers_zscore", order_value_outliers_zscore,
               ORDER_VALUE_OUTLIERS_SQL, ("grouped-zscore-outliers",)),
+    QuerySpec("order_value_mad_outliers", order_value_mad_outliers,
+              ORDER_VALUE_MAD_OUTLIERS_SQL, ("robust-mad-outliers",),
+              touched_round=9),  # r9 addition: composed-percentile robust stats
     QuerySpec("rfm_customer_segments", rfm_customer_segments,
               RFM_CUSTOMER_SEGMENTS_SQL, ("rfm-quartile-segmentation",),
               touched_round=7),  # r7: exact_percentiles_scalable rework

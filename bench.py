@@ -131,8 +131,9 @@ HEADLINE = [
     "ship_delay_ols_slope",
     "events_dwell_percentiles",
     "decontaminate_embedding_cosine",
-    # round-9 addition (85 -> 86; r8-comparable subset = first 85)
+    # round-9 additions (85 -> 87; r8-comparable subset = first 85)
     "customer_order_value_quartiles",
+    "order_value_mad_outliers",
 ]
 
 

@@ -88,7 +88,8 @@ def test_nulls_ignored_and_empty(spark):
     "qname",
     ["customer_revenue_pareto", "rfm_customer_segments",
      "customer_segment_scd2", "shipping_sla_percentiles",
-     "order_value_winsorized_stats", "customer_order_value_quartiles"],
+     "order_value_winsorized_stats", "customer_order_value_quartiles",
+     "order_value_mad_outliers"],
 )
 def test_percentile_trio_plan_pins(spark, sf_dir, qname):
     """The cutoff/SLA queries must keep the full-value-map exact

@@ -19,22 +19,35 @@ def test_registry_names_unique_and_complete():
     assert len(names) >= 150
 
 
-def test_verified_sets_partition_registry():
-    """r5/r6/r7 driver sets are disjoint and (with never-checked
-    additions) cover the registry — precondition for _last_verified_round
-    returning the true most-recent round."""
-    r5, r6, r7 = (
-        registry._R5_DRIVER_VERIFIED,
-        registry._R6_DRIVER_VERIFIED,
-        registry._R7_DRIVER_VERIFIED,
-    )
-    assert not (r5 & r6) and not (r5 & r7) and not (r6 & r7)
+def test_last_verified_round_is_true_maximum():
+    """``_last_verified_round`` must return the MOST RECENT round whose
+    driver set holds the query — re-certification keeps a name in its
+    older sets (r8 re-certified 40 r5 rows without pruning _R5), so the
+    sets legitimately overlap and the function's newest-first check
+    order carries the invariant. Enumerated generically over every
+    ``_R{N}_DRIVER_VERIFIED`` attribute so a new round's set joins the
+    invariant the moment it is added (an r5/r6/r7-literal disjointness
+    version of this test silently aged out when r8 landed)."""
+    import re
+
+    by_round = {
+        int(m.group(1)): getattr(registry, a)
+        for a in dir(registry)
+        if (m := re.fullmatch(r"_R(\d+)_DRIVER_VERIFIED", a))
+    }
+    assert len(by_round) >= 4
     names = {q.name for q in registry.QUERIES}
-    never = names - r5 - r6 - r7
+    seen = set().union(*by_round.values())
     # every verified name still exists in the registry
-    assert (r5 | r6 | r7) <= names
-    # never-checked queries are exactly the post-r7 additions and all
-    # sit at the head of the rotation
+    assert seen <= names
+    for n in names:
+        rounds = [r for r, s in by_round.items() if n in s]
+        assert registry._last_verified_round(n) == (
+            max(rounds) if rounds else 0
+        ), n
+    # never-checked queries (new additions plus any fixed-after-error
+    # re-entries) all sit at the head of the rotation
+    never = names - seen
     head = {q.name for q in registry.QUERIES[: len(never)]}
     assert never == head or not never
 
