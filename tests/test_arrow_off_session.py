@@ -41,6 +41,12 @@ DRIVER_FRAME_QUERIES = [
     "item_id_assignment_ranged",
     "pool_assignment",
     "batch_assignment",
+    # r9 additions: order_value_mad_outliers composes two range-path
+    # helper calls (two rank-target frames); the quartiles query takes
+    # the window path (no driver frame) and rides along as the
+    # regression canary for that regime
+    "order_value_mad_outliers",
+    "customer_order_value_quartiles",
 ]
 
 
