@@ -378,6 +378,102 @@ FROM scored
 """
 
 
+#: EWMA smoothing factor — 0.25 is exact in binary, so the recurrence
+#: literals (0.25 / 0.75) are the same doubles in both engines.
+_EWMA_ALPHA = 0.25
+
+
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue — the
+    smoothing an ops dashboard overlays on the raw series (trend
+    without the 7-day window's lag cliff).
+
+    The EWMA is a SEQUENTIAL recurrence (``s_t = a*x_t + (1-a)*s_{t-1}``)
+    — there is no shuffle-parallel form that produces the same doubles,
+    and the closed-form power expansion folds in a different order
+    (different floats, cross-engine hash breaks). The scale answer is
+    the same as the trailing-zscore family's documented contract: ONE
+    corpus-grain groupBy contracts to the O(days) series, and the
+    recurrence runs as a driver-free higher-order ``aggregate`` fold
+    over the sorted day array in a single task — thousands of rows at
+    ANY corpus scale, with the corpus itself only ever partial-agged.
+    The DuckDB oracle runs the identical recurrence via a recursive
+    CTE; both sides evaluate literally ``0.25 * x + 0.75 * prev``, so
+    the fold is bit-identical step by step.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            cents("o_totalprice").alias("c"),
+        )
+        .groupBy("o_date")
+        .agg(F.sum("c").alias("day_c"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("o_date", "day_c"))).alias("s")
+    )
+    a = F.lit(_EWMA_ALPHA)
+    b = F.lit(1.0 - _EWMA_ALPHA)
+
+    def step(acc, x):
+        ewma = F.when(
+            F.size(acc) == 0, x["day_c"].cast("double")
+        ).otherwise(
+            a * x["day_c"].cast("double") + b * F.element_at(acc, -1)["e"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["o_date"].alias("o_date"),
+                    x["day_c"].alias("day_c"),
+                    ewma.alias("e"),
+                )
+            ),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            "s",
+            F.expr(
+                "CAST(array() AS "
+                "array<struct<o_date:string, day_c:bigint, e:double>>)"
+            ),
+            step,
+        ).alias("f")
+    )
+    r = F.col("r")
+    return folded.select(F.explode("f").alias("r")).select(
+        r["o_date"].alias("o_date"),
+        (r["day_c"].cast("double") / F.lit(100.0)).alias("revenue"),
+        F.round(r["e"] / 100.0, 6).alias("ewma_revenue"),
+    )
+
+
+DAILY_REVENUE_EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           sum({cents_sql('o_totalprice')})::BIGINT AS day_c
+    FROM orders GROUP BY 1
+),
+ordered AS (
+    SELECT o_date, day_c, row_number() OVER (ORDER BY o_date) AS rn
+    FROM daily
+),
+ewma AS (
+    SELECT o_date, day_c, rn, day_c::DOUBLE AS e FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.o_date, o.day_c, o.rn,
+           {_EWMA_ALPHA} * o.day_c::DOUBLE + {1.0 - _EWMA_ALPHA} * p.e
+    FROM ordered o JOIN ewma p ON o.rn = p.rn + 1
+)
+SELECT o_date, day_c::DOUBLE / 100.0 AS revenue,
+       round(e / 100.0, 6) AS ewma_revenue
+FROM ewma
+"""
+
+
 # ---------------------------------------------------------------------------
 # Equi-width value histogram (BI distribution strip)
 # ---------------------------------------------------------------------------
@@ -768,6 +864,78 @@ FROM classes CROSS JOIN tot
 """
 
 
+#: Minimum distinct sensitive values per equivalence class before the
+#: class leaks the attribute by membership alone.
+L_DIVERSITY_THRESHOLD = 3
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of
+    :func:`customer_k_anonymity`: a class can be large (k-anonymous)
+    yet have every member share one sensitive value, so membership
+    alone discloses it. Quasi-identifier (nation, market segment);
+    sensitive attribute: the account-balance wealth band
+    (``floor(acctbal / 1000)``). Per class: size, distinct-band count
+    (the class's l), an at-risk flag under ``L_DIVERSITY_THRESHOLD``,
+    and the table-wide minimum l (the release gate number).
+
+    Scale shape: the (quasi-id, band) groupBy IS the distinct
+    contraction — bounded by classes x bands, so the per-class
+    distinct count folds from contraction row counts with NO
+    count(distinct) Expand and no second corpus shuffle; the 1-row
+    global min broadcasts back.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # exact band edges: integer cents / 100000.0 is the identical
+        # IEEE divide-then-floor in both engines (acctbal can be
+        # negative; floor, not truncation, so -0.5 lands in band -1)
+        F.floor(cents("c_acctbal") / F.lit(100000.0))
+        .cast("long")
+        .alias("wealth_band"),
+    )
+    contracted = c.groupBy(
+        "c_nationkey", "c_mktsegment", "wealth_band"
+    ).agg(F.count("*").alias("cnt"))
+    classes = contracted.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("l_diversity"),
+        F.sum("cnt").alias("class_size"),
+    )
+    overall = classes.agg(F.min("l_diversity").alias("min_l"))
+    return classes.crossJoin(F.broadcast(overall)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_diversity",
+        (F.col("l_diversity") < L_DIVERSITY_THRESHOLD).alias("at_risk"),
+        "min_l",
+    )
+
+
+CUSTOMER_L_DIVERSITY_SQL = f"""
+WITH banded AS (
+    SELECT c_nationkey, c_mktsegment,
+           floor({cents_sql('c_acctbal')} / 100000.0)::BIGINT AS wealth_band
+    FROM customer
+),
+contracted AS (
+    SELECT c_nationkey, c_mktsegment, wealth_band, count(*)::BIGINT AS cnt
+    FROM banded GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           count(*)::BIGINT AS l_diversity,
+           sum(cnt)::BIGINT AS class_size
+    FROM contracted GROUP BY 1, 2
+),
+overall AS (SELECT min(l_diversity)::BIGINT AS min_l FROM classes)
+SELECT c_nationkey, c_mktsegment, class_size, l_diversity,
+       l_diversity < {L_DIVERSITY_THRESHOLD} AS at_risk, min_l
+FROM classes CROSS JOIN overall
+"""
+
+
 # ---------------------------------------------------------------------------
 # Revenue concentration: Pareto deciles + Herfindahl index
 # ---------------------------------------------------------------------------
@@ -1133,6 +1301,20 @@ PROFILING_SPECS = [
         customer_k_anonymity,
         CUSTOMER_K_ANONYMITY_SQL,
         ("privacy-k-anonymity",),
+    ),
+    QuerySpec(
+        "customer_l_diversity",
+        customer_l_diversity,
+        CUSTOMER_L_DIVERSITY_SQL,
+        ("privacy-l-diversity",),
+        touched_round=9,  # r9 addition
+    ),
+    QuerySpec(
+        "daily_revenue_ewma",
+        daily_revenue_ewma,
+        DAILY_REVENUE_EWMA_SQL,
+        ("ewma-sequential-recurrence",),
+        touched_round=9,  # r9 addition
     ),
     QuerySpec(
         "customer_revenue_pareto",

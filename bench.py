@@ -131,9 +131,11 @@ HEADLINE = [
     "ship_delay_ols_slope",
     "events_dwell_percentiles",
     "decontaminate_embedding_cosine",
-    # round-9 additions (85 -> 87; r8-comparable subset = first 85)
+    # round-9 additions (85 -> 89; r8-comparable subset = first 85)
     "customer_order_value_quartiles",
     "order_value_mad_outliers",
+    "customer_l_diversity",
+    "daily_revenue_ewma",
 ]
 
 
