@@ -444,11 +444,17 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
         counts_col="cnt",
     ).localCheckpoint(eager=True)
+    # Degenerate-group guard (code review r9): when >=50% of a group
+    # shares one exact price, MAD = 0 and the modified z is undefined
+    # (x/0 is NULL under non-ANSI Spark but NULL-poisons DuckDB's sum
+    # differently). Both engines explicitly flag nothing for MAD = 0
+    # groups, keeping the cross-engine contract total.
     zmod = (
         F.lit(0.6745)
         * (F.col("price_c").cast("double") - F.col("med_c"))
         / F.col("mad_c")
     )
+    is_outlier = (F.col("mad_c") > 0) & (F.abs(zmod) > MAD_Z_THRESHOLD)
     return (
         dv.join(F.broadcast(med), "o_orderpriority")
         .join(F.broadcast(mad), "o_orderpriority")
@@ -458,9 +464,7 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("med_c") / 100.0, 6).alias("median_value"),
             F.round(F.max("mad_c") / 100.0, 6).alias("mad_value"),
             F.sum(
-                F.when(
-                    F.abs(zmod) > MAD_Z_THRESHOLD, F.col("cnt")
-                ).otherwise(F.lit(0))
+                F.when(is_outlier, F.col("cnt")).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
         .withColumn(
@@ -488,10 +492,12 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_orders,
        round(any_value(m.med_c) / 100.0, 6) AS median_value,
        round(any_value(d.mad_c) / 100.0, 6) AS mad_value,
-       sum((abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
-            > {MAD_Z_THRESHOLD})::INT)::BIGINT AS n_outliers,
-       sum((abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
-            > {MAD_Z_THRESHOLD})::INT)::DOUBLE / count(*) AS outlier_rate
+       sum((d.mad_c > 0
+            AND abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
+                > {MAD_Z_THRESHOLD})::INT)::BIGINT AS n_outliers,
+       sum((d.mad_c > 0
+            AND abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
+                > {MAD_Z_THRESHOLD})::INT)::DOUBLE / count(*) AS outlier_rate
 FROM o
 JOIN med m USING (o_orderpriority)
 JOIN mad d USING (o_orderpriority)

@@ -74,11 +74,14 @@ from .pincache import PinnedPlanCache
 
 # Each call pins its arranged frame + rank-base broadcast for the life
 # of the returned (lazy) plan. Bounded keyed cache (see pincache.py):
-# up to 4 in-flight helper plans coexist — the r7 single-slot version
-# silently evicted a sibling's persist mid-use (ADVICE r7). An EVICTED
-# plan still computes correctly (lineage survives); it just re-runs
-# its arrangement stage.
-_ARRANGED_CACHE = PinnedPlanCache(capacity=4)
+# in-flight helper plans coexist up to capacity — the r7 single-slot
+# version silently evicted a sibling's persist mid-use (ADVICE r7).
+# Since r9 eviction DESTROYS broadcasts (pincache.py contract), so an
+# evicted-then-executed plan fails loudly instead of silently
+# re-running its arrangement; capacity 8 leaves headroom for
+# composition-style queries that pin several entries per construction
+# (order_value_mad_outliers pins two) before any is consumed.
+_ARRANGED_CACHE = PinnedPlanCache(capacity=8)
 
 #: Widest per-group range-partition span (sampled) the auto spill will
 #: hand to the per-group window plan. A group spanning S range

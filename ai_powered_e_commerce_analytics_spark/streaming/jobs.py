@@ -1287,7 +1287,28 @@ def bloom_first_seen_stream(
       that batch (it also logs a worker-side warning the moment its
       fold crosses ``fill_warn``); ground truth for dashboards is
       :func:`read_bloom_seen_fill` over the checkpoint's state store,
-      which reads every shard regardless of emission."""
+      which reads every shard regardless of emission.
+
+    Upgrade note: this state layout (v2: ``bits`` + ``shards``) is not
+    readable from a v1 single-field checkpoint — Spark's state-schema
+    compatibility check refuses the added field — so upgrading an
+    in-flight v1 stream also takes the rotate-and-reseed path even
+    with unchanged sizing.
+    """
+    if shards <= 0:
+        raise ValueError(
+            f"bloom_first_seen_stream: shards={shards} must be positive "
+            "(pmod against 0 would NULL every shard key)"
+        )
+    if bits_per_shard <= 0 or bits_per_shard % 8:
+        raise ValueError(
+            f"bloom_first_seen_stream: bits_per_shard={bits_per_shard} "
+            "must be a positive multiple of 8 — positions are computed "
+            "mod bits_per_shard but stored in bits_per_shard//8 bytes, "
+            "so a remainder would index past the bitset mid-stream"
+        )
+    if k <= 0:
+        raise ValueError(f"bloom_first_seen_stream: k={k} must be positive")
     n_bytes = bits_per_shard // 8
     out_schema = T.StructType(
         [
@@ -1414,7 +1435,6 @@ def read_bloom_seen_fill(
     spark: SparkSession,
     checkpoint_dir: str,
     *,
-    bits_per_shard: int = BLOOM_SEEN_BITS_PER_SHARD,
     k: int = BLOOM_SEEN_K,
 ) -> dict:
     """Saturation monitor for :func:`bloom_first_seen_stream`: read the
@@ -1436,7 +1456,11 @@ def read_bloom_seen_fill(
         .select(F.col("value.groupState.bits").alias("bits"))
         .collect()
     )
-    m_total = len(rows) * bits_per_shard
+    # shard size comes from the bitsets themselves, never from a
+    # caller-passed knob — a forgotten per-call bits_per_shard would
+    # silently misreport fill by the size ratio (code review r9); k
+    # still must match the stream's k for the absorbed-key inversion
+    m_total = sum(len(r["bits"]) * 8 for r in rows if r["bits"])
     set_bits = sum(
         bin(b).count("1") for r in rows if r["bits"] for b in r["bits"]
     )

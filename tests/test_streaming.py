@@ -1254,11 +1254,33 @@ def test_bloom_first_seen_saturation_warning_trips(spark, tmp_path):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"doc_id", "key"}
     # state-store ground truth agrees (per-call sizing passed through)
-    fill = read_bloom_seen_fill(
-        spark, str(tmp_path / "c"), bits_per_shard=1024, k=7
-    )
+    # shard size is derived from the checkpointed bitsets themselves —
+    # no per-call size knob to forget (code review r9); only k must
+    # match the stream's k
+    fill = read_bloom_seen_fill(spark, str(tmp_path / "c"), k=7)
     assert fill["fill_ratio"] >= 0.5, fill
     assert fill["m_total_bits"] == 2 * 1024
+
+
+def test_bloom_first_seen_rejects_bad_sizing_at_construction(spark):
+    # code review r9: a bits_per_shard that is not a multiple of 8
+    # previously died mid-stream with a worker IndexError (positions
+    # run mod bits_per_shard but the bitset holds bits_per_shard//8
+    # bytes); shards=0 silently NULL-collapsed every key into one
+    # shard. Both must fail at construction, loudly.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        bloom_first_seen_stream,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "CAST(value AS STRING) AS key"
+    )
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_first_seen_stream(stream, bits_per_shard=100)
+    with pytest.raises(ValueError, match="shards"):
+        bloom_first_seen_stream(stream, shards=0)
+    with pytest.raises(ValueError, match="k="):
+        bloom_first_seen_stream(stream, k=0)
 
 
 def test_bloom_first_seen_shard_count_change_fails_fast(spark, tmp_path):
