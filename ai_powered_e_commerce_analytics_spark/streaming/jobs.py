@@ -1121,6 +1121,109 @@ def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+#: Bucket width of the streamed value histogram, in exact integer
+#: cents ($2,500). The percentile estimate's error bound is ONE bucket
+#: width; store size is O(value_range / width) rows TOTAL per batch —
+#: constant in stream volume.
+PCT_STREAM_BUCKET_C = 250_000
+
+
+def value_histogram_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming mergeable value-histogram maintenance over an orders
+    stream — the QUANTILE member of the streamed-sketch family
+    (``cms_counters_stream`` = frequencies, ``wau_sketches_stream`` =
+    distincts, this = percentiles; the latency/price-SLO monitor an
+    ops dashboard polls). Each micro-batch buckets its exact integer
+    cents (``value DIV width`` — the batch ``order_value_histogram``
+    kernel) and writes per-bucket counts to a ``batch_id={N}``
+    partition (OVERWRITE per batch — replay-idempotent, the family's
+    shared sink contract). Histogram merge is plain counter ADDITION,
+    so the authoritative sketch is the per-bucket sum across batch
+    partitions and no state store is needed at all; a batch-computed
+    histogram over the same rows at the same width is BIT-IDENTICAL
+    to the merged stream (equality asserted in tests — mergeability
+    proven, not claimed). :func:`read_streamed_percentiles` answers
+    quantile queries from the merged histogram with error bounded by
+    one bucket width."""
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.where(F.col("price").isNotNull())
+            .select(
+                F.expr(
+                    "CAST(round(price * 100) AS BIGINT) "
+                    f"DIV {PCT_STREAM_BUCKET_C}"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_streamed_percentiles(
+    spark: SparkSession, out_dir: str, qs: tuple = (0.5, 0.9, 0.99)
+) -> dict:
+    """Quantile estimates from the streamed histogram: fold the bucket
+    counts (merge = addition), walk the cumulative distribution to the
+    rank target ``floor(q*(n-1))``, and report each target bucket's
+    midpoint in dollars. The true order statistic lies inside the
+    target's bucket, so the absolute error is bounded by ONE bucket
+    width (``PCT_STREAM_BUCKET_C``) — an EXACT bound, unlike a sample
+    sketch's probabilistic one. The driver-side walk folds
+    O(value_range / width) bucket rows — the store's constant total
+    size, independent of stream volume."""
+    rows = sorted(
+        (r["bucket"], r["c"])
+        for r in spark.read.parquet(out_dir)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in rows)
+    out = {"n": n}
+    if not n:
+        out.update({f"p{q}": None for q in qs})
+        return out
+    for q in qs:
+        target = math.floor(q * (n - 1))
+        cum = 0
+        for bucket, c in rows:
+            cum += c
+            if cum > target:
+                out[f"p{q}"] = (
+                    (bucket * PCT_STREAM_BUCKET_C)
+                    + PCT_STREAM_BUCKET_C / 2.0
+                ) / 100.0
+                break
+    return out
+
+
 def wau_sketches_stream(
     spark: SparkSession,
     src_dir: str,

@@ -1046,6 +1046,79 @@ def test_hourly_anomaly_stream_flags_spike(spark, tmp_path):
     assert got["2024-01-01 08:00:00"]["is_anomaly"] is False
 
 
+def test_value_histogram_stream_percentiles(spark, tmp_path):
+    # Streamed mergeable value histogram (the quantile member of the
+    # streamed-sketch family): (1) the merged histogram is BIT-equal
+    # to a batch histogram over the same rows at the same width,
+    # (2) percentile estimates sit within the exact one-bucket-width
+    # error bound of the true order statistic, (3) replay is a no-op.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        PCT_STREAM_BUCKET_C,
+        read_streamed_percentiles,
+        value_histogram_stream,
+    )
+
+    src = str(tmp_path / "orders")
+    out = str(tmp_path / "hist")
+    rows1 = [(i, 100.0 + (i * 37) % 5000, "2024-01-01") for i in range(400)]
+    rows2 = [(1000 + i, 2500.0 + (i * 91) % 9000, "2024-01-02")
+             for i in range(600)]
+    schema = "order_id long, price double, ts string"
+
+    def run():
+        q = value_histogram_stream(
+            spark, src, out, str(tmp_path / "c")
+        )
+        _await(q)
+
+    spark.createDataFrame(rows1 + [(99, None, "2024-01-01")], schema
+                          ).coalesce(1).write.mode("overwrite").json(src)
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run()
+
+    # (1) merged stream == batch histogram, bucket for bucket
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    batch_hist = {
+        r["bucket"]: r["c"]
+        for r in all_rows.select(
+            F.expr(
+                "CAST(round(price * 100) AS BIGINT) "
+                f"DIV {PCT_STREAM_BUCKET_C}"
+            ).alias("bucket")
+        ).groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    }
+    merged = {
+        r["bucket"]: r["c"]
+        for r in spark.read.parquet(out)
+        .groupBy("bucket").agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged == batch_hist
+
+    # (2) estimates within one bucket width of the exact percentile
+    est = read_streamed_percentiles(spark, out, qs=(0.5, 0.9, 0.99))
+    assert est["n"] == 1000
+    exact = all_rows.agg(
+        F.expr("percentile(price, array(0.5, 0.9, 0.99))")
+    ).collect()[0][0]
+    width_dollars = PCT_STREAM_BUCKET_C / 100.0
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(est[f"p{q}"] - ex) <= width_dollars, (q, est, ex)
+
+    # (3) replay with no new input: checkpoint makes it a no-op
+    run()
+    assert read_streamed_percentiles(spark, out, qs=(0.5,)) == \
+        read_streamed_percentiles(spark, out, qs=(0.5,))
+    merged2 = {
+        r["bucket"]: r["c"]
+        for r in spark.read.parquet(out)
+        .groupBy("bucket").agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged2 == batch_hist
+
+
 def test_wau_sketches_stream_matches_batch_estimates(spark, tmp_path):
     # Batch/stream parity for the sliding-WAU HLL pair (the CMS proof
     # pattern): per-day sketches streamed in two file drops, unioned on
