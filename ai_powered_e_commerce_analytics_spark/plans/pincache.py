@@ -23,7 +23,8 @@ plan holding an evicted BROADCAST raises loudly on its next execution
 therefore sizes the number of helper plans concurrently in flight
 between construction and consumption, not an indefinite retention
 window. Every in-repo consumer constructs and consumes a plan
-back-to-back, so capacity 4 leaves ample slack.
+back-to-back, so any small capacity leaves ample slack (the quantiles
+cache runs at 8 purely as headroom for future lazily-held plans).
 """
 
 from __future__ import annotations

@@ -78,9 +78,12 @@ from .pincache import PinnedPlanCache
 # version silently evicted a sibling's persist mid-use (ADVICE r7).
 # Since r9 eviction DESTROYS broadcasts (pincache.py contract), so an
 # evicted-then-executed plan fails loudly instead of silently
-# re-running its arrangement; capacity 8 leaves headroom for
-# composition-style queries that pin several entries per construction
-# (order_value_mad_outliers pins two) before any is consumed.
+# re-running its arrangement. Every in-repo consumer today consumes
+# each helper plan at construction (eager localCheckpoint or immediate
+# collect/write), so at most ~2 pins are ever unconsumed; capacity 8
+# is cheap headroom for a future consumer that HOLDS several lazy
+# helper plans before executing any — the regime where the
+# destroy-on-evict contract would otherwise bite first.
 _ARRANGED_CACHE = PinnedPlanCache(capacity=8)
 
 #: Widest per-group range-partition span (sampled) the auto spill will

@@ -1123,8 +1123,8 @@ def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
 
 #: Bucket width of the streamed value histogram, in exact integer
 #: cents ($2,500). The percentile estimate's error bound is ONE bucket
-#: width; store size is O(value_range / width) rows TOTAL per batch —
-#: constant in stream volume.
+#: width; each micro-batch's PARTIAL is O(value_range / width) rows,
+#: constant in that batch's volume.
 PCT_STREAM_BUCKET_C = 250_000
 
 
@@ -1141,17 +1141,27 @@ def value_histogram_stream(
     (``cms_counters_stream`` = frequencies, ``wau_sketches_stream`` =
     distincts, this = percentiles; the latency/price-SLO monitor an
     ops dashboard polls). Each micro-batch buckets its exact integer
-    cents (``value DIV width`` — the batch ``order_value_histogram``
-    kernel) and writes per-bucket counts to a ``batch_id={N}``
-    partition (OVERWRITE per batch — replay-idempotent, the family's
-    shared sink contract). Histogram merge is plain counter ADDITION,
-    so the authoritative sketch is the per-bucket sum across batch
-    partitions and no state store is needed at all; a batch-computed
-    histogram over the same rows at the same width is BIT-IDENTICAL
-    to the merged stream (equality asserted in tests — mergeability
-    proven, not claimed). :func:`read_streamed_percentiles` answers
-    quantile queries from the merged histogram with error bounded by
-    one bucket width."""
+    cents — ``floor(cents / width)``, the signed-safe floor variant of
+    the batch ``order_value_histogram`` kernel (``DIV`` truncates
+    toward zero, which would fold values in ``(-width, 0)`` into
+    bucket 0 and break the error bound for refunds/credits) — and
+    writes per-bucket counts to a ``batch_id={N}`` partition
+    (OVERWRITE per batch — replay-idempotent, the family's shared sink
+    contract). Histogram merge is plain counter ADDITION, so the
+    authoritative sketch is the per-bucket sum across batch partitions
+    and no state store is needed at all; a batch-computed histogram
+    over the same rows with the same kernel is BIT-IDENTICAL to the
+    merged stream (equality asserted in tests — mergeability proven,
+    not claimed). :func:`read_streamed_percentiles` answers quantile
+    queries from the merged histogram.
+
+    Store growth: the per-batch PARTIAL is bounded by
+    O(value_range / width) rows however large the batch, but the store
+    accumulates one such partition per micro-batch — a long-lived
+    continuous stream should periodically compact (merge-on-read the
+    totals and rewrite as a single base partition, the same compaction
+    avenue as the CMS/WAU stores) to bound file count and read fan-in.
+    """
     schema = T.StructType(
         [
             T.StructField("order_id", T.LongType()),
@@ -1161,15 +1171,16 @@ def value_histogram_stream(
     )
     stream = _file_stream(spark, src_dir, schema, archive_dir=None)
 
+    from ..plans.spec import cents  # the repo's one exact-cents policy
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         (
             batch.where(F.col("price").isNotNull())
             .select(
-                F.expr(
-                    "CAST(round(price * 100) AS BIGINT) "
-                    f"DIV {PCT_STREAM_BUCKET_C}"
+                F.floor(
+                    cents("price") / F.lit(PCT_STREAM_BUCKET_C)
                 ).alias("bucket")
             )
             .groupBy("bucket")
@@ -1192,19 +1203,30 @@ def read_streamed_percentiles(
     """Quantile estimates from the streamed histogram: fold the bucket
     counts (merge = addition), walk the cumulative distribution to the
     rank target ``floor(q*(n-1))``, and report each target bucket's
-    midpoint in dollars. The true order statistic lies inside the
-    target's bucket, so the absolute error is bounded by ONE bucket
-    width (``PCT_STREAM_BUCKET_C``) — an EXACT bound, unlike a sample
-    sketch's probabilistic one. The driver-side walk folds
-    O(value_range / width) bucket rows — the store's constant total
-    size, independent of stream volume."""
-    rows = sorted(
-        (r["bucket"], r["c"])
-        for r in spark.read.parquet(out_dir)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("c"))
-        .collect()
-    )
+    midpoint in dollars. The bound, stated precisely: the FLOOR-RANK
+    ORDER STATISTIC at ``floor(q*(n-1))`` lies inside the reported
+    bucket, so the estimate is within ONE bucket width
+    (``PCT_STREAM_BUCKET_C``) of that order statistic — an EXACT
+    bound, unlike a sample sketch's probabilistic one. An
+    INTERPOLATING percentile (Spark's ``percentile``, DuckDB's
+    ``quantile_cont``) can sit farther away when the two straddling
+    order statistics are more than a bucket apart (sparse tails); the
+    contract here is order-statistic-relative. The driver-side walk
+    folds O(value_range / width) merged bucket rows. A store no batch
+    has written to yet (dashboard polling a just-started stream)
+    reports the ``n = 0`` shape instead of raising."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        merged = (
+            spark.read.parquet(out_dir)
+            .groupBy("bucket")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+    except AnalysisException:  # no batch committed yet (PATH_NOT_FOUND
+        merged = []            # / schema-less dir) -> empty-store shape
+    rows = sorted((r["bucket"], r["c"]) for r in merged)
     n = sum(c for _, c in rows)
     out = {"n": n}
     if not n:
