@@ -382,6 +382,9 @@ WHERE abs(round(({cents_sql('o_totalprice')}::DOUBLE - st.mean_c) / st.std_c, 6)
 
 #: Iglewicz-Hosmer modified-z cutoff (|0.6745 * (x - median) / MAD|).
 MAD_Z_THRESHOLD = 3.5
+#: Iglewicz-Hosmer's published MAD=0 fallback divisor: modified z =
+#: (x - median) / (1.253314 * MeanAD), MeanAD = mean |x - median|.
+MAD_MEANAD_B = 1.253314
 
 
 def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,25 +442,40 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (group, value)
         .groupBy("o_orderpriority", "dev_c")
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the MAD fold AND MeanAD
     )
     mad = exact_percentiles_scalable(
         devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
         counts_col="cnt",
     ).localCheckpoint(eager=True)
-    # Degenerate-group guard (code review r9): when >=50% of a group
-    # shares one exact price, MAD = 0 and the modified z is undefined
-    # (x/0 is NULL under non-ANSI Spark but NULL-poisons DuckDB's sum
-    # differently). Both engines explicitly flag nothing for MAD = 0
-    # groups, keeping the cross-engine contract total.
-    zmod = (
-        F.lit(0.6745)
-        * (F.col("price_c").cast("double") - F.col("med_c"))
-        / F.col("mad_c")
+    # Degenerate-group fallback (code review r9, Iglewicz-Hosmer's
+    # published prescription): when >=50% of a group shares one exact
+    # price, MAD = 0 and the MAD-scaled z is undefined — but
+    # flag-nothing there would mask exactly the grossly-contaminated
+    # groups this report exists for. The fallback scale is the MEAN
+    # absolute deviation (modified z = (x - med) / (1.253314*MeanAD)).
+    # Determinism of the MeanAD sum: every |x - med| is a multiple of
+    # 0.5 cents (median interpolates at frac 0/0.5 on integer cents)
+    # and the weighted sums stay far below 2^53, so double addition is
+    # EXACT in any fold order in both engines. A group with MeanAD = 0
+    # too is constant — genuinely nothing to flag.
+    meanad = devs.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("dev_c") * F.col("cnt")) / F.sum("cnt")
+        ).alias("meanad_c")
     )
-    is_outlier = (F.col("mad_c") > 0) & (F.abs(zmod) > MAD_Z_THRESHOLD)
+    centered = F.col("price_c").cast("double") - F.col("med_c")
+    zmod = F.lit(0.6745) * centered / F.col("mad_c")
+    zmod_fb = centered / (F.lit(MAD_MEANAD_B) * F.col("meanad_c"))
+    is_outlier = F.when(
+        F.col("mad_c") > 0, F.abs(zmod) > MAD_Z_THRESHOLD
+    ).when(
+        F.col("meanad_c") > 0, F.abs(zmod_fb) > MAD_Z_THRESHOLD
+    ).otherwise(F.lit(False))
     return (
         dv.join(F.broadcast(med), "o_orderpriority")
         .join(F.broadcast(mad), "o_orderpriority")
+        .join(F.broadcast(meanad), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
             F.sum("cnt").alias("n_orders"),
@@ -485,22 +503,32 @@ med AS (
 ),
 mad AS (
     SELECT o.o_orderpriority,
-           quantile_cont(abs(o.price_c::DOUBLE - m.med_c), 0.5) AS mad_c
+           quantile_cont(abs(o.price_c::DOUBLE - m.med_c), 0.5) AS mad_c,
+           sum(abs(o.price_c::DOUBLE - m.med_c)) / count(*) AS meanad_c
     FROM o JOIN med m USING (o_orderpriority) GROUP BY 1
+),
+flagged AS (
+    SELECT o.o_orderpriority, o.price_c, m.med_c, d.mad_c,
+           CASE
+               WHEN d.mad_c > 0 THEN
+                   abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
+                       > {MAD_Z_THRESHOLD}
+               WHEN d.meanad_c > 0 THEN
+                   abs((o.price_c::DOUBLE - m.med_c)
+                       / ({MAD_MEANAD_B} * d.meanad_c)) > {MAD_Z_THRESHOLD}
+               ELSE FALSE
+           END AS is_outlier
+    FROM o
+    JOIN med m USING (o_orderpriority)
+    JOIN mad d USING (o_orderpriority)
 )
-SELECT o.o_orderpriority,
+SELECT o_orderpriority,
        count(*)::BIGINT AS n_orders,
-       round(any_value(m.med_c) / 100.0, 6) AS median_value,
-       round(any_value(d.mad_c) / 100.0, 6) AS mad_value,
-       sum((d.mad_c > 0
-            AND abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
-                > {MAD_Z_THRESHOLD})::INT)::BIGINT AS n_outliers,
-       sum((d.mad_c > 0
-            AND abs(0.6745 * (o.price_c::DOUBLE - m.med_c) / d.mad_c)
-                > {MAD_Z_THRESHOLD})::INT)::DOUBLE / count(*) AS outlier_rate
-FROM o
-JOIN med m USING (o_orderpriority)
-JOIN mad d USING (o_orderpriority)
+       round(any_value(med_c) / 100.0, 6) AS median_value,
+       round(any_value(mad_c) / 100.0, 6) AS mad_value,
+       sum(is_outlier::INT)::BIGINT AS n_outliers,
+       sum(is_outlier::INT)::DOUBLE / count(*) AS outlier_rate
+FROM flagged
 GROUP BY 1
 """
 

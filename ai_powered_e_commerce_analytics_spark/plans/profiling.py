@@ -644,32 +644,28 @@ def customer_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
     in BOTH engines regardless of their interpolation formula; the
     final ``/100.0`` + ``round(.,6)`` are the identical IEEE ops.
 
-    Plan note: the count join re-shuffles nothing extra at scale — both
-    sides hash on ``o_custkey`` (the count fold and the window fold),
-    so AQE picks a co-partitioned SMJ; at this grain no side is
-    broadcastable and that is fine.
+    Plan note (r9 review): ``n_orders`` comes from the helper's own
+    ``count_col`` output — the window fold already materializes each
+    group's total as its ``__n`` window constant, so asking for it
+    costs nothing, where a separate count aggregation would add a
+    second corpus fold plus a 15M-key join purely to re-derive it.
+    The whole query is two key exchanges (the distinct-value
+    contraction on (customer, value), then the window partition on
+    customer) and ZERO joins.
     """
     o = t(spark, sf_dir, "orders").select(
         "o_custkey", cents("o_totalprice").alias("price_c")
     )
-    # shared distinct-value contraction: counts_col mode feeds the
-    # window fold, and n_orders folds from the same multiplicities
-    dv = (
-        o.groupBy("o_custkey", "price_c")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    stats = dv.groupBy("o_custkey").agg(F.sum("cnt").alias("n_orders"))
     pcts = exact_percentiles_scalable(
-        dv,
+        o,
         "price_c",
         (0.25, 0.5, 0.75),
         ("__q1", "__q2", "__q3"),
         ("o_custkey",),
-        counts_col="cnt",
         strategy="window",
+        count_col="n_orders",
     )
-    return stats.join(pcts, "o_custkey").select(
+    return pcts.select(
         "o_custkey",
         "n_orders",
         *[

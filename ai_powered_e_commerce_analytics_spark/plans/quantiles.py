@@ -111,6 +111,7 @@ def exact_percentiles_scalable(
     counts_col: str | None = None,
     max_driver_subtotals: int = 1_000_000,
     strategy: str = "auto",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -124,6 +125,15 @@ def exact_percentiles_scalable(
     contraction — one row per (group, value) carrying its multiplicity
     — to skip step 1 (callers that need the contraction for their own
     stats build it once, checkpoint it, and share it).
+
+    ``count_col``: name of an extra LONG output column carrying each
+    group's non-null value count. Both regimes already materialize the
+    group totals internally (the range path's driver fold, the window
+    path's ``__n`` window constant), so exposing them is free — a
+    caller that also wants counts would otherwise re-aggregate the
+    corpus and JOIN on the group keys, a whole extra exchange at
+    exactly the high-cardinality grains this helper exists for
+    (code review r9 on ``customer_order_value_quartiles``).
 
     ``max_driver_subtotals``: cap on the O(partitions x groups) rank-
     base rows the driver collects for the range path.
@@ -157,7 +167,9 @@ def exact_percentiles_scalable(
         ).where(F.col(value_col).isNotNull())
 
     if strategy == "window":
-        return _windowed_percentiles(dv, value_col, qs, out_names, gc)
+        return _windowed_percentiles(
+            dv, value_col, qs, out_names, gc, count_col=count_col
+        )
 
     # -- 2. range arrangement (partition = contiguous value slice) -----
     arranged = (
@@ -221,7 +233,8 @@ def exact_percentiles_scalable(
             # repaid. Pinned like the range path's plan artifacts.
             _ARRANGED_CACHE.pin(arranged)
             return _windowed_percentiles(
-                arranged.drop("__pid"), value_col, qs, out_names, gc
+                arranged.drop("__pid"), value_col, qs, out_names, gc,
+                count_col=count_col,
             )
         arranged.unpersist()
         raise ValueError(
@@ -319,10 +332,11 @@ def exact_percentiles_scalable(
         for qi, q in enumerate(qs):
             p = float(q) * (n - 1)
             lo = math.floor(p)
-            tgt_rows.append((*k, qi, lo, math.ceil(p), p - lo))
+            tgt_rows.append((*k, qi, lo, math.ceil(p), p - lo, n))
     tgt_schema = ", ".join(
         [f"__t_{g} {dv_types[g]}" for g in gc]
-        + ["__qi int", "__lo long", "__hi long", "__frac double"]
+        + ["__qi int", "__lo long", "__hi long", "__frac double",
+           "__n_total long"]
     )
     tgt = spark.createDataFrame(tgt_rows, schema=tgt_schema)
     cond = F.lit(True)
@@ -347,9 +361,10 @@ def exact_percentiles_scalable(
             (F.lit(1.0) - frac) * vlo + frac * vhi
         )
 
-    return hits.groupBy(*gc).agg(
-        *[_q(i).alias(out_names[i]) for i in range(len(qs))]
-    )
+    aggs = [_q(i).alias(out_names[i]) for i in range(len(qs))]
+    if count_col is not None:
+        aggs.append(F.max("__n_total").alias(count_col))
+    return hits.groupBy(*gc).agg(*aggs)
 
 
 def _windowed_percentiles(
@@ -358,6 +373,7 @@ def _windowed_percentiles(
     qs: Sequence[float],
     out_names: Sequence[str],
     gc: list[str],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group window fold over the distinct-value contraction ``dv``.
 
@@ -405,4 +421,6 @@ def _windowed_percentiles(
             .otherwise((F.lit(1.0) - fr) * vlo + fr * vhi)
             .alias(out_names[i])
         )
+    if count_col is not None:
+        aggs.append(F.max("__n").alias(count_col))  # per-group constant
     return ranked.groupBy(*gc).agg(*aggs)

@@ -1561,6 +1561,7 @@ def read_bloom_seen_fill(
     checkpoint_dir: str,
     *,
     k: int = BLOOM_SEEN_K,
+    fill_warn: float = BLOOM_SEEN_FILL_WARN,
 ) -> dict:
     """Saturation monitor for :func:`bloom_first_seen_stream`: read the
     checkpointed bitsets back through Spark's state-store data source
@@ -1601,4 +1602,10 @@ def read_bloom_seen_fill(
         "set_bits": set_bits,
         "fill_ratio": fill,
         "est_absorbed_keys": est_keys,
+        # LEVEL-HELD alarm (code review r9): the stream's observed
+        # saturation_warning rides on EMITTED rows, so a filter
+        # saturated into silence reports NULL there — this flag, read
+        # from the state store itself, stays up as long as the fill
+        # does; dashboards alarm on EITHER under the same name.
+        "saturation_warning": fill >= fill_warn,
     }

@@ -390,6 +390,32 @@ def test_window_strategy_matches_percentile(spark):
     _assert_same(pre, got, ("g",))
 
 
+def test_count_col_matches_exact_counts_on_both_paths(spark):
+    # count_col exposes the group totals both regimes already hold
+    # internally (code review r9: a caller re-aggregating + joining
+    # for counts pays a whole extra exchange). NULL values must be
+    # excluded from the count, matching percentile semantics.
+    rows = [("a", float(v)) for v in (1, 1, 2, 5, 5, 5, 9)]
+    rows += [("b", float(v)) for v in (3, 4, 4)]
+    rows += [(None, 7.0), (None, 2.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    expect = {
+        (r["g"],): r["n"]
+        for r in df.where("v is not null")
+        .groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    for strat in ("range", "window"):
+        got = exact_percentiles_scalable(
+            df, "v", QS, NAMES, ("g",), strategy=strat, count_col="n"
+        )
+        vals = {(r["g"],): r["n"] for r in got.collect()}
+        assert vals == expect, (strat, vals)
+        # the percentile columns are untouched by the extra output
+        _assert_same(
+            got.drop("n"), _exact(df, "v", ("g",)), ("g",)
+        )
+
+
 def test_window_strategy_plan_has_no_collect_or_broadcast(spark):
     # the spill path must be driver-free: no mapInPandas walk, no
     # broadcast rank targets — window exchange on the group keys only

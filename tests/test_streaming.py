@@ -1290,6 +1290,7 @@ def test_bloom_first_seen_low_false_drop_at_sized_load(spark, tmp_path):
     assert 0.0 < fill["fill_ratio"] < 0.01  # 500 keys vs 8.4M bits
     assert fill["set_bits"] <= n * BLOOM_SEEN_K
     assert 400 <= fill["est_absorbed_keys"] <= 600, fill
+    assert fill["saturation_warning"] is False
 
     # far from saturation: the warning flag must stay down
     for p in q.recentProgress:
@@ -1348,6 +1349,10 @@ def test_bloom_first_seen_saturation_warning_trips(spark, tmp_path):
     fill = read_bloom_seen_fill(spark, str(tmp_path / "c"), k=7)
     assert fill["fill_ratio"] >= 0.5, fill
     assert fill["m_total_bits"] == 2 * 1024
+    # the poll's flag is LEVEL-HELD: unlike the observed metric (which
+    # rides on emitted rows and goes NULL once a saturated filter
+    # stops emitting), this stays up as long as the fill does
+    assert fill["saturation_warning"] is True
 
 
 def test_bloom_first_seen_rejects_bad_sizing_at_construction(spark):
