@@ -364,9 +364,51 @@ _R8_DRIVER_VERIFIED = {
 }
 
 
+# Queries ADDED in round 9 — all five verified green in round 9's driver
+# window (CORRECTNESS_r09.json).
+_R9_ADDED: set[str] = {
+    "customer_order_value_quartiles",
+    "order_value_mad_outliers",
+    "customer_l_diversity",
+    "daily_revenue_ewma",
+    # (the r9 streamed-histogram pair lives in streaming/jobs.py and is
+    # test-verified, not registry-gated — see VERDICT r9 sketch family)
+}
+
+# Queries verified GREEN by round 9's driver window (CORRECTNESS_r09 —
+# all 50 rows green, zero err: bloom_pruned_part_revenue (the r8 err row,
+# fixed), the four oracle-gated r9 additions, and 45 stale r6 rows).
+_R9_DRIVER_VERIFIED = {
+    "bloom_pruned_part_revenue", "bm25_rank_topk", "cms_heavy_hitters",
+    "copurchase_item_similarity", "copurchase_pagerank", "copurchase_pairs",
+    "copurchase_triangles", "cube_orders_by_status_priority",
+    "customer_l_diversity", "customer_order_value_quartiles",
+    "daily_revenue_ewma", "decontaminate_exact_substring",
+    "dedup_cluster_size_histogram", "doc_unigram_surprisal",
+    "embedding_dim_stats", "embedding_quantize_error", "events_active_users",
+    "events_dedup_within_window", "events_funnel", "events_hourly_gapfill",
+    "events_hourly_rollup", "events_session_revenue",
+    "events_transition_matrix", "events_user_sessions", "kmeans_lloyd_clusters",
+    "lang_id_confusion", "monthly_first_vs_repeat", "monthly_revenue_mom",
+    "multimodal_dedup_content_hash", "neardup_threshold_sweep",
+    "order_value_mad_outliers", "order_value_outliers_zscore",
+    "order_value_percentiles", "quality_filter_battery",
+    "quality_filter_funnel", "rollup_revenue_by_flag_status",
+    "salted_distinct_quantities", "semantic_dedup_semdedup",
+    "session_path_topk", "sliding_wau_hll_union", "source_kl_divergence",
+    "source_temperature_mix", "term_cooccurrence_pmi",
+    "tpch_q11_important_parts", "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier", "tpch_q20_excess_share_suppliers",
+    "tpch_q21_sole_late_supplier", "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R9_DRIVER_VERIFIED:
+        return 9
     if name in _R8_DRIVER_VERIFIED:
         return 8
     if name in _R7_DRIVER_VERIFIED:
@@ -392,10 +434,11 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-9 window is therefore: bloom_pruned_part_revenue (errored
-# in r8, fixed, zero green driver evidence — front of the queue) and
-# any round-9 additions, then the 10 r5-verified rows round 8 didn't
-# reach, then the stalest r6 rows filling to 50.
+# The round-10 window is therefore: the round-10 additions (never
+# checked), any query whose plan round 10 touched, then the 9 remaining
+# r6-verified rows (the oldest evidence left in the registry —
+# VERDICT r9 next-round #3), then the stalest r7 rows filling to 50.
+# After round 10 no row's driver evidence should predate round 7.
 def _staleness(q: QuerySpec) -> float:
     verified = _last_verified_round(q.name)
     if verified == 0:
