@@ -30,19 +30,22 @@ cache runs at 8 purely as headroom for future lazily-held plans).
 from __future__ import annotations
 
 import itertools
+import logging
 import threading
 from collections import OrderedDict
 
+log = logging.getLogger(__name__)
+
 
 class PinnedPlanCache:
-    def __init__(self, capacity: int = 4) -> None:
+    def __init__(self, capacity: int = 4, name: str = "PinnedPlanCache") -> None:
         self.capacity = capacity
+        self.name = name
         self._entries: OrderedDict[int, tuple] = OrderedDict()
         self._lock = threading.Lock()
         self._token = itertools.count()
 
-    @staticmethod
-    def _drop(entry: tuple) -> None:
+    def _drop(self, entry: tuple, evicted: bool = False) -> None:
         for item in entry:
             try:
                 item.unpersist()
@@ -51,6 +54,20 @@ class PinnedPlanCache:
             destroy = getattr(item, "destroy", None)
             if destroy is None:
                 continue  # DataFrame persist — lineage must survive
+            if evicted:
+                # The first symptom a future victim sees is Spark's bare
+                # "Attempted to use Broadcast ... after it was destroyed"
+                # on a much-later action; leave the actionable cause next
+                # to it in the log (ADVICE r9).
+                log.warning(
+                    "%s: capacity %d exceeded — destroying the oldest "
+                    "pinned broadcast. Any still-unconsumed helper plan "
+                    "holding it will fail its next execution with "
+                    "'Broadcast ... destroyed'. Consume helper plans "
+                    "promptly, call release_arranged_cache(), or raise "
+                    "SPARK_GRAFT_PINCACHE_CAPACITY.",
+                    self.name, self.capacity,
+                )
             try:
                 destroy(blocking=False)
             except Exception:  # noqa: BLE001 - stopped-session artifacts
@@ -63,7 +80,7 @@ class PinnedPlanCache:
             self._entries[next(self._token)] = items
             while len(self._entries) > self.capacity:
                 _, entry = self._entries.popitem(last=False)
-                self._drop(entry)
+                self._drop(entry, evicted=True)
 
     def release(self) -> None:
         """Unpersist everything (bench-iteration / teardown hygiene)."""

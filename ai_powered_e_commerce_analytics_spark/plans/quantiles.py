@@ -43,7 +43,7 @@ the property the full-value-map aggregate lacks. The DRIVER, however,
 sees O(partitions x groups) subtotal rows in the rank-base fold, which
 grows with the grain's cardinality: ``max_driver_subtotals`` guards
 that collect. When the cap blows BECAUSE the grain is high-cardinality
-(distinct groups dominate the subtotal sample), the helper SPILLS to
+(distinct groups dominate the subtotal frame), the helper SPILLS to
 the complementary distributed plan instead of failing: a per-group
 window fold (:func:`_windowed_percentiles` — one shuffle on the group
 keys, cumsum rank + the same IEEE rank-target arithmetic, zero driver
@@ -65,6 +65,7 @@ attempt.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -83,16 +84,23 @@ from .pincache import PinnedPlanCache
 # collect/write), so at most ~2 pins are ever unconsumed; capacity 8
 # is cheap headroom for a future consumer that HOLDS several lazy
 # helper plans before executing any — the regime where the
-# destroy-on-evict contract would otherwise bite first.
-_ARRANGED_CACHE = PinnedPlanCache(capacity=8)
+# destroy-on-evict contract would otherwise bite first. That consumer
+# can raise the dial via SPARK_GRAFT_PINCACHE_CAPACITY (ADVICE r9: the
+# static capacity was the only knob), and eviction logs an actionable
+# warning before Spark's bare 'Broadcast destroyed' ever surfaces.
+_ARRANGED_CACHE = PinnedPlanCache(
+    capacity=int(os.environ.get("SPARK_GRAFT_PINCACHE_CAPACITY", "8")),
+    name="quantiles._ARRANGED_CACHE",
+)
 
-#: Widest per-group range-partition span (sampled) the auto spill will
+#: Widest per-group range-partition span (computed exactly, as a
+#: distributed agg over the full subtotal frame) the auto spill will
 #: hand to the per-group window plan. A group spanning S range
 #: partitions carries roughly S partitions' worth of distinct values,
 #: all of which land in ONE window task after the spill — so auto only
-#: spills when every sampled group stays a small multiple of a
-#: partition. Callers who know their widest group fits an executor
-#: force strategy="window" instead.
+#: spills when EVERY group stays a small multiple of a partition.
+#: Callers who know their widest group fits an executor force
+#: strategy="window" instead.
 _MAX_SPILL_GROUP_SPAN = 16
 
 
@@ -182,19 +190,17 @@ def exact_percentiles_scalable(
     # -- 3a. per-(pid, group) subtotals -> per-partition rank bases ----
     # limit(cap+1) bounds what ever reaches the driver: an over-cap
     # grain raises BEFORE building a huge local list, not after.
-    subtotals = (
-        arranged.groupBy("__pid", *gc)
-        .agg(F.sum("__cnt").alias("__sub"))
-        .limit(max_driver_subtotals + 1)
-        .collect()
+    subtotal_frame = arranged.groupBy("__pid", *gc).agg(
+        F.sum("__cnt").alias("__sub")
     )
+    subtotals = subtotal_frame.limit(max_driver_subtotals + 1).collect()
     def _gkey(row):
         return tuple(row[g] for g in gc)
 
     if len(subtotals) > max_driver_subtotals:
         # Discriminate WHY the cap blew before spilling. The range
         # arrangement gives each group >= one subtotal row per
-        # partition it spans, so the sample's rows-per-group ratio is
+        # partition it spans, so the frame's rows-per-group ratio is
         # an average partition-SPAN estimate: near 1 -> many small
         # groups, the window regime; large -> groups individually
         # span many range partitions, i.e. each group's distinct
@@ -208,22 +214,31 @@ def exact_percentiles_scalable(
         # r8): one huge group plus many small ones averages "small",
         # yet the window plan would put the huge group's whole
         # distinct-value run in one task. So the spill additionally
-        # requires the WIDEST span observed in the sample to stay
-        # window-task-sized (<= _MAX_SPILL_GROUP_SPAN range
-        # partitions' worth of distinct values). Both statistics come
-        # from the ARBITRARY limit(cap+1) subset of the subtotal
-        # shuffle, so a span can only be UNDERstated when the limit
-        # truncates a group's rows — the guard is best-effort
-        # screening, not a bound; the loud-error contract for
-        # partition-driven overflow is exact only on the sample.
-        from collections import Counter
-
-        spans = Counter(_gkey(r) for r in subtotals)
-        groups_seen = len(spans)
+        # requires the WIDEST group span to stay window-task-sized
+        # (<= _MAX_SPILL_GROUP_SPAN range partitions' worth of
+        # distinct values). The discriminator statistics are computed
+        # EXACTLY, as one tiny distributed agg over the FULL subtotal
+        # frame (the arrangement is persisted and the (pid x group)
+        # grain is what overflowed — its per-group fold is a single
+        # collected row): a sample-derived span from the arbitrary
+        # limit(cap+1) subset can be UNDERstated when the limit
+        # truncates a huge group's rows, letting a corpus-sized window
+        # task sneak past "auto" — the exact executor-OOM regime this
+        # guard refuses (VERDICT r9 #2).
+        stats = subtotal_frame.groupBy(*gc).agg(
+            F.count("*").alias("__span")
+        ).agg(
+            F.max("__span").alias("__max_span"),
+            F.count("*").alias("__groups"),
+            F.sum("__span").alias("__rows"),
+        ).collect()[0]
+        max_span = int(stats["__max_span"])
+        groups_seen = int(stats["__groups"])
+        total_rows = int(stats["__rows"])
         group_driven = (
             bool(gc)
-            and groups_seen * 4 > len(subtotals)
-            and max(spans.values()) <= _MAX_SPILL_GROUP_SPAN
+            and groups_seen * 4 > total_rows
+            and max_span <= _MAX_SPILL_GROUP_SPAN
         )
         if strategy == "auto" and group_driven:
             # Reuse the materialized arrangement (persisted, and just
@@ -238,10 +253,10 @@ def exact_percentiles_scalable(
             )
         arranged.unpersist()
         raise ValueError(
-            f"exact_percentiles_scalable: grain {gc} produced more than "
-            f"{max_driver_subtotals} (partition x group) subtotal rows "
-            f"({groups_seen} distinct groups in the sample, widest "
-            f"spanning {max(spans.values())} range partitions) — "
+            f"exact_percentiles_scalable: grain {gc} produced "
+            f"{total_rows} (partition x group) subtotal rows, over the "
+            f"{max_driver_subtotals} cap ({groups_seen} distinct "
+            f"groups, widest spanning {max_span} range partitions) — "
             + (
                 "the overflow is partition-driven (at least one group "
                 "spans many range partitions), so auto will not spill: "

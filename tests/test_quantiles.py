@@ -312,6 +312,40 @@ def test_evicted_broadcasts_are_destroyed():
     assert df2.unpersisted and bc2.unpersisted and bc2.destroyed
 
 
+def test_eviction_of_broadcast_logs_actionable_warning(caplog):
+    # ADVICE r9: the first symptom of destroy-on-evict is Spark's bare
+    # 'Broadcast destroyed' on a much-later action — eviction must leave
+    # the actionable cause (release_arranged_cache / capacity knob) in
+    # the log, and a release() (deliberate teardown) must NOT warn.
+    import logging
+
+    from ai_powered_e_commerce_analytics_spark.plans.pincache import (
+        PinnedPlanCache,
+    )
+
+    class FakeBroadcast:
+        def unpersist(self):
+            pass
+
+        def destroy(self, blocking=True):
+            pass
+
+    cache = PinnedPlanCache(capacity=1, name="test-cache")
+    with caplog.at_level(logging.WARNING):
+        cache.pin(FakeBroadcast())
+        assert not caplog.records  # under capacity: silent
+        cache.pin(FakeBroadcast())  # evicts the first
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        "SPARK_GRAFT_PINCACHE_CAPACITY" in m and "release_arranged_cache" in m
+        for m in msgs
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        cache.release()
+    assert not caplog.records
+
+
 def test_grain_guard_raises_on_high_cardinality(spark):
     # strategy="range" is the loud-failure mode: per-row grain (groups
     # ~= rows), far over the tiny cap -> ValueError, never driver OOM
@@ -339,6 +373,38 @@ def test_auto_spills_to_window_fold_above_cap(spark):
         df, "v", QS, NAMES, ("g",), max_driver_subtotals=50
     )
     _assert_same(got, _exact(df, "v", ("g",)), ("g",))
+
+
+def test_mixed_grain_truncated_big_group_still_refuses_spill(spark):
+    # VERDICT r9 #2: one HUGE group (3200 distinct values -> spans most
+    # of the 32 range partitions, far over _MAX_SPILL_GROUP_SPAN) mixed
+    # with 200 singleton groups. The rows-per-group AVERAGE says
+    # "group-driven" (201 groups x 4 > ~230 subtotal rows), and the
+    # limit(cap+1) sample the old guard read its span from can easily
+    # truncate the big group's subtotal rows, UNDERstating its span and
+    # silently spilling its whole distinct-value run into ONE window
+    # task. The discriminator now folds max-span exactly over the full
+    # subtotal frame, so auto must refuse LOUDLY regardless of what the
+    # arbitrary sample contained.
+    rows = [("big", float(i)) for i in range(3200)]
+    rows += [(f"t{j:03d}", float(j)) for j in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # The fixture's 8 shuffle partitions cap ANY group's range span at 8
+    # — under _MAX_SPILL_GROUP_SPAN, where spilling is legitimately
+    # tolerated. 32 range partitions let the big group span ~31, the
+    # refusal regime.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        with pytest.raises(ValueError, match="partition-driven"):
+            exact_percentiles_scalable(
+                df, "v", QS, NAMES, ("g",), max_driver_subtotals=20
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
 
 
 def test_partition_driven_overflow_raises_even_on_auto(spark):
