@@ -1112,10 +1112,14 @@ def cms_counters_stream(
 
 
 def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Merge-on-read of the streamed CMS: sum counters across batch
-    partitions (CMS merge == addition). d×w rows out."""
+    """Merge-on-read of the streamed CMS: sum counters across the
+    compacted base (if any) + live batch partitions (CMS merge ==
+    addition; tombstoned ids ignored — sketch_store.py). d×w rows
+    out."""
+    from .sketch_store import live_store_frame
+
     return (
-        spark.read.parquet(out_dir)
+        live_store_frame(spark, out_dir)
         .groupBy("j", "bucket")
         .agg(F.sum("c").alias("c"))
     )
@@ -1158,9 +1162,13 @@ def value_histogram_stream(
     Store growth: the per-batch PARTIAL is bounded by
     O(value_range / width) rows however large the batch, but the store
     accumulates one such partition per micro-batch — a long-lived
-    continuous stream should periodically compact (merge-on-read the
-    totals and rewrite as a single base partition, the same compaction
-    avenue as the CMS/WAU stores) to bound file count and read fan-in.
+    continuous stream periodically runs
+    :func:`sketch_store.compact_value_histogram_store` (shared with the
+    CMS/WAU stores), which folds COMMITTED batch partitions into a
+    single base, tombstones them by watermark so a checkpoint replay of
+    a compacted micro-batch cannot double-count, and publishes
+    atomically — see streaming/sketch_store.py for the replay-safety
+    proof shape.
     """
     schema = T.StructType(
         [
@@ -1217,9 +1225,11 @@ def read_streamed_percentiles(
     reports the ``n = 0`` shape instead of raising."""
     from pyspark.errors import AnalysisException
 
+    from .sketch_store import live_store_frame
+
     try:
         merged = (
-            spark.read.parquet(out_dir)
+            live_store_frame(spark, out_dir)
             .groupBy("bucket")
             .agg(F.sum("c").alias("c"))
             .collect()
@@ -1305,8 +1315,10 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
     ``(spine_day, wau_est)`` out."""
     from ..plans.approx import wau_estimate_from_day_sketches
 
+    from .sketch_store import live_store_frame
+
     daily = (
-        spark.read.parquet(out_dir)
+        live_store_frame(spark, out_dir)
         .groupBy("day")
         .agg(F.hll_union_agg("sk").alias("sk"))
     )

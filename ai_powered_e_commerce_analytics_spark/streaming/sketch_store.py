@@ -1,0 +1,239 @@
+"""Replay-safe compaction for the streamed-sketch stores.
+
+The three mergeable-sketch streams (``cms_counters_stream`` =
+frequencies, ``wau_sketches_stream`` = distincts,
+``value_histogram_stream`` = percentiles; streaming/jobs.py) share one
+sink contract: each micro-batch OVERWRITES its own ``batch_id={N}``
+partition, so foreachBatch's at-least-once replay rewrites in place and
+never duplicates, and the authoritative sketch is the merge across
+partitions (addition for counters, register-wise max for HLL). The
+per-batch PARTIAL is bounded (O(d*w) / O(days) / O(value_range/width)
+rows), but the store accumulates one partition per micro-batch — a
+long-lived continuous stream needs periodic compaction to bound file
+count and read fan-in.
+
+Naive compaction (fold everything into one partition, delete the rest —
+``sinks.compact_parquet_dir``'s shape) would BREAK the replay contract:
+foreachBatch is at-least-once, so a micro-batch whose sink ran but whose
+checkpoint commit was lost re-runs on restart and overwrites its
+``batch_id=N`` partition. If N's counts were already folded into a
+compacted base, the rewritten partition double-counts every key in N on
+the next merge-on-read. VERDICT r9 #1 prescribes the fix implemented
+here:
+
+1. **Compact only COMMITTED batch ids** — ids with a commit marker in
+   the stream checkpoint's ``commits/`` log (the same log the replay
+   tests manipulate). An id beyond the last commit is exactly the one a
+   restart may re-run; it stays a live partition.
+2. **Tombstone by watermark, not deletion alone** — the store carries a
+   manifest (``_compaction.json``, underscore-prefixed so Spark's file
+   listing never reads it as data) recording the compaction watermark W
+   and the current base directory. Readers take base + partitions with
+   ``batch_id > W`` ONLY: a checkpoint replay that rewrites an
+   already-compacted id's partition (its commit marker was lost AFTER
+   compaction — e.g. a restored checkpoint backup) leaves a partition on
+   disk that every reader ignores, so the fold is counted exactly once
+   no matter how many times the sink re-runs.
+3. **Atomic publish** — the new base is fully written to a fresh
+   ``_base/base-{W}`` directory BEFORE the manifest is swapped via
+   write-temp + ``os.replace`` (atomic on POSIX). A crash before the
+   swap leaves the old manifest pointing at the old base + un-tombstoned
+   partitions (reads correct, orphan staging dir GC'd by the next
+   compaction's overwrite); after the swap, reads see the new base and
+   the newly tombstoned ids. The folded partitions and the superseded
+   base are deleted best-effort AFTER the swap.
+
+At 100 TB the same three steps ride a transactional table format's
+commit (Delta/Iceberg snapshot replace) instead of a POSIX rename; the
+watermark-tombstone logic is format-independent. Compaction assumes no
+CONCURRENT reader is mid-listing during the post-publish GC (a reader
+holding the pre-swap manifest can hit a deleted path and should retry);
+run it from the same maintenance loop that owns the stream, not racing
+ad-hoc readers.
+
+Correctness proof shape (tests/test_sketch_compaction.py): for each
+store, (a) merge-on-read BEFORE == AFTER compaction bit-exactly, (b) a
+planted checkpoint replay of an already-compacted micro-batch rewrites
+its partition on disk yet changes NO read result, (c) an uncommitted
+partition is never folded, (d) re-compaction with nothing new is a
+no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_compaction.json"
+_BASE_DIR = "_base"
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme — these stores are driven with local/POSIX
+    paths in this repo; an object-store deployment swaps this module's
+    manifest publish for a table-format commit (module docstring)."""
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            return path[len(prefix):]
+    return path
+
+
+def committed_batch_ids(checkpoint_dir: str) -> set[int]:
+    """Batch ids holding a commit marker in the stream checkpoint's
+    ``commits/`` log. An id absent here may be re-run by a restart
+    (at-least-once foreachBatch) and is NOT safe to compact."""
+    commits = os.path.join(_local(checkpoint_dir), "commits")
+    if not os.path.isdir(commits):
+        return set()
+    out: set[int] = set()
+    for name in os.listdir(commits):
+        if name.startswith("."):
+            continue  # checksum siblings on a checksum fs
+        try:
+            out.add(int(name))
+        except ValueError:
+            continue  # metadata files
+    return out
+
+
+def load_manifest(out_dir: str) -> dict | None:
+    """The store's compaction manifest ({"watermark": W, "base": name}),
+    or None for a never-compacted store."""
+    p = os.path.join(_local(out_dir), _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish_manifest(out_dir: str, manifest: dict) -> None:
+    p = os.path.join(_local(out_dir), _MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)  # atomic on POSIX: readers see old XOR new
+
+
+def _batch_partitions(out_dir: str) -> dict[int, str]:
+    root = _local(out_dir)
+    if not os.path.isdir(root):
+        return {}
+    out: dict[int, str] = {}
+    for name in os.listdir(root):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            out[int(name.split("=", 1)[1])] = os.path.join(root, name)
+        except ValueError:
+            continue
+    return out
+
+
+def live_store_frame(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Raw partial rows of a sketch store: the compacted base (if any)
+    plus every batch partition ABOVE the compaction watermark.
+    Tombstoned ids (<= watermark) are ignored even when a checkpoint
+    replay rewrote their partition after compaction — the manifest is
+    the truth. A store with no manifest and no partitions falls through
+    to a plain directory read so callers see the same AnalysisException
+    (PATH_NOT_FOUND / schema-less dir) as the pre-compaction readers."""
+    man = load_manifest(out_dir)
+    parts = _batch_partitions(out_dir)
+    if man is None:
+        paths = [parts[i] for i in sorted(parts)]
+    else:
+        paths = [os.path.join(_local(out_dir), _BASE_DIR, man["base"])]
+        paths += [parts[i] for i in sorted(parts) if i > man["watermark"]]
+    if not paths:
+        return spark.read.parquet(out_dir)
+    return spark.read.parquet(*paths)
+
+
+def compact_sketch_store(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    merge_aggs: Sequence[Column],
+) -> dict:
+    """Fold every COMMITTED, not-yet-compacted ``batch_id=N`` partition
+    (plus the previous base) into a fresh base partition, advance the
+    tombstone watermark atomically, then GC the folded inputs.
+
+    ``merge_aggs`` must be the store's merge fold over ``key_cols`` —
+    the SAME fold its merge-on-read applies (sum for counters,
+    hll_union_agg for sketches), so compaction is associative
+    re-bracketing of the read fold and bit-equality is structural.
+
+    Returns ``{"watermark": W, "folded": n, "base": path|None}``;
+    ``folded == 0`` means no-op (nothing committed beyond the current
+    watermark)."""
+    committed = committed_batch_ids(checkpoint_dir)
+    man = load_manifest(out_dir)
+    watermark = man["watermark"] if man else -1
+    parts = _batch_partitions(out_dir)
+    fold = sorted(i for i in parts if i > watermark and i in committed)
+    if not fold:
+        base = (
+            os.path.join(_local(out_dir), _BASE_DIR, man["base"])
+            if man
+            else None
+        )
+        return {"watermark": watermark, "folded": 0, "base": base}
+    new_w = fold[-1]
+    srcs = [parts[i] for i in fold]
+    old_base = None
+    if man is not None:
+        old_base = os.path.join(_local(out_dir), _BASE_DIR, man["base"])
+        srcs.insert(0, old_base)
+    merged = spark.read.parquet(*srcs).groupBy(*key_cols).agg(*merge_aggs)
+    token = f"base-{new_w}"
+    new_base = os.path.join(_local(out_dir), _BASE_DIR, token)
+    # Fully materialized before the manifest swap; a crash-rerun of the
+    # same fold overwrites the same deterministic token directory.
+    merged.write.mode("overwrite").parquet(new_base)
+    _publish_manifest(out_dir, {"watermark": new_w, "base": token})
+    for i in fold:  # GC — reads already go through the manifest
+        shutil.rmtree(parts[i], ignore_errors=True)
+    if old_base is not None and old_base != new_base:
+        shutil.rmtree(old_base, ignore_errors=True)
+    return {"watermark": new_w, "folded": len(fold), "base": new_base}
+
+
+# -- per-store folds (one place; streams + readers + compaction agree) --
+
+
+def compact_cms_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """CMS counter store: merge = per-(j, bucket) counter addition."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        ("j", "bucket"), (F.sum("c").alias("c"),),
+    )
+
+
+def compact_value_histogram_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """Value-histogram store: merge = per-bucket counter addition."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        ("bucket",), (F.sum("c").alias("c"),),
+    )
+
+
+def compact_wau_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """WAU sketch store: merge = per-day HLL union (register-wise max,
+    lossless at equal lgConfigK)."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        ("day",), (F.hll_union_agg("sk").alias("sk"),),
+    )

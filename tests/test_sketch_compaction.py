@@ -1,0 +1,201 @@
+"""Replay-safe compaction of the streamed-sketch stores (VERDICT r9 #1).
+
+One shared rig drives all three stores (CMS / value-histogram / WAU)
+through: two micro-batches -> merge-on-read snapshot -> compaction ->
+bit-exact read equality -> a PLANTED checkpoint replay of the
+already-compacted last micro-batch (the commit-marker-deletion rig from
+test_streaming.py) -> the replayed partition reappears on disk but
+changes NO read result. Plus: uncommitted partitions are never folded,
+and re-compaction with nothing new is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+    cms_counters_stream,
+    read_cms_counters,
+    read_streamed_percentiles,
+    read_wau_estimates,
+    value_histogram_stream,
+    wau_sketches_stream,
+)
+from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
+    compact_cms_store,
+    compact_sketch_store,
+    compact_value_histogram_store,
+    compact_wau_store,
+    load_manifest,
+)
+
+# Each store: (stream fn, compact fn, input schema, two file drops,
+# merge-on-read snapshot fn). Drops share keys across batches so the
+# fold genuinely merges (same token / bucket / day in both partitions).
+_DOCS = [
+    [(1, "spark shuffles hash joins and window functions", "2024-01-01 00:00:00"),
+     (2, "joins and hash tables and more joins", "2024-01-01 00:01:00")],
+    [(3, "window functions over hash partitions", "2024-01-01 01:00:00"),
+     (4, "spark spark spark", "2024-01-01 01:01:00")],
+    # fresh post-compaction drop: must CHANGE the merged fold
+    [(5, "broadcast exchanges and adaptive reoptimization", "2024-01-01 02:00:00")],
+]
+_ORDERS = [
+    [(1, 120.50, "2024-01-01 00:00:00"), (2, 4999.99, "2024-01-01 00:01:00"),
+     (3, -75.25, "2024-01-01 00:02:00")],
+    [(4, 120.50, "2024-01-01 01:00:00"), (5, 8100.00, "2024-01-01 01:01:00"),
+     (6, 310.10, "2024-01-01 01:02:00")],
+    # fresh post-compaction drop: must CHANGE the merged fold
+    [(7, 99999.01, "2024-01-01 02:00:00"), (8, 15.00, "2024-01-01 02:01:00")],
+]
+_EVENTS = [
+    [(u, f"2024-01-0{d} 10:00:00") for u in range(1, 30) for d in (1, 2)],
+    [(u, f"2024-01-0{d} 11:00:00") for u in range(20, 60) for d in (2, 3)],
+    # fresh post-compaction drop: NEW users on a NEW day (HLL union is
+    # idempotent for already-seen users, so only new keys move the fold)
+    [(u, "2024-01-04 09:00:00") for u in range(200, 260)],
+]
+
+_STORES = {
+    "cms": (
+        cms_counters_stream,
+        compact_cms_store,
+        "doc_id long, text string, ts string",
+        _DOCS,
+        lambda spark, out: sorted(
+            (r.j, r.bucket, r.c)
+            for r in read_cms_counters(spark, out).collect()
+        ),
+    ),
+    "histogram": (
+        value_histogram_stream,
+        compact_value_histogram_store,
+        "order_id long, price double, ts string",
+        _ORDERS,
+        lambda spark, out: read_streamed_percentiles(
+            spark, out, qs=(0.5, 0.9)
+        ),
+    ),
+    "wau": (
+        wau_sketches_stream,
+        compact_wau_store,
+        "user_id long, ts string",
+        _EVENTS,
+        lambda spark, out: sorted(
+            (str(r.spine_day), r.wau_est)
+            for r in read_wau_estimates(spark, out).collect()
+        ),
+    ),
+}
+
+
+def _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, drop):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{src}/drop{drop}")
+    stream_fn(spark, src, out, ckpt).awaitTermination(120)
+
+
+def _delete_last_commit(ckpt: str) -> str:
+    """The test_streaming.py crash rig: the sink ran but the commit
+    marker was lost -> restart re-runs that micro-batch."""
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    crc = f"{ckpt}/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    return last
+
+
+@pytest.mark.parametrize("store", sorted(_STORES))
+def test_compaction_bit_exact_and_replay_safe(spark, tmp_path, store):
+    stream_fn, compact_fn, schema, drops, snapshot = _STORES[store]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    for i, rows in enumerate(drops[:2]):
+        _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, i)
+    part_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert len(part_dirs) == 2, part_dirs
+
+    before = snapshot(spark, out)
+
+    # (a) compaction: folds both committed partitions, reads bit-exact
+    stats = compact_fn(spark, out, ckpt)
+    assert stats["folded"] == 2 and stats["watermark"] == 1
+    man = load_manifest(out)
+    assert man == {"watermark": 1, "base": "base-1"}
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(out)
+    ), "folded partitions must be GC'd"
+    assert snapshot(spark, out) == before
+
+    # no-op re-compaction: nothing committed beyond the watermark
+    again = compact_fn(spark, out, ckpt)
+    assert again["folded"] == 0 and again["watermark"] == 1
+    assert snapshot(spark, out) == before
+
+    # (b) planted checkpoint replay of the already-compacted batch 1:
+    # the sink rewrites batch_id=1 on disk; the watermark tombstone must
+    # keep every read result unchanged (the double-count this module
+    # exists to prevent).
+    _delete_last_commit(ckpt)
+    stream_fn(spark, src, out, ckpt).awaitTermination(120)
+    assert os.path.isdir(
+        f"{out}/batch_id=1"
+    ), "rig must actually replay the compacted micro-batch"
+    assert snapshot(spark, out) == before
+
+    # a fresh micro-batch AFTER compaction lands above the watermark and
+    # merges with the base; compacting again folds it in, still exact.
+    _drop_and_run(
+        spark, stream_fn, schema, drops[2], src, out, ckpt, 99
+    )
+    with_new = snapshot(spark, out)
+    assert with_new != before  # the new drop genuinely changed the fold
+    stats = compact_fn(spark, out, ckpt)
+    assert stats["folded"] >= 1 and stats["watermark"] >= 2
+    assert snapshot(spark, out) == with_new
+
+
+def test_uncommitted_partition_is_never_folded(spark, tmp_path):
+    # A batch_id partition with NO commit marker is exactly the one a
+    # restart may re-run: compaction must leave it live (unfolded), and
+    # reads must still count it exactly once before AND after.
+    from pyspark.sql import functions as SF
+
+    stream_fn, compact_fn, schema, drops, snapshot = _STORES["histogram"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    _drop_and_run(spark, stream_fn, schema, drops[0], src, out, ckpt, 0)
+    _drop_and_run(spark, stream_fn, schema, drops[1], src, out, ckpt, 1)
+    # strip batch 1's commit marker BEFORE compacting: its partition is
+    # on disk but no longer committed
+    _delete_last_commit(ckpt)
+    before = snapshot(spark, out)
+    stats = compact_fn(spark, out, ckpt)
+    assert stats["folded"] == 1 and stats["watermark"] == 0
+    assert os.path.isdir(f"{out}/batch_id=1"), "uncommitted stays live"
+    assert snapshot(spark, out) == before
+    # the restart re-runs batch 1 (rewrite-in-place), commits it, and
+    # only THEN may compaction fold it
+    stream_fn(spark, src, out, ckpt).awaitTermination(120)
+    assert snapshot(spark, out) == before
+    stats = compact_fn(spark, out, ckpt)
+    assert stats["folded"] == 1 and stats["watermark"] == 1
+    assert snapshot(spark, out) == before
+
+
+def test_compact_empty_or_missing_store_is_noop(spark, tmp_path):
+    out, ckpt = str(tmp_path / "store"), str(tmp_path / "ck")
+    from pyspark.sql import functions as SF
+
+    stats = compact_sketch_store(
+        spark, out, ckpt, ("bucket",), (SF.sum("c").alias("c"),)
+    )
+    assert stats == {"watermark": -1, "folded": 0, "base": None}
+    assert load_manifest(out) is None
