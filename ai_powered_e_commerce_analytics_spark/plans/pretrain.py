@@ -943,6 +943,204 @@ FROM p GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic BPE-merge tokenizer trainer
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6            # merge rounds reported by bpe_merges_topn
+BPE_MAX_WORD_LEN = 24     # trainer ignores longer "words" (junk for BPE)
+
+
+def _bpe_word_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's working state: one row per DISTINCT word with
+    its corpus frequency and its current symbol sequence (initially
+    characters). The ONLY corpus-sized operation in the whole trainer
+    is this word-frequency contraction — every merge round thereafter
+    runs over the vocabulary-sized state."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        # lowercase-alpha word population: BPE pre-normalization is
+        # orthogonal to the merge algorithm, and the restriction
+        # guarantees symbols never contain the oracle's '|' serializer
+        .where(
+            F.col("w").rlike("^[a-z]+$")
+            & (F.length("w") <= BPE_MAX_WORD_LEN)
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+            "freq",
+        )
+    )
+
+
+def _bpe_apply_merge(l: str, r: str) -> "F.Column":  # noqa: F821
+    """Greedy left-to-right application of merge ``(l, r)`` to the
+    ``syms`` array as a pure JVM ``aggregate`` fold: append each symbol
+    unless the accumulator's LAST element is ``l`` and the incoming one
+    is ``r``, in which case replace the tail with the merged token.
+
+    This fold IS the classic greedy non-overlapping replacement: after
+    a merge the tail becomes ``l||r``, which can never re-match ``l``
+    (``r`` is non-empty), so an overlapping candidate — possible only
+    when ``l == r`` inside a run like ``aaa`` — is skipped exactly as
+    the scan-based implementation skips it (``aaa`` -> ``[aa, a]``).
+    Property-tested against a reference scan in tests/test_pretrain.py.
+    """
+    merged = l + r
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (s == F.lit(r)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_pair_argmax(cur: DataFrame) -> DataFrame:
+    """ONE merge round's selection: adjacent-pair explode over the
+    vocabulary-sized state (map-side combine contracts each task to its
+    distinct pairs before the shuffle) and the argmax via
+    ``orderBy(...).limit(1)`` — ``TakeOrderedAndProject``, per-partition
+    1-row heaps, never a global sort. Shared by the training loop and
+    the plan-audit probe (plans/probes.py) so the audited shape IS the
+    executed shape."""
+    return (
+        cur.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(1)
+    )
+
+
+def bpe_merges_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE-merge tokenizer trainer: ``BPE_MERGES`` greedy
+    frequent-pair merges over the documents corpus, emitting the merge
+    table — (rank, left, right, merged token, frequency-weighted pair
+    count) — the artifact a real pipeline ships to its tokenizer.
+
+    Iterative fixed-point plan, same family as ``kmeans_lloyd_clusters``
+    / ``copurchase_pagerank``: the corpus is scanned ONCE (word-freq
+    contraction, checkpointed); each round then (a) folds the
+    vocabulary-sized state to per-pair counts — adjacent-pair explode
+    whose map-side combine contracts each task to its distinct pairs
+    before the shuffle — (b) takes the argmax via
+    ``orderBy(...).limit(1)`` (``TakeOrderedAndProject``: per-partition
+    1-row heaps, never a global sort), so the DRIVER sees exactly one
+    row per round, and (c) rewrites the symbol arrays with the chosen
+    merge inlined as literals in a JVM ``aggregate`` fold (broadcast by
+    value — zero joins, zero python islands). At 100 TB the state is
+    web-vocabulary-sized (millions of distinct words) and stays fully
+    distributed; per-round cost is a vocab scan, independent of corpus
+    size.
+
+    Determinism (why this is oracle-gated): pair counts are exact long
+    sums (associative under any partitioning); selection tiebreaks by
+    (count DESC, left ASC, right ASC) — a total order both engines
+    evaluate identically on ASCII; application is the greedy fold
+    proven equal to the oracle's serialized string-replace (see
+    ``_bpe_apply_merge`` / ``_bpe_sql``). Pair counting uses ADJACENT
+    (overlapping) occurrences, Sennrich's ``get_stats`` convention.
+    """
+    cur = _bpe_word_state(spark, sf_dir).localCheckpoint()
+    merges: list[tuple] = []
+    for k in range(1, BPE_MERGES + 1):
+        best = _bpe_pair_argmax(cur).collect()
+        if not best:
+            break  # vocabulary fully merged before BPE_MERGES rounds
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((k, l, r, l + r, cnt))
+        nxt = cur.select(
+            _bpe_apply_merge(l, r).alias("syms"), "freq"
+        ).localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "new_token string, pair_count long",
+    )
+
+
+def _bpe_sql() -> str:
+    """DuckDB oracle replaying the IDENTICAL greedy merges, unrolled
+    round-by-round (the ``_km_cte_prefix`` pattern — recursive CTEs
+    cannot reference the working table twice, so iteration unrolls).
+
+    Merge application serializes each word's symbols as
+    ``|s1||s2||...|``: every symbol occurrence is delimited on both
+    sides, so the literal ``replace`` of ``|l||r|`` with ``|lr|``
+    matches exactly the adjacent symbol pairs (a match must start at a
+    delimiter and consume whole symbols — symbols cannot contain
+    ``|``), and ``replace``'s left-to-right non-overlapping scan IS the
+    greedy merge order, including the ``l == r`` run case where
+    consecutive candidates share the middle symbol."""
+    parts = [
+        f"""
+w0 AS (
+    SELECT list_transform(range(1, length(w) + 1),
+                          i -> substr(w, i, 1)) AS syms,
+           count(*)::BIGINT AS freq
+    FROM (
+        SELECT unnest({_TOKS_SQL}) AS w
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {BPE_MAX_WORD_LEN}
+    GROUP BY w
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(f"""
+p{k} AS (
+    SELECT syms[i.i] AS l, syms[i.i + 1] AS r, sum(freq)::BIGINT AS cnt
+    FROM w{k - 1} CROSS JOIN range(1, {BPE_MAX_WORD_LEN}) i(i)
+    WHERE i.i <= len(syms) - 1
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""
+b{k} AS (
+    SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        parts.append(f"""
+w{k} AS (
+    SELECT string_split(
+               trim(replace('|' || array_to_string(syms, '||') || '|',
+                            '|' || b.l || '||' || b.r || '|',
+                            '|' || b.l || b.r || '|'),
+                    '|'),
+               '||') AS syms,
+           freq
+    FROM w{k - 1} CROSS JOIN b{k} b
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS new_token, cnt AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + finals
+
+
 PRETRAIN_SPECS = [
     QuerySpec(
         "decontaminate_ngram_overlap",
@@ -1004,5 +1202,12 @@ PRETRAIN_SPECS = [
         decontaminate_embedding_cosine,
         _decon_embedding_sql(),
         ("decontamination-semantic",),
+    ),
+    QuerySpec(
+        "bpe_merges_topn",
+        bpe_merges_topn,
+        _bpe_sql(),
+        ("bpe-merge-training",),
+        touched_round=10,
     ),
 ]

@@ -90,8 +90,20 @@ def _lloyd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lloyd_update(e, init)
 
 
+def _bpe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pretrain import _bpe_apply_merge, _bpe_pair_argmax, _bpe_word_state
+
+    # one representative round: literal-merge application (pure map)
+    # feeding the shared pair-count + TakeOrdered selection body
+    state = _bpe_word_state(spark, sf_dir).select(
+        _bpe_apply_merge("e", "r").alias("syms"), "freq"
+    )
+    return _bpe_pair_argmax(state)
+
+
 #: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
 PLAN_PROBES = {
+    "bpe_merges_topn": _bpe_probe,
     "copurchase_pagerank": _pagerank_probe,
     "dedup_components": _cc_probe(_minhash_pairs),
     "dedup_survivors_cc": _cc_probe(_minhash_pairs),

@@ -136,7 +136,93 @@ HEADLINE = [
     "order_value_mad_outliers",
     "customer_l_diversity",
     "daily_revenue_ewma",
+    # round-10 additions (89 -> 90; r9-comparable subset = first 89)
+    "bpe_merges_topn",
 ]
+
+
+def _isolate_one(name: str) -> None:
+    """Subprocess body for ``--isolate``: ONE query in a FRESH JVM
+    (warmup + ITERS timed runs), JSON on the last stdout line. This is
+    the SCALE.md §3b 'isolated fresh sessions' protocol — the
+    adjudication step for suite-level drift: a query whose isolated
+    number holds its anchor while its in-suite number drifted is
+    machine state, not a plan regression (memory:
+    bench-noise-discipline)."""
+    from ai_powered_e_commerce_analytics_spark.plans import query_map
+    from ai_powered_e_commerce_analytics_spark.plans.quantiles import (
+        release_arranged_cache,
+    )
+    from ai_powered_e_commerce_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-isolate-{name}")
+    queries = query_map()
+
+    def run(q: str) -> None:
+        queries[q](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        release_arranged_cache()
+
+    try:
+        run("tpch_q1_pricing_summary")  # JVM + parquet-footer warmup
+    except Exception:
+        pass
+    times: list[float] = []
+    err = None
+    for _ in range(ITERS):
+        start = time.perf_counter()
+        try:
+            run(name)
+        except Exception as exc:  # noqa: BLE001 - report, don't crash
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        times.append(time.perf_counter() - start)
+    print(json.dumps({"name": name, "times": times, "err": err}))
+    spark.stop()
+
+
+def isolate_main(names: list[str]) -> None:
+    """``bench.py --isolate q1,q2``: re-run each named query in its own
+    fresh JVM and print ONE summary JSON line — the one-command drift
+    adjudication SCALE.md §3b used to run by hand."""
+    import subprocess
+    import sys
+
+    unknown = [n for n in names if n not in HEADLINE]
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    errors: dict[str, str] = dict.fromkeys(unknown, "not in HEADLINE")
+    for name in names:
+        if name in errors:
+            continue
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_one", name],
+            capture_output=True, text=True, timeout=1800,
+        )
+        try:
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (IndexError, ValueError):
+            errors[name] = f"subprocess failed: {proc.stderr[-300:]}"
+            continue
+        if res.get("err"):
+            errors[name] = res["err"]
+        elif res["times"]:
+            timings[name] = round(min(res["times"]), 3)
+            medians[name] = round(statistics.median(res["times"]), 3)
+    print(json.dumps({
+        "metric": "isolated-rerun wall time (fresh JVM per query)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "errors": errors,
+        "iters": ITERS,
+        "sf": SF_DIR,
+        "n_queries": len(names),
+        "queries": timings,
+        "queries_median": medians,
+    }))
 
 
 def main() -> None:
@@ -236,4 +322,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--_one":
+        _isolate_one(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        isolate_main([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()
