@@ -245,6 +245,30 @@ def bloom_prune(
             "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
         )
         keep = keep & (word.bitwiseAND(mask) != 0)
+    if meta.get("m_bits") is None:
+        # Metadata-stripped or pre-r9 bits frame: the static pairing
+        # check above could not run, so pin the structural invariant
+        # into the plan itself — the bitset's word count must match
+        # params.m_bits exactly, else raise AT EXECUTION instead of
+        # letting an out-of-range element_at yield NULL and silently
+        # drop true-match rows (ADVICE r9: the silent false-negative
+        # hazard was unguarded exactly when metadata was absent).
+        n_words = (params.m_bits + 63) // 64
+        keep = F.when(F.size(F.col(bcol)) == n_words, keep).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom_prune: bitset has "),
+                    F.size(F.col(bcol)).cast("string"),
+                    F.lit(
+                        f" words but params.m_bits={params.m_bits} "
+                        f"needs exactly {n_words} — the (bits, params) "
+                        "pair does not come from one bloom_build call "
+                        "(and the bits frame carries no sizing "
+                        "metadata to check statically)"
+                    ),
+                )
+            )
+        )
     return out.where(keep).drop(bcol)
 
 

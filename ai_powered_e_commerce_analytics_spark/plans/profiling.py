@@ -651,7 +651,9 @@ def customer_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
     second corpus fold plus a 15M-key join purely to re-derive it.
     The whole query is two key exchanges (the distinct-value
     contraction on (customer, value), then the window partition on
-    customer) and ZERO joins.
+    customer) and ZERO joins. ``n_orders`` counts NON-NULL order
+    values on both sides (the helper ignores nulls per ``percentile``
+    semantics; the oracle filters its CTE to match — ADVICE r9).
     """
     o = t(spark, sf_dir, "orders").select(
         "o_custkey", cents("o_totalprice").alias("price_c")
@@ -678,6 +680,7 @@ def customer_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
 CUSTOMER_ORDER_VALUE_QUARTILES_SQL = f"""
 WITH o AS (
     SELECT o_custkey, {cents_sql('o_totalprice')} AS price_c FROM orders
+    WHERE o_totalprice IS NOT NULL
 )
 SELECT o_custkey, count(*)::BIGINT AS n_orders,
        round(quantile_cont(price_c, 0.25) / 100.0, 6) AS p25_value,
@@ -1284,7 +1287,10 @@ PROFILING_SPECS = [
         customer_order_value_quartiles,
         CUSTOMER_ORDER_VALUE_QUARTILES_SQL,
         ("percentiles-high-cardinality-grain",),
-        touched_round=9,  # r9 addition: window-regime percentile query
+        # r9 addition (window-regime percentile query); r10: oracle CTE
+        # filters NULL prices so n_orders counts the same population as
+        # the helper's count_col (ADVICE r9) — re-gate the pairing
+        touched_round=10,
     ),
     QuerySpec(
         "dataset_card_documents",

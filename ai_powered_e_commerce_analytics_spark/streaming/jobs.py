@@ -1236,7 +1236,17 @@ def read_streamed_percentiles(
         )
     except AnalysisException:  # no batch committed yet (PATH_NOT_FOUND
         merged = []            # / schema-less dir) -> empty-store shape
-    rows = sorted((r["bucket"], r["c"]) for r in merged)
+    return _histogram_percentiles(
+        [(r["bucket"], r["c"]) for r in merged], qs
+    )
+
+
+def _histogram_percentiles(bucket_counts, qs) -> dict:
+    """The pure CDF walk behind :func:`read_streamed_percentiles`
+    (factored out so the one-bucket-width bound is property-testable
+    without a stream: tests/test_streaming.py drives it over arbitrary
+    signed price lists)."""
+    rows = sorted(bucket_counts)
     n = sum(c for _, c in rows)
     out = {"n": n}
     if not n:
@@ -1621,3 +1631,81 @@ def read_bloom_seen_fill(
         # does; dashboards alarm on EITHER under the same name.
         "saturation_warning": fill >= fill_warn,
     }
+
+
+def rotate_bloom_first_seen(
+    spark: SparkSession,
+    query,
+    src_dir: str,
+    new_checkpoint_dir: str,
+    sink,
+    *,
+    warmup: DataFrame | None = None,
+    schema: str = "doc_id long, key string",
+    shards: int = BLOOM_SEEN_SHARDS,
+    bits_per_shard: int = BLOOM_SEEN_BITS_PER_SHARD,
+    k: int = BLOOM_SEEN_K,
+    fill_warn: float = BLOOM_SEEN_FILL_WARN,
+    available_now: bool = True,
+):
+    """The SCALE.md saturation playbook's ROTATE step, as one call
+    (VERDICT r9 #5 — the playbook was documentation + alarm only):
+    stop the saturated ``bloom_first_seen_stream`` query, start a
+    successor gate with (typically larger) fresh sizing against a
+    FRESH checkpoint, and re-arm suppression by replaying history.
+
+    Re-seed semantics: the successor's fresh checkpoint makes the file
+    source re-read EVERYTHING retained in ``src_dir`` from the start,
+    so every retained key folds into the new (empty) filter before new
+    traffic — suppression continues without a state migration (which
+    the sizing fingerprints deliberately make impossible: a resize
+    re-bases bit positions and remaps key->shard). Keys whose source
+    files have aged out of retention are the gap ``warmup`` plugs:
+    a batch frame of historical ``(doc_id, key)`` rows appended to
+    ``src_dir`` ahead of the restart, absorbed in the successor's
+    first batches. The documented cost is one re-emission of each
+    replayed first-seen key during the reseed window — downstream
+    sinks are keyed upserts, so re-emitted keys collapse idempotently
+    — after which re-seen keys never pass again (tested).
+
+    ``sink`` is the successor's ``foreachBatch`` callable (usually the
+    same one the stopped query ran). Returns the started successor
+    ``StreamingQuery``; monitor it with :func:`read_bloom_seen_fill`
+    over ``new_checkpoint_dir``.
+    """
+    import os
+
+    if query is not None and query.isActive:
+        query.stop()
+        query.awaitTermination(60)
+    ckpt_local = new_checkpoint_dir
+    for prefix in ("file://", "file:"):
+        if ckpt_local.startswith(prefix):
+            ckpt_local = ckpt_local[len(prefix):]
+    if os.path.isdir(ckpt_local) and os.listdir(ckpt_local):
+        raise ValueError(
+            f"rotate_bloom_first_seen: {new_checkpoint_dir} is not a "
+            "FRESH checkpoint — resuming an existing checkpoint would "
+            "trip the sizing fingerprints (or worse, silently reuse "
+            "the saturated state). Rotation always targets a new "
+            "checkpoint directory."
+        )
+    if warmup is not None:
+        # history beyond src_dir's retention, re-absorbed via the same
+        # source the live keys arrive on (the successor reads src_dir
+        # from scratch, so these fold in with the retained files)
+        warmup.select("doc_id", "key").write.mode("append").json(src_dir)
+    stream = spark.readStream.schema(schema).json(src_dir)
+    gated = bloom_first_seen_stream(
+        stream,
+        shards=shards,
+        bits_per_shard=bits_per_shard,
+        k=k,
+        fill_warn=fill_warn,
+    )
+    writer = gated.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", new_checkpoint_dir
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -286,3 +286,33 @@ def test_metadata_survives_reserved_column_rename(spark):
     with pytest.raises(ValueError, match="mismatch"):
         bloom_prune(probe, "k", bits, params_other)
     assert bloom_prune(probe, "k", bits, params).count() == 20
+
+
+def test_metadata_stripped_bits_fail_loudly_on_size_mismatch(spark):
+    # ADVICE r9: with the sizing metadata absent the static pairing
+    # guard cannot run; the structural word-count invariant must then
+    # be pinned into the plan so a stale/mispaired bits frame raises at
+    # execution instead of silently dropping true-match rows.
+    build_small = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    build_big = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    bits_small, params_small = bloom_build(build_small, "k")
+    _, params_big = bloom_build(build_big, "k")
+    stripped = bits_small.select(
+        F.col("__bloom").alias("__bloom", metadata={})
+    )
+    assert not (stripped.schema["__bloom"].metadata or {})
+    probe = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException),
+        match="word",
+    ):
+        bloom_prune(probe, "k", stripped, params_big).count()
+    # correct pairing with stripped metadata still works exactly
+    got = sorted(
+        r["k"]
+        for r in bloom_prune(probe, "k", stripped, params_small).collect()
+    )
+    assert got == list(range(10))
