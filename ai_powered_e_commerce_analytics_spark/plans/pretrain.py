@@ -1062,6 +1062,20 @@ def bpe_merges_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_bpe_apply_merge`` / ``_bpe_sql``). Pair counting uses ADJACENT
     (overlapping) occurrences, Sennrich's ``get_stats`` convention.
     """
+    merges, cur = _bpe_train(spark, sf_dir)
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "new_token string, pair_count long",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the ``BPE_MERGES`` training rounds; returns ``(merges,
+    final_state)`` — the merge tuples and the post-training word-state
+    frame (localCheckpointed; the merge-table consumer unpersists it,
+    the token-count consumer keeps it live under its returned plan)."""
     cur = _bpe_word_state(spark, sf_dir).localCheckpoint()
     merges: list[tuple] = []
     for k in range(1, BPE_MERGES + 1):
@@ -1075,11 +1089,32 @@ def bpe_merges_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "new_token string, pair_count long",
+    return merges, cur
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts UNDER the trained BPE vocabulary — the
+    second artifact of VERDICT r9 #4 ('the merge table + resulting
+    token counts'): after ``BPE_MERGES`` merges, every word is a
+    sequence of vocabulary symbols; this reports each symbol's
+    frequency-weighted corpus occurrence count and its occurrence
+    count across distinct word FORMS (the stats a tokenizer report
+    card publishes — compression ratio and dead-merge detection fall
+    out of them).
+
+    Plan: the training fixed point (shared ``_bpe_train``) plus ONE
+    vocabulary-sized explode-and-fold over the final state — symbols
+    number at most |alphabet| + BPE_MERGES, so the output and the agg
+    are both tiny at any corpus scale.
+    """
+    _, cur = _bpe_train(spark, sf_dir)
+    return (
+        cur.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(
+            F.sum("freq").alias("n_occurrences"),
+            F.count("*").alias("n_form_occurrences"),
+        )
     )
 
 
@@ -1139,6 +1174,20 @@ w{k} AS (
         for k in range(1, BPE_MERGES + 1)
     )
     return "WITH " + ",".join(parts) + "\n" + finals
+
+
+def _bpe_token_counts_sql() -> str:
+    """Oracle for :func:`bpe_token_counts`: the same unrolled merge
+    chain, folded over the FINAL state ``w{BPE_MERGES}`` instead of the
+    per-round best rows."""
+    chain = _bpe_sql()
+    chain = chain[: chain.index("\nSELECT 1 AS merge_rank")]
+    return f"""{chain}
+SELECT token, sum(freq)::BIGINT AS n_occurrences,
+       count(*)::BIGINT AS n_form_occurrences
+FROM (SELECT unnest(syms) AS token, freq FROM w{BPE_MERGES})
+GROUP BY token
+"""
 
 
 PRETRAIN_SPECS = [
@@ -1208,6 +1257,13 @@ PRETRAIN_SPECS = [
         bpe_merges_topn,
         _bpe_sql(),
         ("bpe-merge-training",),
+        touched_round=10,
+    ),
+    QuerySpec(
+        "bpe_token_counts",
+        bpe_token_counts,
+        _bpe_token_counts_sql(),
+        ("bpe-token-report",),
         touched_round=10,
     ),
 ]

@@ -1232,6 +1232,99 @@ LIMIT {_SKEW_TOP_K}
 """
 
 
+def join_size_estimate_events_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-join cardinality estimate of the M:N ``events ⋈ orders``
+    user join WITHOUT executing it — the planner diagnostic run before
+    committing cluster time to a potentially exploding join (the
+    companion to ``join_key_skew_profile``, which profiles one side's
+    keys; this one prices the join itself). For an equi-join the exact
+    output size is ``Σ_k cl(k)·cr(k)`` over the per-key row counts, so
+    the report is computable from two key-grain contractions: total
+    rows/keys per side, matched keys, exact output rows, the single
+    hottest key's contribution, the output-vs-input blowup factor, and
+    the hot-key-vs-average skew ratio (the salting/AQE-skew decision
+    inputs, SCALE.md §2).
+
+    Plan: each fact contributes ONE combiner-friendly
+    ``groupBy(key).count()`` contraction — the only corpus-sized work;
+    the FULL OUTER join runs on the two contractions (key-cardinality
+    rows, not fact rows) and folds to a single row. At 100 TB the
+    estimate costs two fact scans and a key-sized shuffle — versus an
+    actual blowup join whose output this report exists to predict.
+    Doubles are quotients of exact longs (float policy: raw).
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("cl"))
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("cr"))
+    )
+    both = F.col("cl").isNotNull() & F.col("cr").isNotNull()
+    agg = (
+        ev.join(od, "k", "full")
+        .agg(
+            F.sum("cl").alias("n_left_rows"),
+            F.sum("cr").alias("n_right_rows"),
+            F.count("cl").alias("n_left_keys"),
+            F.count("cr").alias("n_right_keys"),
+            F.count(F.when(both, 1)).alias("n_matched_keys"),
+            F.coalesce(
+                F.sum(F.col("cl") * F.col("cr")), F.lit(0)
+            ).alias("est_out_rows"),
+            F.max(F.col("cl") * F.col("cr")).alias("max_key_out_rows"),
+        )
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("est_out_rows").cast("double")
+            / F.col("n_left_rows").cast("double")
+        ).alias("blowup_vs_left"),
+        (
+            (F.col("max_key_out_rows") * F.col("n_matched_keys"))
+            .cast("double")
+            / F.col("est_out_rows").cast("double")
+        ).alias("hot_key_skew_ratio"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH l AS (
+    SELECT user_id AS k, count(*)::BIGINT AS cl
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+r AS (
+    SELECT o_custkey AS k, count(*)::BIGINT AS cr
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+j AS (SELECT cl, cr FROM l FULL OUTER JOIN r USING (k)),
+a AS (
+    SELECT sum(cl)::BIGINT AS n_left_rows,
+           sum(cr)::BIGINT AS n_right_rows,
+           count(cl)::BIGINT AS n_left_keys,
+           count(cr)::BIGINT AS n_right_keys,
+           count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END
+                 )::BIGINT AS n_matched_keys,
+           coalesce(sum(cl * cr), 0)::BIGINT AS est_out_rows,
+           max(cl * cr)::BIGINT AS max_key_out_rows
+    FROM j
+)
+SELECT *,
+       est_out_rows::DOUBLE / n_left_rows::DOUBLE AS blowup_vs_left,
+       (max_key_out_rows * n_matched_keys)::DOUBLE
+           / est_out_rows::DOUBLE AS hot_key_skew_ratio
+FROM a
+"""
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "table_profile_orders",
@@ -1256,6 +1349,13 @@ PROFILING_SPECS = [
         join_key_skew_profile,
         JOIN_KEY_SKEW_SQL,
         ("join-skew-diagnostic",),
+    ),
+    QuerySpec(
+        "join_size_estimate_events_orders",
+        join_size_estimate_events_orders,
+        JOIN_SIZE_ESTIMATE_SQL,
+        ("join-size-estimate",),
+        touched_round=10,
     ),
     QuerySpec(
         "incremental_daily_revenue",

@@ -25,6 +25,7 @@ from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
     BPE_MERGES,
     _bpe_apply_merge,
     bpe_merges_topn,
+    bpe_token_counts,
 )
 
 SETTINGS = dict(
@@ -134,3 +135,22 @@ def test_trainer_matches_reference_end_to_end(spark, tmp_path):
     assert got == sorted(expected)
     ranks = [r[0] for r in got]
     assert ranks == list(range(1, len(got) + 1))
+
+    # resulting token counts under the trained vocabulary (the second
+    # artifact): replay the reference merges over the word state and
+    # fold occurrence counts
+    state = {w: [*w] for w in word_freqs}
+    for _, l, r, _, _ in expected:
+        state = {w: _ref_apply(s, l, r) for w, s in state.items()}
+    exp_counts: dict[str, list[int]] = {}
+    for w, syms in state.items():
+        for s in syms:
+            tot = exp_counts.setdefault(s, [0, 0])
+            tot[0] += word_freqs[w]
+            tot[1] += 1
+    got_counts = sorted(
+        tuple(r) for r in bpe_token_counts(spark, sf).collect()
+    )
+    assert got_counts == sorted(
+        (t, occ, forms) for t, (occ, forms) in exp_counts.items()
+    )
