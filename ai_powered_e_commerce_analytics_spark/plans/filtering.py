@@ -292,6 +292,116 @@ FROM per_doc
 """
 
 
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM LM —
+    the context-aware step up from :func:`doc_unigram_surprisal` in the
+    perplexity-filter family (CCNet scores with an n-gram LM precisely
+    because unigram surprisal cannot see scrambled or repetitive word
+    ORDER; a bigram corpus-LM is the distributable in-engine analog).
+
+    ce(d) = -(1/(|d|-1)) Σ ln p(w_i | w_{i-1}),
+    p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — the MLE over the corpus's own
+    bigrams, so every scored bigram has nonzero probability (self-
+    scoring needs no smoothing). Docs with fewer than two tokens have
+    no bigrams and drop out (both engines: no rows -> no group).
+
+    Plan: one bigram explode (``zip_with`` of the token array with its
+    tail — no self-join of the token stream) feeds BOTH the bigram-LM
+    contraction and the per-doc fold; left-context totals derive from
+    the bigram contraction itself (never a second corpus pass). The ln
+    p table joins back on the bigram key WITHOUT a broadcast hint: at
+    test scale AQE broadcasts it, at 100 TB a web-corpus bigram
+    vocabulary outgrows a broadcast and the planner falls back to a
+    shuffle join on the (w1, w2) key — both corpus-contraction-sized
+    sides. Determinism: the ``doc_unigram_surprisal`` micro-nat-grid
+    discipline — ln p quantized ONCE per distinct bigram to exact
+    longs, per-doc sums associative, emitted values a pure division
+    chain (+ round-6 exp per the float policy).
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    toks = tokens("text")
+    n = F.size(toks)
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .repartition("doc_id")
+    )
+    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = freq.groupBy("w1").agg(F.sum("c").alias("c1"))
+    lp = freq.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("c1"))
+            * F.lit(_LNP_GRID),
+            0,
+        )
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    per_doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lnp_micro").alias("s_micro"),
+        )
+    )
+    ce = (
+        -(F.col("s_micro").cast("double") / F.lit(float(_LNP_GRID)))
+        / F.col("n_bigrams")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
+
+
+DOC_BIGRAM_SURPRISAL_SQL = f"""
+WITH tk AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term,
+           generate_subscripts({_TOKS_SQL}, 1) AS i
+    FROM documents WHERE doc_id IS NOT NULL
+),
+bg AS (
+    SELECT a.doc_id, a.term AS w1, b.term AS w2
+    FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+freq AS (
+    SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2
+),
+ctx AS (SELECT w1, sum(c)::BIGINT AS c1 FROM freq GROUP BY w1),
+lp AS (
+    SELECT w1, w2,
+           round(ln(c::DOUBLE / c1) * {_LNP_GRID})::BIGINT AS lnp_micro
+    FROM freq JOIN ctx USING (w1)
+),
+per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(lnp_micro)::BIGINT AS s_micro
+    FROM bg JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-(s_micro::DOUBLE / {float(_LNP_GRID)}) / n_bigrams, 6)
+           AS cross_entropy,
+       round(exp(-(s_micro::DOUBLE / {float(_LNP_GRID)}) / n_bigrams), 6)
+           AS perplexity
+FROM per_doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus shape diagnostics: DF spectrum + length histogram
 # ---------------------------------------------------------------------------
@@ -429,6 +539,13 @@ FILTERING_SPECS = [
         doc_unigram_surprisal,
         DOC_UNIGRAM_SURPRISAL_SQL,
         ("perplexity-filter-unigram",),
+    ),
+    QuerySpec(
+        "doc_bigram_surprisal",
+        doc_bigram_surprisal,
+        DOC_BIGRAM_SURPRISAL_SQL,
+        ("perplexity-filter-bigram",),
+        touched_round=10,
     ),
     QuerySpec(
         "term_doc_frequency_curve",

@@ -136,8 +136,14 @@ HEADLINE = [
     "order_value_mad_outliers",
     "customer_l_diversity",
     "daily_revenue_ewma",
-    # round-10 additions (89 -> 90; r9-comparable subset = first 89)
+    # round-10 additions (89 -> 92; r9-comparable subset = first 89).
+    # bpe_token_counts is registry-gated but not benched: it re-runs
+    # bpe_merges_topn's training fixed point plus only a tiny
+    # explode-agg — timing it would double-pay the loop for no new
+    # plan information.
     "bpe_merges_topn",
+    "join_size_estimate_events_orders",
+    "doc_bigram_surprisal",
 ]
 
 
