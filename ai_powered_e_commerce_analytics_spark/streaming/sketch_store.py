@@ -86,7 +86,11 @@ def _local(path: str) -> str:
 def committed_batch_ids(checkpoint_dir: str) -> set[int]:
     """Batch ids holding a commit marker in the stream checkpoint's
     ``commits/`` log. An id absent here may be re-run by a restart
-    (at-least-once foreachBatch) and is NOT safe to compact."""
+    (at-least-once foreachBatch) and is NOT safe to compact. NOTE the
+    log is a RETENTION WINDOW, not full history (Spark keeps
+    ``minBatchesToRetain``, default 100, and ages older files out) —
+    use :func:`last_committed_batch_id` for the safety frontier, since
+    batches commit strictly in order."""
     commits = os.path.join(_local(checkpoint_dir), "commits")
     if not os.path.isdir(commits):
         return set()
@@ -99,6 +103,16 @@ def committed_batch_ids(checkpoint_dir: str) -> set[int]:
         except ValueError:
             continue  # metadata files
     return out
+
+
+def last_committed_batch_id(checkpoint_dir: str) -> int:
+    """The highest committed batch id, or -1 for a virgin checkpoint.
+    Structured Streaming commits micro-batches STRICTLY in order, so
+    every id at or below this frontier has been committed (even if its
+    commit file has aged out of the retained log window) and only ids
+    ABOVE it can be re-run by a restart."""
+    ids = committed_batch_ids(checkpoint_dir)
+    return max(ids) if ids else -1
 
 
 def load_manifest(out_dir: str) -> dict | None:
@@ -170,14 +184,21 @@ def compact_sketch_store(
     hll_union_agg for sketches), so compaction is associative
     re-bracketing of the read fold and bit-equality is structural.
 
+    The commit frontier is :func:`last_committed_batch_id`, not literal
+    membership in the commit log: Spark retains only the last
+    ``minBatchesToRetain`` (default 100) commit files, so on exactly
+    the long-lived streams compaction exists for, old ids age OUT of
+    the log — but in-order commit semantics guarantee every id at or
+    below the frontier was committed.
+
     Returns ``{"watermark": W, "folded": n, "base": path|None}``;
     ``folded == 0`` means no-op (nothing committed beyond the current
     watermark)."""
-    committed = committed_batch_ids(checkpoint_dir)
+    frontier = last_committed_batch_id(checkpoint_dir)
     man = load_manifest(out_dir)
     watermark = man["watermark"] if man else -1
     parts = _batch_partitions(out_dir)
-    fold = sorted(i for i in parts if i > watermark and i in committed)
+    fold = sorted(i for i in parts if watermark < i <= frontier)
     if not fold:
         base = (
             os.path.join(_local(out_dir), _BASE_DIR, man["base"])

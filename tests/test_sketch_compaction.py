@@ -199,3 +199,29 @@ def test_compact_empty_or_missing_store_is_noop(spark, tmp_path):
     )
     assert stats == {"watermark": -1, "folded": 0, "base": None}
     assert load_manifest(out) is None
+
+
+def test_frontier_folds_ids_whose_commit_files_aged_out(spark, tmp_path):
+    # Spark retains only minBatchesToRetain (default 100) commit files,
+    # so on exactly the long-lived streams compaction exists for, OLD
+    # batch ids age out of commits/. In-order commit semantics make
+    # every id at or below the highest retained commit safe — planted
+    # here by deleting batch 0's commit marker while batch 1's remains:
+    # a literal-membership check would strand batch 0 unfoldable
+    # forever; the frontier folds both.
+    stream_fn, compact_fn, schema, drops, snapshot = _STORES["cms"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    _drop_and_run(spark, stream_fn, schema, drops[0], src, out, ckpt, 0)
+    _drop_and_run(spark, stream_fn, schema, drops[1], src, out, ckpt, 1)
+    # age batch 0's commit file out (retention simulation)
+    os.remove(f"{ckpt}/commits/0")
+    crc = f"{ckpt}/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    before = snapshot(spark, out)
+    stats = compact_fn(spark, out, ckpt)
+    assert stats["folded"] == 2 and stats["watermark"] == 1
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(out)
+    )
+    assert snapshot(spark, out) == before
