@@ -1268,6 +1268,132 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): cheapest-for-their-size parts
+# ---------------------------------------------------------------------------
+
+#: Price-range buckets for the distributed prefix-max pass. The cross-
+#: bucket prefix frame is exactly this many rows, so the one
+#: unpartitioned window below is O(64) regardless of corpus size.
+_SKYLINE_BUCKETS = 64
+
+#: Sentinel below any real ``p_size`` (TPC-H sizes are >= 1; any long
+#: would do — it only absorbs the "no cheaper point exists" NULL).
+_NO_PREDECESSOR = -(1 << 62)
+
+
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (price ↓, size ↑) Pareto frontier — every part for
+    which no other part is at most as expensive AND at least as large
+    with one of the two strict. The "best value for bulk" shortlist a
+    sourcing team reads; the same dominance shape ranks training
+    sources on (cost, quality) in a data-pipeline scorecard.
+
+    Dominance is an all-pairs predicate (the oracle states it as a
+    NOT EXISTS anti-join — O(N²) and fine at oracle scale, unrunnable
+    at 100 TB), but a 2-D skyline collapses to order statistics:
+
+    1. **Contraction** — group by exact price cents, keep ``max(size)``:
+       only the largest part at each price can be on the frontier (an
+       equal-price larger part strictly dominates). Output is bounded
+       by the PRICE DOMAIN (~200k distinct values under TPC-H's price
+       formula at any SF), not the corpus.
+    2. **Bucketed prefix max** — a point survives iff its size beats
+       the max size over all STRICTLY cheaper points. Computed without
+       a corpus-wide single-partition sort: uniform price-range buckets
+       from a broadcast 1-row min/max frame; an in-bucket RANGE-frame
+       running max (``rangeBetween(unboundedPreceding, -1)`` on the
+       cent key = strictly-cheaper semantics, partitioned by bucket);
+       and a cross-bucket exclusive prefix max over the O(64)-row
+       per-bucket-max frame (the only unpartitioned window — 64 rows
+       by construction, same bounded class as the O(days) series
+       folds). Spark's ``greatest`` skips NULLs, so the two
+       predecessor maxes combine without an engine-portability hazard
+       (the oracle never evaluates this expression).
+    3. **Broadcast semi-join** — frontier points (≤ distinct prices,
+       in practice tiny) rejoin the part scan to recover full rows;
+       equal (price, size) duplicates all survive, matching strict
+       dominance in the oracle.
+
+    Scale: one corpus scan, one shuffle on the price contraction, one
+    bucket-key shuffle over the contraction, and a broadcast join back.
+    Nothing downstream of the scan is corpus-sized.
+    """
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    pts = (
+        p.select(
+            cents("p_retailprice").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .groupBy("price_c")
+        .agg(F.max("size").alias("max_size"))
+    )
+    rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
+    b = pts.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SKYLINE_BUCKETS - 1),
+                F.floor(
+                    (F.col("price_c") - F.col("__lo"))
+                    * _SKYLINE_BUCKETS
+                    / (F.col("__hi") - F.col("__lo") + 1)
+                ),
+            )
+        ),
+    )
+    w_cheaper = (
+        Window.partitionBy("bucket")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("__prev_in_bucket", F.max("max_size").over(w_cheaper))
+    w_prefix = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        b.groupBy("bucket")
+        .agg(F.max("max_size").alias("__bmax"))
+        .withColumn("__prev_buckets", F.max("__bmax").over(w_prefix))
+        .select("bucket", "__prev_buckets")
+    )
+    frontier = (
+        local.join(F.broadcast(prefix), "bucket")
+        .where(
+            F.col("max_size")
+            > F.coalesce(
+                F.greatest("__prev_in_bucket", "__prev_buckets"),
+                F.lit(_NO_PREDECESSOR),
+            )
+        )
+        .select("price_c", "max_size")
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (cents("p_retailprice") == F.col("price_c"))
+        & (F.col("p_size").cast("long") == F.col("max_size")),
+        "left_semi",
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+PART_PRICE_SIZE_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -1309,4 +1435,7 @@ ANALYTICS_SPECS = [
               CUSTOMER_CLV_COHORT_SQL, ("cohort-ltv-triangle",)),
     QuerySpec("ship_delay_ols_slope", ship_delay_ols_slope,
               SHIP_DELAY_OLS_SQL, ("ols-sufficient-stats",)),
+    QuerySpec("part_price_size_skyline", part_price_size_skyline,
+              PART_PRICE_SIZE_SKYLINE_SQL, ("skyline-pareto-frontier",),
+              touched_round=10),  # r10 addition: dominance via bucketed prefix max
 ]

@@ -690,6 +690,79 @@ FROM o GROUP BY 1
 """
 
 
+def order_value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning of order values: global quartile cutoffs
+    assign every order to a bin, then per-bin count / min / max / mean.
+    The quantile-discretizer step of a feature pipeline (Spark ML's
+    ``QuantileDiscretizer`` shape, but exact), and the complement of
+    ``order_value_histogram``'s equal-WIDTH bins.
+
+    Plan: cutoffs come from :func:`exact_percentiles_scalable` at the
+    GLOBAL grain (one group — the range regime's ideal case: the
+    distinct-value contraction plus a driver fold over O(partitions)
+    subtotals), land as a broadcast 1-row frame crossJoin'd onto the
+    fact scan, and the bin assignment is three comparisons inside the
+    scan's codegen stage feeding one map-side-combinable aggregation.
+    No window over the corpus, no second corpus pass: cutoff
+    derivation touches only the value contraction, the binning pass
+    only the fact scan.
+
+    Float policy (plans/spec.py): values bin as exact cent LONGs;
+    cutoffs are quartile interpolations on cent longs (fractions in
+    {0,.25,.5,.75} — exact in double), bit-matching DuckDB's
+    ``quantile_cont``, so every ``price_c > cutoff`` comparison
+    resolves identically in both engines (long→double promotion is
+    exact below 2^53). min/max/avg emit as the identical IEEE
+    ``cents / 100.0`` divisions.
+    """
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(cents("o_totalprice").alias("price_c"))
+    )
+    cuts = exact_percentiles_scalable(
+        o, "price_c", (0.25, 0.5, 0.75), ("__c1", "__c2", "__c3")
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + (F.col("price_c") > F.col("__c1")).cast("int")
+            + (F.col("price_c") > F.col("__c2")).cast("int")
+            + (F.col("price_c") > F.col("__c3")).cast("int")
+        ).alias("bin"),
+        "price_c",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        (F.min("price_c") / 100.0).alias("min_value"),
+        (F.max("price_c") / 100.0).alias("max_value"),
+        (F.sum("price_c").cast("double") / F.count("*") / 100.0).alias(
+            "avg_value"
+        ),
+    )
+
+
+ORDER_VALUE_QUANTILE_BINS_SQL = f"""
+WITH o AS (
+    SELECT {cents_sql('o_totalprice')} AS price_c FROM orders
+    WHERE o_totalprice IS NOT NULL
+),
+c AS (
+    SELECT quantile_cont(price_c, 0.25) AS c1,
+           quantile_cont(price_c, 0.50) AS c2,
+           quantile_cont(price_c, 0.75) AS c3
+    FROM o
+)
+SELECT 1 + (price_c > c1)::INT + (price_c > c2)::INT + (price_c > c3)::INT
+           AS bin,
+       count(*)::BIGINT AS n_orders,
+       min(price_c) / 100.0 AS min_value,
+       max(price_c) / 100.0 AS max_value,
+       sum(price_c)::DOUBLE / count(*) / 100.0 AS avg_value
+FROM o, c GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dataset card: the one-row corpus summary published with a release
 # ---------------------------------------------------------------------------
@@ -1391,6 +1464,13 @@ PROFILING_SPECS = [
         # filters NULL prices so n_orders counts the same population as
         # the helper's count_col (ADVICE r9) — re-gate the pairing
         touched_round=10,
+    ),
+    QuerySpec(
+        "order_value_quantile_bins",
+        order_value_quantile_bins,
+        ORDER_VALUE_QUANTILE_BINS_SQL,
+        ("quantile-discretizer-bins",),
+        touched_round=10,  # r10 addition: equal-frequency binning
     ),
     QuerySpec(
         "dataset_card_documents",

@@ -144,6 +144,9 @@ HEADLINE = [
     "bpe_merges_topn",
     "join_size_estimate_events_orders",
     "doc_bigram_surprisal",
+    # late round-10 additions (92 -> 94)
+    "part_price_size_skyline",
+    "order_value_quantile_bins",
 ]
 
 
