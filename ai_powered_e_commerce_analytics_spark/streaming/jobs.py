@@ -495,6 +495,70 @@ def _session_fn(
         yield pd.DataFrame(closed)
 
 
+def session_window_stream(
+    events: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN ``session_window``
+    — the Catalyst-native declarative twin of :func:`sessionize_stream`
+    (r10). Same output contract (``_SESSION_OUT``): one row per closed
+    session with integer-µs bounds taken from the actual first/last
+    event (NOT the window's gap-padded end) and purchase revenue folded
+    in exact cents, emitted as dollars (float policy).
+
+    Why both twins exist: the ``applyInPandasWithState`` form owns
+    arbitrary per-session logic (revenue fold today, any state shape
+    tomorrow) at the cost of a Python island and hand-rolled timeout
+    handling; this form keeps the whole operator JVM-side — Spark's
+    native merging-session state store, watermark-driven eviction, and
+    map-side partial merges of session fragments
+    (``spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition``)
+    — and works identically over a BATCH frame (the parity test runs
+    it both ways). Prefer it whenever the per-session fold is
+    expressible as aggregates.
+
+    Boundary semantics: the built-in closes a session when the next
+    event arrives AT or past ``last + gap`` (half-open window), while
+    the stateful twin closes strictly past (``> SESSION_GAP_US``).
+    The two differ only on the measure-zero exact-boundary gap; the
+    batch plan ``events_user_sessions`` uses the stateful convention.
+
+    Input: (user_id, ts[, event_type, value]) with ``ts`` a timestamp
+    column; in streaming mode closed sessions emit once the event-time
+    watermark (default 1 h, matching the stateful twin's processing-
+    time timeout) passes the session end.
+    """
+    has_rev = "event_type" in events.columns and "value" in events.columns
+    rev_c = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
+        ).otherwise(F.lit(0))
+        if has_rev
+        else F.lit(0).cast("long")
+    )
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("__w")
+        )
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            (F.sum(rev_c) / 100.0).alias("revenue"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "revenue",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """Gap-based sessionization (with per-session revenue attribution
     when ``event_type``/``value`` columns are present) over a stream of

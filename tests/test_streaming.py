@@ -16,6 +16,7 @@ from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     dedup_stream,
     events_hourly_stream,
     interval_join_stream,
+    session_window_stream,
     sessionize_stream,
     silver_to_gold_stream,
 )
@@ -420,6 +421,93 @@ def test_session_revenue_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert (7, 0, 120_000_000, 3, 17.34) in got
+
+
+def test_session_window_batch_matches_stateful_twin(spark, tmp_path):
+    # The declarative session_window form over a BATCH frame must
+    # produce the same closed sessions as the stateful twin's contract
+    # (gaps strictly off the 30-min boundary — the two conventions
+    # differ only at the measure-zero exact-boundary case).
+    rows = [
+        (7, "view", None, 0),
+        (7, "purchase", 12.34, 60_000_000),
+        (7, "purchase", 5.0, 120_000_000),
+        # gap 2000 s > 1800 s: new session
+        (7, "view", None, 2_120_000_000),
+        (7, "purchase", 2.5, 2_180_000_000),
+        # user 8: single-event purchase session
+        (8, "purchase", 9.99, 0),
+        # user 9: gap 1799 s < 1800 s keeps ONE session
+        (9, "view", None, 0),
+        (9, "view", None, 1_799_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts_us long"
+    ).select("user_id", "event_type", "value",
+             F.timestamp_micros("ts_us").alias("ts"))
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.revenue)
+        for r in session_window_stream(df).collect()
+    }
+    assert got == {
+        (7, 0, 120_000_000, 3, 17.34),
+        (7, 2_120_000_000, 2_180_000_000, 2, 2.5),
+        (8, 0, 0, 1, 9.99),
+        (9, 0, 1_799_000_000, 2, 0.0),
+    }
+
+
+def test_session_window_stream_emits_on_watermark(spark, tmp_path):
+    # Streaming path: closed sessions emit once the event-time
+    # watermark passes; the sentinel file (one maxFilesPerTrigger=1
+    # micro-batch later) advances it far past every real session.
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "swsrc")
+    _os.makedirs(src)
+    real = [
+        {"user_id": 7, "event_type": "purchase", "value": 12.34, "ts_us": 0},
+        {"user_id": 7, "event_type": "view", "value": None,
+         "ts_us": 60_000_000},
+        {"user_id": 8, "event_type": "purchase", "value": 9.99, "ts_us": 0},
+    ]
+    sentinel = [{"user_id": 1, "event_type": "view", "value": None,
+                 "ts_us": 10_000_000_000_000}]
+    for i, batch in enumerate((real, sentinel)):
+        with open(f"{src}/f{i}.json", "w") as fh:
+            for r in batch:
+                fh.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, value double, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("user_id", "event_type", "value",
+                F.timestamp_micros("ts_us").alias("ts"))
+    )
+    q = (
+        session_window_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sw_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "swc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.revenue)
+        for r in spark.table("sw_sessions").collect()
+    }
+    # the sentinel's own session is still open (watermark == its ts - 1h)
+    assert got == {
+        (7, 0, 60_000_000, 2, 12.34),
+        (8, 0, 0, 1, 9.99),
+    }
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):
