@@ -47,6 +47,9 @@ DRIVER_FRAME_QUERIES = [
     # regression canary for that regime
     "order_value_mad_outliers",
     "customer_order_value_quartiles",
+    # r10 addition: global-grain range-path helper consumer (one
+    # rank-target driver frame feeding the broadcast cutoff crossJoin)
+    "order_value_quantile_bins",
 ]
 
 
