@@ -110,6 +110,22 @@ def main(argv: list[str] | None = None) -> int:
         "--queries", help="comma-separated names (default: whole registry)"
     )
 
+    c = sub.add_parser(
+        "compact-sketches",
+        help="replay-safe compaction of a streamed-sketch store: fold "
+        "committed batch_id partitions (frontier = highest committed "
+        "id) into the base and advance the tombstone watermark — the "
+        "maintenance step the store docstrings prescribe for "
+        "long-lived streams",
+    )
+    c.add_argument(
+        "--store", required=True, choices=("cms", "histogram", "wau")
+    )
+    c.add_argument("--out", required=True, help="store directory")
+    c.add_argument(
+        "--checkpoint", required=True, help="the stream's checkpoint dir"
+    )
+
     args = p.parse_args(argv)
 
     import os
@@ -151,6 +167,19 @@ def _run(spark, args) -> dict:
         return run_pretrain_pipeline(spark, args.sf_dir, args.out)
     if args.cmd == "audit":
         return _audit(spark, args)
+    if args.cmd == "compact-sketches":
+        from .streaming.sketch_store import (
+            compact_cms_store,
+            compact_value_histogram_store,
+            compact_wau_store,
+        )
+
+        fn = {
+            "cms": compact_cms_store,
+            "histogram": compact_value_histogram_store,
+            "wau": compact_wau_store,
+        }[args.store]
+        return fn(spark, args.out, args.checkpoint)
 
     d = _dirs(args.base)
     cfg = (

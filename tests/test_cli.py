@@ -81,3 +81,39 @@ def test_cli_audit_flags_unpartitioned_windows(spark):
     assert out["tpch_q6_forecast_revenue"]["unpartitioned_window_sorts"] == 0
     # the documented scale variant of the id assignment really avoids it
     assert out["item_id_assignment_ranged"]["unpartitioned_window_sorts"] == 0
+
+
+def test_cli_compact_sketches_store(spark, tmp_path):
+    # The maintenance playbook as one CLI call: drive the value-histogram
+    # store through two committed micro-batches, compact via the
+    # subcommand, and the merged read is unchanged while the partitions
+    # are folded behind the tombstone watermark.
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        read_streamed_percentiles,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
+        load_manifest,
+    )
+    from tests.test_sketch_compaction import _ORDERS, _drop_and_run, _STORES
+
+    stream_fn, _, schema, _, _ = _STORES["histogram"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for i, rows in enumerate(_ORDERS[:2]):
+        _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, i)
+    before = read_streamed_percentiles(spark, out, qs=(0.5, 0.9))
+
+    stats = _run(
+        spark,
+        _ns(cmd="compact-sketches", store="histogram", out=out,
+            checkpoint=ckpt),
+    )
+    assert stats["folded"] >= 2 and stats["watermark"] >= 1
+    assert load_manifest(out)["watermark"] == stats["watermark"]
+    assert read_streamed_percentiles(spark, out, qs=(0.5, 0.9)) == before
+    # idempotent: nothing new committed -> no-op
+    again = _run(
+        spark,
+        _ns(cmd="compact-sketches", store="histogram", out=out,
+            checkpoint=ckpt),
+    )
+    assert again["folded"] == 0
