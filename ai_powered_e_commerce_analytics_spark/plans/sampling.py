@@ -18,7 +18,7 @@ All three queries are DuckDB-oracle hash-gated (the hash IS portable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import portable_hash64
@@ -167,6 +167,108 @@ SELECT doc_id, source, n_chars, gate, rk FROM (
 """
 
 
+AES_K = 25               # weighted sample size per source
+AES_SEED = 13            # salt: independent of sample/split gates
+_U_DEN = 1 << 60         # portable_hash64's md5-mode range
+
+
+def _aes_key_micro() -> Column:
+    """Efraimidis–Spirakis exponential clock, quantized to exact
+    micro-nat longs: ``round(-ln(u) / w * 1e6)`` with ``u ∈ (0, 1]``
+    from the content hash and ``w = n_chars``. Keeping the K SMALLEST
+    clocks per source is a weighted-without-replacement sample —
+    selection probability proportional to weight (the classic A-ES /
+    exponential-race construction). Quantization follows the
+    doc_unigram_surprisal float policy: ln differs across engines only
+    in the last ulp, which the 1e-6-nat grid absorbs (a flip needs the
+    true value within ~1e-10 of a rounding boundary — measure-zero),
+    and every comparison downstream is on exact longs with a doc_id
+    tiebreak, so the order is total and cross-engine stable."""
+    h = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), seed=AES_SEED),
+        F.lit(_U_DEN),
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_U_DEN))
+    return (
+        F.round(-F.log(u) / F.col("n_chars").cast("double") * F.lit(1e6))
+        .cast("long")
+    )
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, K docs per source, with
+    inclusion probability proportional to document length — the
+    quality/size-weighted subcorpus selection step of pretraining data
+    curation (Efraimidis–Spirakis exponential clocks; same family as
+    reservoir sampling but deterministic and distributable: every row's
+    clock is a pure function of its content hash and weight).
+
+    Scale shape: identical two-pass contraction as
+    :func:`per_source_topk_sample` (local per-batch top-K in an
+    Arrow-batched ``mapInPandas`` — the K smallest clocks globally are
+    contained in the union of per-batch K-smallest under ANY row
+    partitioning — then one bounded groupBy merge); NO per-source
+    window, no corpus-wide sort. The oracle ranks the same clock
+    expression with a window — fine at oracle scale, and provably the
+    same selection because the (e_micro, doc_id) order is total.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("n_chars") > 0)
+    )
+    narrow = docs.select(
+        "doc_id", "source", "n_chars", _aes_key_micro().alias("e_micro")
+    )
+
+    def _local_topk(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(["e_micro", "doc_id"], kind="mergesort")
+            yield pdf.groupby("source", sort=False, dropna=False).head(AES_K)
+
+    survivors = narrow.mapInPandas(_local_topk, schema=narrow.schema)
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("e_micro", "doc_id", "n_chars"))
+                ),
+                1,
+                AES_K,
+            ).alias("top")
+        )
+        .select("source", F.posexplode("top").alias("pos", "r"))
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            "source",
+            F.col("r.n_chars").alias("n_chars"),
+            F.col("r.e_micro").alias("e_micro"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+
+
+# (the BIGINT denominator converts to double exactly — 2^60 < 2^63 —
+# so both engines divide the identical pair of doubles)
+_AES_KEY_SQL = (
+    f"round((-ln((({portable_hash64_sql('doc_id::VARCHAR', AES_SEED)}"
+    f" % {_U_DEN}) + 1)::DOUBLE / {_U_DEN}))"
+    f" / n_chars::DOUBLE * 1000000.0)::BIGINT"
+)
+
+WEIGHTED_SAMPLE_AES_SQL = f"""
+SELECT doc_id, source, n_chars, e_micro, rk FROM (
+    SELECT doc_id, source, n_chars, {_AES_KEY_SQL} AS e_micro,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_AES_KEY_SQL}, doc_id
+           ) AS rk
+    FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0
+) WHERE rk <= {AES_K}
+"""
+
+
 TOKEN_BUDGET = 500       # per-source curriculum token budget (selective
                          # even at sf0.01: ~25 docs x ~50 tokens per source)
 
@@ -305,6 +407,13 @@ SAMPLING_SPECS = [
         per_source_topk_sample,
         PER_SOURCE_TOPK_SQL,
         ("quota-sample",),
+    ),
+    QuerySpec(
+        "weighted_sample_aes",
+        weighted_sample_aes,
+        WEIGHTED_SAMPLE_AES_SQL,
+        ("sample-weighted-without-replacement",),
+        touched_round=10,  # r10 addition: A-ES exponential clocks
     ),
     QuerySpec(
         "token_budget_curriculum",

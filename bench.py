@@ -144,9 +144,10 @@ HEADLINE = [
     "bpe_merges_topn",
     "join_size_estimate_events_orders",
     "doc_bigram_surprisal",
-    # late round-10 additions (92 -> 94)
+    # late round-10 additions (92 -> 95)
     "part_price_size_skyline",
     "order_value_quantile_bins",
+    "weighted_sample_aes",
 ]
 
 

@@ -19,6 +19,7 @@ from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
 from ai_powered_e_commerce_analytics_spark.plans.sampling import (
     per_source_topk_sample,
     token_budget_curriculum,
+    weighted_sample_aes,
 )
 
 
@@ -30,7 +31,8 @@ def _formatted_plan(df) -> str:
 
 @pytest.mark.parametrize(
     "build",
-    [per_source_topk_sample, token_budget_curriculum, pack_sequences_greedy],
+    [per_source_topk_sample, token_budget_curriculum, pack_sequences_greedy,
+     weighted_sample_aes],
     ids=lambda f: f.__name__,
 )
 def test_no_per_source_window_in_plan(spark, sf_dir, build):
@@ -245,3 +247,68 @@ def test_curriculum_contraction_under_skewed_partitioning(spark):
         )
     assert single == many
     assert len(single) > 0
+
+
+def test_weighted_sample_aes_matches_reference(spark, tmp_path):
+    # Independent reference: the same A-ES construction computed with
+    # hashlib + math on the driver. Selection identity (doc_id, rank)
+    # must match exactly; e_micro itself is compared through the DuckDB
+    # oracle battery instead (ln's last-ulp engine variance is absorbed
+    # by the micro-nat grid, but the reference here re-derives it in a
+    # THIRD engine, so assert on the order it induces, not the longs).
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        AES_K,
+        AES_SEED,
+        _U_DEN,
+    )
+
+    rows = [
+        (i, "web" if i % 3 else "books", 37 + (i * 61) % 900)
+        for i in range(1, 241)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"]).assign(
+        text="x", lang="en"
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    def clock(doc_id, w):
+        h = int(
+            hashlib.md5(f"{doc_id}#{AES_SEED}".encode()).hexdigest()[:15], 16
+        )
+        u = ((h % _U_DEN) + 1) / _U_DEN
+        return round(-math.log(u) / w * 1e6)
+
+    want = set()
+    for src in ("web", "books"):
+        ranked = sorted(
+            ((clock(d, w), d) for d, s, w in rows if s == src),
+        )[:AES_K]
+        want |= {(d, src, i + 1) for i, (_, d) in enumerate(ranked)}
+
+    got = {
+        (r.doc_id, r.source, r.rk)
+        for r in weighted_sample_aes(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_aes_weight_dominance(spark, tmp_path):
+    # A document 10^7 times heavier than its peers draws a clock ~10^7
+    # times smaller — it must head its source's sample (doc_id 0 also
+    # wins any quantized-to-zero tie deterministically).
+    import pandas as pd
+
+    rows = [(0, "web", 10_000_000)] + [(i, "web", 1) for i in range(1, 60)]
+    pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"]).assign(
+        text="x", lang="en"
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    top = [
+        r
+        for r in weighted_sample_aes(spark, str(tmp_path)).collect()
+        if r.rk == 1
+    ]
+    assert len(top) == 1 and top[0].doc_id == 0
