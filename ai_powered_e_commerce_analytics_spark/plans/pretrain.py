@@ -990,7 +990,7 @@ def _bpe_apply_merge(l: str, r: str) -> "F.Column":  # noqa: F821
     (``r`` is non-empty), so an overlapping candidate — possible only
     when ``l == r`` inside a run like ``aaa`` — is skipped exactly as
     the scan-based implementation skips it (``aaa`` -> ``[aa, a]``).
-    Property-tested against a reference scan in tests/test_pretrain.py.
+    Property-tested against a reference scan in tests/test_bpe.py.
     """
     merged = l + r
     return F.aggregate(
@@ -1159,14 +1159,18 @@ b{k} AS (
 )""")
         parts.append(f"""
 w{k} AS (
-    SELECT string_split(
+    -- LEFT JOIN ON TRUE, not CROSS JOIN (ADVICE r10): a corpus that
+    -- exhausts mergeable pairs before BPE_MERGES rounds makes b{k}
+    -- empty, and a cross join would wipe the word state; the left
+    -- join keeps w{k - 1} unchanged, matching _bpe_train's early break.
+    SELECT CASE WHEN b.l IS NULL THEN syms ELSE string_split(
                trim(replace('|' || array_to_string(syms, '||') || '|',
                             '|' || b.l || '||' || b.r || '|',
                             '|' || b.l || b.r || '|'),
                     '|'),
-               '||') AS syms,
+               '||') END AS syms,
            freq
-    FROM w{k - 1} CROSS JOIN b{k} b
+    FROM w{k - 1} LEFT JOIN b{k} b ON TRUE
 )""")
     finals = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
@@ -1257,13 +1261,13 @@ PRETRAIN_SPECS = [
         bpe_merges_topn,
         _bpe_sql(),
         ("bpe-merge-training",),
-        touched_round=10,
+        touched_round=11,  # r11: oracle gains the exhausted-merge LEFT JOIN guard
     ),
     QuerySpec(
         "bpe_token_counts",
         bpe_token_counts,
         _bpe_token_counts_sql(),
         ("bpe-token-report",),
-        touched_round=10,
+        touched_round=11,  # r11: oracle gains the exhausted-merge LEFT JOIN guard
     ),
 ]

@@ -364,20 +364,15 @@ _R8_DRIVER_VERIFIED = {
 }
 
 
-# Queries ADDED in round 9 — all five verified green in round 9's driver
-# window (CORRECTNESS_r09.json).
-_R9_ADDED: set[str] = {
-    "customer_order_value_quartiles",
-    "order_value_mad_outliers",
-    "customer_l_diversity",
-    "daily_revenue_ewma",
-    # (the r9 streamed-histogram pair lives in streaming/jobs.py and is
-    # test-verified, not registry-gated — see VERDICT r9 sketch family)
-}
-
 # Queries verified GREEN by round 9's driver window (CORRECTNESS_r09 —
 # all 50 rows green, zero err: bloom_pruned_part_revenue (the r8 err row,
 # fixed), the four oracle-gated r9 additions, and 45 stale r6 rows).
+# The four round-9 additions (customer_order_value_quartiles,
+# order_value_mad_outliers, customer_l_diversity, daily_revenue_ewma)
+# are members here; the former separate _R9_ADDED list was dead code
+# and was deleted per ADVICE r10 — staleness keys off the verified
+# sets only. (The r9 streamed-histogram pair lives in
+# streaming/jobs.py and is test-verified, not registry-gated.)
 _R9_DRIVER_VERIFIED = {
     "bloom_pruned_part_revenue", "bm25_rank_topk", "cms_heavy_hitters",
     "copurchase_item_similarity", "copurchase_pagerank", "copurchase_pairs",
@@ -404,9 +399,41 @@ _R9_DRIVER_VERIFIED = {
 }
 
 
+# Queries verified GREEN by round 10's driver window (CORRECTNESS_r10 —
+# all 50 rows green, zero err: the six oracle-gated r10 additions, the
+# nine remaining stale-r6 rows, and 35 stale r7 rows). After round 10
+# the oldest evidence anywhere is the 17-row r7 band (VERDICT r10
+# next-round #2), which therefore leads the round-11 window.
+_R10_DRIVER_VERIFIED = {
+    "approx_distinct_customers", "boilerplate_shingle_ratio",
+    "bpe_merges_topn", "bpe_token_counts", "copurchase_association_rules",
+    "cross_source_neardup_matrix", "customer_k_anonymity",
+    "customer_order_value_quartiles", "daily_revenue_anomalies",
+    "dataset_card_documents", "dedup_components", "dedup_containment",
+    "dedup_edit_distance_verify", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_near_dup_survivors", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash64", "dedup_survivors_cc",
+    "doc_bigram_surprisal", "doc_fingerprint", "doc_repetition_stats",
+    "embedding_dedup_components", "embedding_knn_bruteforce",
+    "embedding_knn_partial_topk", "embedding_lsh_buckets",
+    "embedding_norms", "incremental_daily_revenue",
+    "join_size_estimate_events_orders", "lang_id_heuristic",
+    "lsh_candidate_efficiency", "minhash_estimate_error",
+    "nation_revenue_hhi", "order_value_histogram",
+    "order_value_percentiles_approx", "order_value_quantile_bins",
+    "part_name_er_pairs", "part_price_size_skyline", "retention_cohorts",
+    "simsearch_ivf_recall", "simsearch_ivf_topk",
+    "simsearch_lsh_bucket_join", "stratified_sample_documents",
+    "table_profile_orders", "text_quality", "tfidf_top_terms",
+    "token_stats_by_source", "weighted_sample_aes",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R10_DRIVER_VERIFIED:
+        return 10
     if name in _R9_DRIVER_VERIFIED:
         return 9
     if name in _R8_DRIVER_VERIFIED:
@@ -434,11 +461,12 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-10 window is therefore: the round-10 additions (never
-# checked), any query whose plan round 10 touched, then the 9 remaining
-# r6-verified rows (the oldest evidence left in the registry —
-# VERDICT r9 next-round #3), then the stalest r7 rows filling to 50.
-# After round 10 no row's driver evidence should predate round 7.
+# The round-11 window is therefore: the round-11 additions (never
+# checked), any query whose plan or oracle round 11 touched, then the
+# 17 remaining r7-verified rows (the oldest evidence left in the
+# registry — VERDICT r10 next-round #2), then the stalest r8 rows
+# filling to 50. After round 11 no row's driver evidence should
+# predate round 8.
 def _staleness(q: QuerySpec) -> float:
     verified = _last_verified_round(q.name)
     if verified == 0:

@@ -519,8 +519,13 @@ def session_window_stream(
     Boundary semantics: the built-in closes a session when the next
     event arrives AT or past ``last + gap`` (half-open window), while
     the stateful twin closes strictly past (``> SESSION_GAP_US``).
-    The two differ only on the measure-zero exact-boundary gap; the
-    batch plan ``events_user_sessions`` uses the stateful convention.
+    Event times are integer MICROSECONDS, so an exactly-gap-sized
+    spacing is a realizable input (cron-like traffic fires it every
+    time): on that input this twin closes the session and the stateful
+    twin continues it — a documented divergence, not a rounding
+    curiosity (ADVICE r10). Pick the twin whose convention matches the
+    downstream contract; the batch plan ``events_user_sessions`` uses
+    the stateful (strict-greater) convention.
 
     Input: (user_id, ts[, event_type, value]) with ``ts`` a timestamp
     column; in streaming mode closed sessions emit once the event-time
