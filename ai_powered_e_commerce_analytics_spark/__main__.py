@@ -116,7 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         "committed batch_id partitions (frontier = highest committed "
         "id) into the base and advance the tombstone watermark — the "
         "maintenance step the store docstrings prescribe for "
-        "long-lived streams",
+        "long-lived streams. Superseded files are kept for one "
+        "generation (concurrent readers finish against intact paths) "
+        "and swept at the start of the next run",
     )
     c.add_argument(
         "--store", required=True, choices=("cms", "histogram", "wau")

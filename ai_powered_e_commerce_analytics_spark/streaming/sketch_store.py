@@ -38,18 +38,29 @@ here:
    ``_base/base-{W}`` directory BEFORE the manifest is swapped via
    write-temp + ``os.replace`` (atomic on POSIX). A crash before the
    swap leaves the old manifest pointing at the old base + un-tombstoned
-   partitions (reads correct, orphan staging dir GC'd by the next
-   compaction's overwrite); after the swap, reads see the new base and
-   the newly tombstoned ids. The folded partitions and the superseded
-   base are deleted best-effort AFTER the swap.
+   partitions (reads correct, orphan staging dir GC'd by the next run's
+   retention sweep); after the swap, reads see the new base and the
+   newly tombstoned ids.
+4. **One-generation GC retention grace** (VERDICT r10 #1 — the same
+   pattern ``sinks.upsert_parquet`` uses for its versioned manifests):
+   the folded partitions and the superseded base are NOT deleted when
+   the swap returns. They are swept at the START of the NEXT compaction
+   run, so a reader that resolved its file list under the pre-swap
+   manifest finishes its read against intact files no matter when the
+   swap lands. The sweep removes EVERY ``batch_id <= watermark``
+   partition — not just the ids the previous run folded — so a
+   checkpoint replay that rewrites an already-tombstoned partition
+   between runs leaves no permanent dead files (ADVICE r10), and every
+   ``_base/`` directory other than the manifest's current base
+   (superseded generations and crash-orphaned staging dirs alike).
 
-At 100 TB the same three steps ride a transactional table format's
-commit (Delta/Iceberg snapshot replace) instead of a POSIX rename; the
-watermark-tombstone logic is format-independent. Compaction assumes no
-CONCURRENT reader is mid-listing during the post-publish GC (a reader
-holding the pre-swap manifest can hit a deleted path and should retry);
-run it from the same maintenance loop that owns the stream, not racing
-ad-hoc readers.
+At 100 TB the same steps ride a transactional table format's commit
+(Delta/Iceberg snapshot replace + vacuum with a retention horizon)
+instead of a POSIX rename; the watermark-tombstone logic is
+format-independent. The residual race window is a reader that stays
+mid-listing across TWO full compaction cycles — the same contract as
+any vacuum retention horizon; widen it by spacing compaction runs, not
+by code.
 
 Correctness proof shape (tests/test_sketch_compaction.py): for each
 store, (a) merge-on-read BEFORE == AFTER compaction bit-exactly, (b) a
@@ -148,6 +159,30 @@ def _batch_partitions(out_dir: str) -> dict[int, str]:
     return out
 
 
+def _gc_superseded_generation(out_dir: str) -> None:
+    """The retention-grace sweep (module docstring step 4), run at the
+    START of a compaction call: under the CURRENT manifest, delete every
+    tombstoned ``batch_id <= watermark`` partition (including ones a
+    checkpoint replay rewrote after they were folded — no reader can
+    see them) and every ``_base/`` directory that is not the manifest's
+    live base (the generation superseded by the previous run, plus any
+    crash-orphaned staging dir). A never-compacted store has nothing
+    superseded and is left untouched."""
+    man = load_manifest(out_dir)
+    if man is None:
+        return
+    for i, path in _batch_partitions(out_dir).items():
+        if i <= man["watermark"]:
+            shutil.rmtree(path, ignore_errors=True)
+    base_root = os.path.join(_local(out_dir), _BASE_DIR)
+    if os.path.isdir(base_root):
+        for name in os.listdir(base_root):
+            if name != man["base"]:
+                shutil.rmtree(
+                    os.path.join(base_root, name), ignore_errors=True
+                )
+
+
 def live_store_frame(spark: SparkSession, out_dir: str) -> DataFrame:
     """Raw partial rows of a sketch store: the compacted base (if any)
     plus every batch partition ABOVE the compaction watermark.
@@ -193,7 +228,13 @@ def compact_sketch_store(
 
     Returns ``{"watermark": W, "folded": n, "base": path|None}``;
     ``folded == 0`` means no-op (nothing committed beyond the current
-    watermark)."""
+    watermark; the retention sweep below still runs, so a no-op call
+    after a folding call completes that generation's deferred GC)."""
+    # Retention-grace sweep FIRST (module docstring step 4): clear what
+    # the PREVIOUS run superseded, before this run supersedes anything
+    # new — readers that listed under the pre-swap manifest of the
+    # previous run have had a full inter-compaction interval to finish.
+    _gc_superseded_generation(out_dir)
     frontier = last_committed_batch_id(checkpoint_dir)
     man = load_manifest(out_dir)
     watermark = man["watermark"] if man else -1
@@ -219,10 +260,11 @@ def compact_sketch_store(
     # same fold overwrites the same deterministic token directory.
     merged.write.mode("overwrite").parquet(new_base)
     _publish_manifest(out_dir, {"watermark": new_w, "base": token})
-    for i in fold:  # GC — reads already go through the manifest
-        shutil.rmtree(parts[i], ignore_errors=True)
-    if old_base is not None and old_base != new_base:
-        shutil.rmtree(old_base, ignore_errors=True)
+    # NO GC here: the folded partitions and the superseded base stay on
+    # disk for one generation (readers holding the pre-swap manifest
+    # keep working); the NEXT run's _gc_superseded_generation sweeps
+    # them. Reads already go through the new manifest, so nothing is
+    # double-counted in the meantime.
     return {"watermark": new_w, "folded": len(fold), "base": new_base}
 
 

@@ -28,6 +28,7 @@ from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
     compact_sketch_store,
     compact_value_histogram_store,
     compact_wau_store,
+    live_store_frame,
     load_manifest,
 )
 
@@ -124,20 +125,34 @@ def test_compaction_bit_exact_and_replay_safe(spark, tmp_path, store):
     assert len(part_dirs) == 2, part_dirs
 
     before = snapshot(spark, out)
+    # a reader that resolves its file list UNDER THE PRE-SWAP manifest
+    # (VERDICT r10 #1 done-condition: its read must complete correctly
+    # after compaction has swapped and returned)
+    pre_swap_reader = live_store_frame(spark, out)
 
     # (a) compaction: folds both committed partitions, reads bit-exact
     stats = compact_fn(spark, out, ckpt)
     assert stats["folded"] == 2 and stats["watermark"] == 1
     man = load_manifest(out)
     assert man == {"watermark": 1, "base": "base-1"}
-    assert not any(
-        d.startswith("batch_id=") for d in os.listdir(out)
-    ), "folded partitions must be GC'd"
+    # one-generation retention grace: the folded partitions are NOT
+    # deleted when the swap returns — the pre-swap reader's files are
+    # intact, so its deferred collect still works, bit-exact.
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"], "grace must retain folded inputs"
+    assert pre_swap_reader.count() > 0  # executes against pre-swap paths
     assert snapshot(spark, out) == before
 
-    # no-op re-compaction: nothing committed beyond the watermark
+    # no-op re-compaction: nothing committed beyond the watermark — but
+    # it IS the next run, so it sweeps the generation the previous run
+    # superseded (tombstoned partitions <= watermark), and reads stay
+    # bit-exact against the base alone.
     again = compact_fn(spark, out, ckpt)
     assert again["folded"] == 0 and again["watermark"] == 1
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(out)
+    ), "the NEXT run must GC the prior generation"
     assert snapshot(spark, out) == before
 
     # (b) planted checkpoint replay of the already-compacted batch 1:
@@ -160,6 +175,21 @@ def test_compaction_bit_exact_and_replay_safe(spark, tmp_path, store):
     assert with_new != before  # the new drop genuinely changed the fold
     stats = compact_fn(spark, out, ckpt)
     assert stats["folded"] >= 1 and stats["watermark"] >= 2
+    assert snapshot(spark, out) == with_new
+    # The replay-rewritten, already-tombstoned batch_id=1 was swept by
+    # this run's retention pass even though it was NOT in this run's
+    # fold set (ADVICE r10: GC by watermark, not fold membership) — no
+    # permanent dead files from replays. The newly folded partition is
+    # grace-retained; the superseded base-1 is gone, base-2 is live.
+    assert not os.path.isdir(f"{out}/batch_id=1")
+    assert os.path.isdir(f"{out}/batch_id=2"), "new fold grace-retained"
+    # base-1 was superseded by THIS run -> grace keeps it until the next
+    assert os.path.isdir(f"{out}/_base/base-1")
+    assert os.path.isdir(f"{out}/_base/base-{stats['watermark']}")
+    # the next run completes the deferred GC and still reads bit-exact
+    compact_fn(spark, out, ckpt)
+    assert not os.path.isdir(f"{out}/batch_id=2")
+    assert not os.path.isdir(f"{out}/_base/base-1")
     assert snapshot(spark, out) == with_new
 
 
@@ -221,6 +251,9 @@ def test_frontier_folds_ids_whose_commit_files_aged_out(spark, tmp_path):
     before = snapshot(spark, out)
     stats = compact_fn(spark, out, ckpt)
     assert stats["folded"] == 2 and stats["watermark"] == 1
+    assert snapshot(spark, out) == before
+    # grace retains the folded inputs; the next run sweeps them
+    compact_fn(spark, out, ckpt)
     assert not any(
         d.startswith("batch_id=") for d in os.listdir(out)
     )
