@@ -164,3 +164,50 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+#: Session conf key opting iterative-state pinning into RELIABLE
+#: checkpoints (see :func:`pin`). Unset/empty -> localCheckpoint.
+RELIABLE_CHECKPOINT_CONF = "spark.graft.checkpointDir"
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Sever lineage on an iterative-loop state frame (VERDICT r10 #3).
+
+    The iterative trainers (connected components, PageRank, the BPE
+    merge loop) re-reference the previous round's state several times,
+    so without truncation the logical plan grows exponentially with the
+    round count. Two ways to truncate:
+
+    - ``localCheckpoint`` (the default): executor-local blocks, zero
+      disk/DFS traffic — but lineage is SEVERED, so on a real cluster
+      an executor loss makes the pinned partitions unrecoverable and
+      fails the job mid-training. Exactly right for ``local[n]`` and
+      for jobs cheap to re-run end-to-end.
+    - reliable ``checkpoint``: partitions are written to the
+      fault-tolerant directory named by the session conf
+      ``spark.graft.checkpointDir`` (propagated to
+      ``sparkContext.setCheckpointDir``), so a lost executor recovers
+      the state from storage and a multi-hour trainer survives node
+      churn. Costs one distributed write per round — the right trade
+      whenever (rounds x state size) is large next to re-run cost.
+
+    The knob is a SESSION conf so deployments flip it without touching
+    query code: ``spark.conf.set("spark.graft.checkpointDir", dir)``
+    before running; ``spark.conf.unset(...)`` restores the local path.
+    Emitted results are identical either way — pinning only changes
+    where the already-computed partitions live (test_checkpoint_knob
+    asserts identical BPE merges through both paths).
+    """
+    spark = df.sparkSession
+    try:
+        ckpt_dir = spark.conf.get(RELIABLE_CHECKPOINT_CONF, None)
+    except Exception:  # pragma: no cover - conf layer quirks
+        ckpt_dir = None
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir is idempotent for the same path; cheap enough
+        # to call per pin and keeps the conf the single source of truth.
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import portable_hash64, tokens, word_shingles
+from ..functions.core import pin
 from ..functions.core import portable_hash64_sql
 from .spec import QuerySpec, t
 from .textops import SHINGLE_K, _SHINGLES_SQL, _TOKS_SQL
@@ -1074,9 +1075,12 @@ def bpe_merges_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the ``BPE_MERGES`` training rounds; returns ``(merges,
     final_state)`` — the merge tuples and the post-training word-state
-    frame (localCheckpointed; the merge-table consumer unpersists it,
+    frame (lineage-pinned via ``pin`` — localCheckpoint by default,
+    reliable checkpoint under the ``spark.graft.checkpointDir`` conf
+    for executor-loss-safe training on a real cluster, VERDICT r10 #3;
+    the merge-table consumer unpersists it,
     the token-count consumer keeps it live under its returned plan)."""
-    cur = _bpe_word_state(spark, sf_dir).localCheckpoint()
+    cur = pin(_bpe_word_state(spark, sf_dir))
     merges: list[tuple] = []
     for k in range(1, BPE_MERGES + 1):
         best = _bpe_pair_argmax(cur).collect()
@@ -1084,9 +1088,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             break  # vocabulary fully merged before BPE_MERGES rounds
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((k, l, r, l + r, cnt))
-        nxt = cur.select(
+        nxt = pin(cur.select(
             _bpe_apply_merge(l, r).alias("syms"), "freq"
-        ).localCheckpoint()
+        ))
         cur.unpersist()
         cur = nxt
     return merges, cur

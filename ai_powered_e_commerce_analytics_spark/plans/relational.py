@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
+from ..functions.core import pin
 from .spec import (
     QuerySpec,
     cents,
@@ -935,7 +936,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, micro-exact across engines — no float tolerance in
     the gate.
 
-    Plan: edges + degrees build once (localCheckpoint — part-grain,
+    Plan: edges + degrees build once (pinned via ``pin`` — part-grain,
     tiny next to lineitem) with ONE l_orderkey shuffle from the basket
     expansion; each iteration is an edges⋈ranks hash join on ``src``
     plus a ``dst`` partial-agg — node-keyed shuffles of edge-grain
@@ -965,9 +966,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale the node dimension itself outgrows a broadcast. Node-keyed
     # shuffle joins are the canonical distributed-PageRank shape.
     deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    edges_w = (
-        edges.join(deg.hint("shuffle_hash"), "src")
-        .localCheckpoint(eager=True)
+    edges_w = pin(
+        edges.join(deg.hint("shuffle_hash"), "src"), eager=True
     )
     nodes = edges_w.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # O(1) driver scalar, like the CC convergence
@@ -978,8 +978,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     ranks = nodes.select("node", init.alias("r"))
     for _ in range(PAGERANK_ITERS):
-        ranks = _pr_round(edges_w, nodes, ranks, teleport).localCheckpoint(
-            eager=True
+        ranks = pin(
+            _pr_round(edges_w, nodes, ranks, teleport), eager=True
         )
     return (
         ranks.select(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import jaccard, portable_hash64, tokens, word_shingles
-from ..functions.core import portable_hash64_sql
+from ..functions.core import pin, portable_hash64_sql
 from .spec import QuerySpec, t
 
 STOPWORDS = ("the", "a", "of", "and", "in")
@@ -1165,10 +1165,13 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     round even though the cache keeps execution flat; past ~8 rounds the
     exponential plan tree OOMs the driver just rendering its explain
     string. The checkpoint truncates lineage to the stored partitions,
-    making per-round plan size O(1). (A cluster restart loses local
-    checkpoints, but the frame is consumed within the same job — the
-    production form on a 1000-executor cluster would use a reliable
-    ``checkpoint(dir)`` with the same semantics.) The edge list is
+    making per-round plan size O(1). Pinning goes through
+    ``functions.core.pin``: localCheckpoint by default (executor-local,
+    zero DFS traffic — but unrecoverable after an executor loss), or a
+    reliable ``checkpoint(dir)`` when the session sets
+    ``spark.graft.checkpointDir`` — the production form on a
+    1000-executor cluster where a node loss must not kill a long job
+    (VERDICT r10 #3). The edge list is
     persisted pre-partitioned on ``dst`` so the per-round neighbor join
     never re-exchanges the edges (Catalyst recognizes the cached
     hash-partitioning and only shuffles the label side).
@@ -1178,11 +1181,11 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     # upstream pair pipeline (for MinHash edges that's the full
     # shingle/hash/band/verify chain — measured 7.7 s -> 3.4 s at sf0.1).
     edges = _cc_edges(pairs).repartition("dst").persist()
-    labels = _cc_seed(edges).localCheckpoint(eager=True)
+    labels = pin(_cc_seed(edges), eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
-        new_labels = _cc_round(edges, labels).localCheckpoint(
-            eager=True  # truncate lineage (see docstring)
+        new_labels = pin(
+            _cc_round(edges, labels), eager=True  # truncate lineage
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
