@@ -1394,6 +1394,180 @@ WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
 """
 
 
+def part_price_size_date_skyline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-D Pareto frontier (VERDICT r10 #5): parts that are
+    simultaneously undominated on (price ↓, size ↑, ship-date recency ↑)
+    — no other part is at most as expensive AND at least as large AND
+    shipped at least as recently, with at least one strict. The third
+    axis is ``last_ship_day`` = the part's most recent lineitem ship
+    date (a freshness signal: a part that hasn't shipped in years is a
+    worse sourcing candidate at equal price/size). Parts that never
+    shipped carry no recency and are excluded (inner join).
+
+    The 2-D prefix-max trick (:func:`part_price_size_skyline`) doesn't
+    extend — the set of undominated (size, date) pairs among cheaper
+    points is a STAIRCASE, not a scalar. The standard contraction +
+    per-bucket dominance sweep, kept fully declarative:
+
+    1. **Contraction** — per-part ``max(l_shipdate)`` (key-grain), then
+       group by (exact price cents, size) keeping ``max(day)``: an
+       equal-(price, size) later-shipping part strictly dominates.
+       Output bounded by price-domain × size-domain, never the corpus.
+    2. **Level explode** — each contraction row fans out to size levels
+       ``s = 1..size`` (TPC-H sizes are small dense ints; a general
+       deployment rank-compresses sizes first). At level ``s`` the rows
+       present are exactly the points with ``size >= s``, so a
+       running max of ``day`` over STRICTLY CHEAPER rows at level
+       ``s = p.size`` answers "best date among cheaper, at-least-as-big
+       points" with one partitioned RANGE-frame window — the 2-D
+       staircase query becomes an equi-indexed 1-D prefix max. Explode
+       factor ≤ |size domain| (50), applied to the contraction only.
+    3. **Three dominance tests, all partitioned or bounded**:
+       in-bucket strictly-cheaper (window over (bucket, s), RANGE to
+       -1 on the cent key); cross-bucket (exclusive prefix max over the
+       O(buckets × sizes) per-(bucket, level) max grid — ≤ 3,200 rows
+       by construction, broadcast back as an equi-join); same-price
+       strictly-larger-size (suffix-strict RANGE frame over the
+       price-partitioned contraction). A point survives iff every
+       test's predecessor max is NULL or < its own day (weak-date kill:
+       the other axis is already strictly better).
+    4. **Broadcast semi-join back** on (price_c, size, day) recovers
+       full rows; exact (price, size, date) duplicates all survive,
+       matching the oracle's strict-dominance NOT EXISTS.
+
+    Scale: one lineitem scan (key-grain agg), one part scan, shuffles
+    only on contraction-sized frames, one O(3k)-row broadcast, and a
+    broadcast semi-join back. Nothing downstream of the scans is
+    corpus-sized; no python islands; no unpartitioned corpus sort.
+    """
+    ls = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.datediff(
+                F.max(F.to_date("l_shipdate")),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("last_ship_day")
+        )
+    )
+    base = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+        .join(ls, "p_partkey")
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            "last_ship_day",
+            cents("p_retailprice").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )
+    pts = (
+        base.groupBy("price_c", "size")
+        .agg(F.max("last_ship_day").alias("day"))
+    )
+    rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
+    b = pts.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SKYLINE_BUCKETS - 1),
+                F.floor(
+                    (F.col("price_c") - F.col("__lo"))
+                    * _SKYLINE_BUCKETS
+                    / (F.col("__hi") - F.col("__lo") + 1)
+                ),
+            )
+        ),
+    ).select("bucket", "price_c", "size", "day")
+    lv = b.select(
+        "bucket", "price_c", "size", "day",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("size"))).alias("s"),
+    )
+    w_in = (
+        Window.partitionBy("bucket", "s")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # grid of per-(bucket, level) maxima -> exclusive cross-bucket prefix
+    w_pref = (
+        Window.partitionBy("s")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = (
+        lv.groupBy("bucket", "s")
+        .agg(F.max("day").alias("__bmax"))
+        .withColumn("__prev_buckets", F.max("__bmax").over(w_pref))
+        .select("bucket", "s", "__prev_buckets")
+    )
+    # own-level rows (s == size) carry the in-bucket strictly-cheaper max
+    cand = (
+        lv.withColumn("__prev_in_bucket", F.max("day").over(w_in))
+        .where(F.col("s") == F.col("size"))
+    )
+    w_price = (
+        Window.partitionBy("price_c")
+        .orderBy("size")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    cand = cand.withColumn("__prev_same_price", F.max("day").over(w_price))
+    frontier = (
+        cand.join(F.broadcast(pref), ["bucket", "s"])
+        .where(
+            F.col("day")
+            > F.coalesce(
+                F.greatest(
+                    "__prev_in_bucket", "__prev_buckets", "__prev_same_price"
+                ),
+                F.lit(_NO_PREDECESSOR),
+            )
+        )
+        .select(
+            F.col("price_c").alias("__f_price_c"),
+            F.col("size").alias("__f_size"),
+            F.col("day").alias("__f_day"),
+        )
+    )
+    return base.join(
+        F.broadcast(frontier),
+        (F.col("price_c") == F.col("__f_price_c"))
+        & (F.col("size") == F.col("__f_size"))
+        & (F.col("last_ship_day") == F.col("__f_day")),
+        "left_semi",
+    ).select("p_partkey", "p_retailprice", "p_size", "last_ship_day")
+
+
+PART_PRICE_SIZE_DATE_SKYLINE_SQL = """
+WITH ls AS (
+    SELECT l_partkey,
+           date_diff('day', DATE '1970-01-01', max(l_shipdate)::DATE)::BIGINT
+               AS last_ship_day
+    FROM lineitem GROUP BY 1
+),
+base AS (
+    SELECT p.p_partkey, p.p_retailprice, p.p_size, ls.last_ship_day
+    FROM part p JOIN ls ON p.p_partkey = ls.l_partkey
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+)
+SELECT b.p_partkey, b.p_retailprice, b.p_size, b.last_ship_day
+FROM base b
+WHERE NOT EXISTS (
+    SELECT 1 FROM base q
+    WHERE q.p_retailprice <= b.p_retailprice
+      AND q.p_size >= b.p_size
+      AND q.last_ship_day >= b.last_ship_day
+      AND (q.p_retailprice < b.p_retailprice
+           OR q.p_size > b.p_size
+           OR q.last_ship_day > b.last_ship_day)
+)
+"""
+
+
 ANALYTICS_SPECS = [
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
@@ -1438,4 +1612,7 @@ ANALYTICS_SPECS = [
     QuerySpec("part_price_size_skyline", part_price_size_skyline,
               PART_PRICE_SIZE_SKYLINE_SQL, ("skyline-pareto-frontier",),
               touched_round=10),  # r10 addition: dominance via bucketed prefix max
+    QuerySpec("part_price_size_date_skyline", part_price_size_date_skyline,
+              PART_PRICE_SIZE_DATE_SKYLINE_SQL, ("skyline-3d-staircase",),
+              touched_round=11),  # r11 addition: k-D via level-exploded staircase
 ]

@@ -101,9 +101,17 @@ def _bpe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_pair_argmax(state)
 
 
+def _pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simsearch import _pq_init_cents, _pq_sub_frame, _pq_update
+
+    sub = _pq_sub_frame(spark, sf_dir)
+    return _pq_update(sub, _pq_init_cents(sub))
+
+
 #: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
 PLAN_PROBES = {
     "bpe_merges_topn": _bpe_probe,
+    "embedding_pq_codebook": _pq_probe,
     "copurchase_pagerank": _pagerank_probe,
     "dedup_components": _cc_probe(_minhash_pairs),
     "dedup_survivors_cc": _cc_probe(_minhash_pairs),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable_hash64
 from ..functions.core import portable_hash64_sql
@@ -269,6 +270,169 @@ SELECT doc_id, source, n_chars, e_micro, rk FROM (
 """
 
 
+ALLOC_BUDGET = 120       # global sample budget across all sources
+
+
+def weighted_sample_allocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling with NEYMAN ALLOCATION of a global
+    budget (VERDICT r10 #6) — the actual shape of pretraining-mix
+    subsampling: a fixed total budget ``ALLOC_BUDGET`` is split across
+    sources proportional to ``N_s * sd_s`` (stratum size × in-stratum
+    spread — Neyman's variance-minimizing allocation; proportional
+    allocation is the ``sd_s = const`` special case), then each source
+    contributes its allocation's worth of length-weighted A-ES picks
+    (the :func:`weighted_sample_aes` clocks).
+
+    Exactness discipline — the allocation must be BIT-IDENTICAL across
+    engines, so it never touches accumulated floats:
+
+    - per-source (count n, Σx, Σx²) are exact long sums;
+      ``n·Σx² − (Σx)²  =  n²·σ²_pop`` is an exact long, so the Neyman
+      weight ``w_s = round(sqrt(n·Σx² − (Σx)²))`` = round(n·sd_s) comes
+      from ONE correctly-rounded IEEE sqrt on identical operands (the
+      established float policy: a cross-engine flip needs the true root
+      within ~ulp of a rounding boundary — measure-zero; magnitudes
+      here stay < 2^60, far under sqrt's exact-integer range loss);
+    - quotas use INTEGER division: ``base_s = (B·w_s) DIV W``,
+      remainder ``(B·w_s) % W`` — exact in both engines;
+    - the leftover ``B − Σ base_s`` (< #sources when W > 0) goes to the
+      largest remainders, tiebroken by source name (largest-remainder /
+      Hamilton apportionment) — a total order, no float anywhere.
+
+    Scale shape: the stats and allocation frames are SOURCE-GRAIN (a
+    bounded domain dimension — the one unpartitioned window ranks
+    O(|sources|) rows, same bounded class as the O(days) series folds);
+    the corpus sees exactly the :func:`weighted_sample_aes` two-pass
+    contraction, with the local cap at ``max_s k_s`` (one driver
+    scalar): the union of per-batch top-max_k per source contains every
+    source's true top-k_s under any partitioning. A source smaller than
+    its allocation contributes all its rows (allocation is not
+    rebalanced — same rule both engines). At extreme corpus scale the
+    long products ``n·Σx²`` approach 2^63; production would widen the
+    stats to DECIMAL(38) or compute the few-row allocation driver-side
+    in Python ints — the apportionment itself is unchanged.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("n_chars") > 0)
+    )
+    st = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    wt = st.select(
+        "source",
+        F.round(
+            F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                   .cast("double"))
+        ).cast("long").alias("w"),
+    )
+    tot = wt.agg(F.sum("w").alias("tw"))
+    qa = wt.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "w",
+        f"({ALLOC_BUDGET} * w) DIV greatest(tw, 1) AS base",
+        f"({ALLOC_BUDGET} * w) % greatest(tw, 1) AS rem",
+    )
+    lo = qa.agg((F.lit(ALLOC_BUDGET) - F.sum("base")).alias("leftover"))
+    w_rem = Window.orderBy(F.desc("rem"), "source")  # O(|sources|) rows
+    alloc = (
+        qa.crossJoin(F.broadcast(lo))
+        .withColumn(
+            "k_alloc",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(w_rem) <= F.col("leftover"), 1
+                ).otherwise(0)
+            ).cast("long"),
+        )
+        .select("source", "k_alloc")
+    )
+    max_k = int(alloc.agg(F.max("k_alloc")).collect()[0][0] or 0)
+
+    narrow = docs.select(
+        "doc_id", "source", "n_chars", _aes_key_micro().alias("e_micro")
+    )
+
+    def _local_topk(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(["e_micro", "doc_id"], kind="mergesort")
+            yield pdf.groupby("source", sort=False, dropna=False).head(max_k)
+
+    survivors = narrow.mapInPandas(_local_topk, schema=narrow.schema)
+    ranked = (
+        survivors.groupBy("source")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("e_micro", "doc_id", "n_chars"))
+                ),
+                1,
+                max(max_k, 1),
+            ).alias("top")
+        )
+        .select("source", F.posexplode("top").alias("pos", "r"))
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            "source",
+            F.col("r.n_chars").alias("n_chars"),
+            F.col("r.e_micro").alias("e_micro"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .where(F.col("rk") <= F.col("k_alloc"))
+        .select("doc_id", "source", "n_chars", "e_micro", "rk", "k_alloc")
+    )
+
+
+WEIGHTED_SAMPLE_ALLOCATED_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars > 0
+),
+st AS (
+    SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+           sum(n_chars * n_chars)::BIGINT AS ss
+    FROM d GROUP BY 1
+),
+wt AS (
+    SELECT source, round(sqrt((n * ss - s * s)::DOUBLE))::BIGINT AS w
+    FROM st
+),
+tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+qa AS (
+    SELECT source, w,
+           ({ALLOC_BUDGET} * w) // greatest(tw, 1) AS base,
+           ({ALLOC_BUDGET} * w) % greatest(tw, 1) AS rem
+    FROM wt CROSS JOIN tot
+),
+lo AS (SELECT ({ALLOC_BUDGET} - sum(base))::BIGINT AS leftover FROM qa),
+alloc AS (
+    SELECT source,
+           (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                             <= (SELECT leftover FROM lo)
+                        THEN 1 ELSE 0 END)::BIGINT AS k_alloc
+    FROM qa
+),
+ranked AS (
+    SELECT doc_id, source, n_chars, {_AES_KEY_SQL} AS e_micro,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_AES_KEY_SQL}, doc_id
+           ) AS rk
+    FROM d
+)
+SELECT r.doc_id, r.source, r.n_chars, r.e_micro, r.rk, a.k_alloc
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.rk <= a.k_alloc
+"""
+
+
 TOKEN_BUDGET = 500       # per-source curriculum token budget (selective
                          # even at sf0.01: ~25 docs x ~50 tokens per source)
 
@@ -414,6 +578,13 @@ SAMPLING_SPECS = [
         WEIGHTED_SAMPLE_AES_SQL,
         ("sample-weighted-without-replacement",),
         touched_round=10,  # r10 addition: A-ES exponential clocks
+    ),
+    QuerySpec(
+        "weighted_sample_allocated",
+        weighted_sample_allocated,
+        WEIGHTED_SAMPLE_ALLOCATED_SQL,
+        ("sample-neyman-allocation",),
+        touched_round=11,  # r11 addition: largest-remainder Neyman budget
     ),
     QuerySpec(
         "token_budget_curriculum",

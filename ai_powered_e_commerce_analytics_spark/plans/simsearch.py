@@ -906,6 +906,274 @@ KMEANS_LLOYD_SQL = _km_sql()
 
 
 # ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks + codes + recon error
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces (64-dim embedding -> 4 x 16)
+PQ_SUBDIM = 16
+PQ_K = 4            # centroids per sub-codebook (256 in production PQ)
+PQ_UPDATES = 2      # Lloyd updates per subspace, same budget as k-means
+
+
+def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (vector, subspace): the 16-dim subvector. The explode
+    is x``PQ_M`` on the embedding scan — still a pure map, no shuffle."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).join(
+        e, "vec_id"
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(
+            "emb", F.col("m").cast("int") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("semb"),
+    )
+
+
+def _pq_argmin(cents: dict[int, list[tuple[int, list[float]]]]):
+    """Per-row nearest-sub-centroid struct, switching on the subspace
+    column ``m`` (argmin via ``least`` on (dist, cid) structs, cid
+    breaking exact ties — the k-means discipline per subspace)."""
+    def least_for(cent_list):
+        structs = []
+        for cid, vec in cent_list:
+            lit = F.array(*[F.lit(v) for v in vec])
+            structs.append(
+                F.struct(
+                    _sqdist(F.col("semb"), lit).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+            )
+        return F.least(*structs)
+
+    expr = None
+    for m in sorted(cents):
+        branch = least_for(cents[m])
+        expr = (
+            F.when(F.col("m") == m, branch)
+            if expr is None
+            else expr.when(F.col("m") == m, branch)
+        )
+    return expr
+
+
+def _pq_update(sub: DataFrame, cents) -> DataFrame:
+    """ONE PQ centroid-update round for ALL subspaces in a single
+    distributed agg (groupBy (m, cid, dim) with map-side combine — each
+    task contracts to <= M x K x subdim rows before the shuffle).
+    Shared by the training loop and the plan-audit probe
+    (plans/probes.py) so the audited shape IS the executed shape."""
+    assigned = sub.withColumn("cid", _pq_argmin(cents)["cid"])
+    return (
+        assigned.select(
+            "m",
+            "cid",
+            F.posexplode(
+                F.transform(
+                    "semb",
+                    lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
+                )
+            ).alias("dim", "v_fp"),
+        )
+        .groupBy("m", "cid", "dim")
+        .agg(F.sum("v_fp").alias("s"), F.count("*").alias("n"))
+        .select(
+            "m",
+            "cid",
+            "dim",
+            (
+                F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_FP)
+            ).alias("mean"),
+        )
+    )
+
+
+def _pq_init_cents(sub: DataFrame):
+    """Deterministic seeding: the subvectors of ``vec_id < PQ_K``."""
+    init_rows = (
+        sub.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "m", "semb")
+        .collect()
+    )
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        m: [] for m in range(PQ_M)
+    }
+    for r in init_rows:
+        cents[int(r["m"])].append((int(r["vec_id"]), list(r["semb"])))
+    for m in cents:
+        cents[m] = sorted(cents[m])
+    return cents
+
+
+def _pq_state(spark: SparkSession, sf_dir: str):
+    """The subvector frame and, per subspace, the centroids after
+    ``PQ_UPDATES`` exact fixed-point Lloyd rounds. Identical exactness
+    discipline to :func:`_lloyd_state` (long fixed-point sums ->
+    ``(sum / n) / 2^20`` on identical operands), run for all ``PQ_M``
+    subspaces IN ONE distributed agg per round — the update groupBy key
+    is (m, cid, dim), so the per-round driver traffic is
+    O(M x K x subdim) = 256 scalars, independent of corpus size."""
+    sub = _pq_sub_frame(spark, sf_dir)
+    cents = _pq_init_cents(sub)
+    for _ in range(PQ_UPDATES):
+        rows = _pq_update(sub, cents).collect()
+        nxt: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            nxt.setdefault(int(r["m"]), {}).setdefault(
+                int(r["cid"]), [0.0] * PQ_SUBDIM
+            )[int(r["dim"])] = float(r["mean"])
+        cents = {
+            m: sorted(by_cid.items()) for m, by_cid in nxt.items()
+        }
+    return sub, cents
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook — one row per (subspace, code) with the
+    centroid vector. The artifact an ANN service loads next to the
+    per-vector codes (``embedding_pq_codebook``); M x K rows total."""
+    _, cents = _pq_state(spark, sf_dir)
+    rows = [
+        (m, cid, vec)
+        for m, cent_list in sorted(cents.items())
+        for cid, vec in cent_list
+    ]
+    return spark.createDataFrame(
+        rows, "m int, cid long, cemb array<double>"
+    )
+
+
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (VERDICT r10 #7): split
+    the 64-dim embedding into ``PQ_M`` = 4 subspaces of 16 dims, train a
+    ``PQ_K``-centroid sub-codebook per subspace with the exact
+    fixed-point Lloyd machinery of :func:`kmeans_lloyd_clusters`
+    (deterministic seeding: the subvectors of ``vec_id < PQ_K``), and
+    emit per vector its 4 codes plus the exact reconstruction error —
+    the memory-compression step between a k-means partitioning and a
+    100 TB-scale ANN index (an IVF-PQ index stores these codes instead
+    of raw floats: 64 doubles -> 4 small ints per vector here).
+
+    Determinism: all four sub-codebooks train in ONE distributed agg
+    per Lloyd round (groupBy (m, cid, dim) fixed-point long sums —
+    associative under any partitioning; the driver sees 256 scalars a
+    round); assignment is a per-row ``least`` argmin with cid
+    tiebreak, switching on the subspace column; the reconstruction
+    error accumulates ``round(dist * 1e6)`` micro-unit longs per
+    subspace and emits the exact ratio. The DuckDB oracle replays the
+    identical rounds (unrolled CTEs, the ``_km_cte_prefix`` pattern
+    generalized with the subspace as a grouping key).
+
+    Scale: per round one embeddings scan + a map-side-combined agg to
+    M x K x subdim rows; the final pass is one scan + a vec_id-keyed
+    pivot agg. The corpus never shuffles by anything wider than vec_id.
+    """
+    sub, cents = _pq_state(spark, sf_dir)
+    m_assign = _pq_argmin(cents)
+    fin = sub.select(
+        "vec_id",
+        "m",
+        m_assign["cid"].alias("cid"),
+        F.round(m_assign["d"] * _INERTIA_GRID, 0)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("cid")))
+        .cast("long")
+        .alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    return fin.groupBy("vec_id").agg(
+        *code_cols,
+        F.sum("d_micro").alias("recon_err_micro"),
+        (
+            F.sum("d_micro").cast("double") / F.lit(float(_INERTIA_GRID))
+        ).alias("recon_err"),
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB oracle replaying the identical per-subspace fixed-point
+    Lloyd rounds, with the subspace index as an extra grouping key."""
+    dim_range = f"range(1, {PQ_SUBDIM + 1})"
+    dist = (
+        "list_reduce(list_transform(" + dim_range + ", "
+        "i -> (s.semb[i] - c.cemb[i]) * (s.semb[i] - c.cemb[i])), "
+        "(a, b) -> a + b)"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+{out} AS (
+    SELECT s.vec_id, s.m, s.semb, s.semb_fp,
+           first(c.cid ORDER BY {dist}, c.cid) AS cid,
+           min({dist}) AS dist
+    FROM sub s JOIN {cent_cte} c ON s.m = c.m
+    GROUP BY s.vec_id, s.m, s.semb, s.semb_fp
+)"""
+
+    def update(assign_cte: str, out: str) -> str:
+        return f"""
+{out} AS (
+    SELECT m, cid, list((s / n) / {KMEANS_FP} ORDER BY dim) AS cemb
+    FROM (
+        SELECT a.m, a.cid, i.i AS dim,
+               sum(a.semb_fp[i.i])::DOUBLE AS s, count(*)::DOUBLE AS n
+        FROM {assign_cte} a CROSS JOIN {dim_range} i(i)
+        GROUP BY a.m, a.cid, i.i
+    ) GROUP BY m, cid
+)"""
+
+    chain = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sub AS (
+    SELECT vec_id, m.m AS m,
+           list_transform({dim_range},
+                          i -> emb[m.m * {PQ_SUBDIM} + i]) AS semb,
+           list_transform({dim_range},
+                          i -> round(emb[m.m * {PQ_SUBDIM} + i]
+                                     * {KMEANS_FP})::BIGINT) AS semb_fp
+    FROM e CROSS JOIN range(0, {PQ_M}) m(m)
+),
+c0 AS (
+    SELECT m, vec_id AS cid, semb AS cemb FROM sub WHERE vec_id < {PQ_K}
+),
+{assign("c0", "a1")},
+{update("a1", "c1")},
+{assign("c1", "a2")},
+{update("a2", "c2")},
+{assign("c2", "a3")},
+fin AS (
+    SELECT vec_id, m, cid,
+           round(dist * {_INERTIA_GRID})::BIGINT AS d_micro
+    FROM a3
+)"""
+    codes = ",\n       ".join(
+        f"max(CASE WHEN m = {m} THEN cid END)::BIGINT AS code_{m}"
+        for m in range(PQ_M)
+    )
+    return f"""{chain}
+SELECT vec_id,
+       {codes},
+       sum(d_micro)::BIGINT AS recon_err_micro,
+       sum(d_micro)::DOUBLE / {float(_INERTIA_GRID)} AS recon_err
+FROM fin GROUP BY vec_id
+"""
+
+
+EMBEDDING_PQ_CODEBOOK_SQL = _pq_sql()
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup = k-means partition + within-cluster cosine
 # ---------------------------------------------------------------------------
 
@@ -1039,5 +1307,12 @@ SIMSEARCH_SPECS = [
         semantic_dedup_semdedup,
         SEMANTIC_DEDUP_SQL,
         ("dedup-semantic-semdedup",),
+    ),
+    QuerySpec(
+        "embedding_pq_codebook",
+        embedding_pq_codebook,
+        EMBEDDING_PQ_CODEBOOK_SQL,
+        ("embedding-product-quantization",),
+        touched_round=11,  # r11 addition: per-subspace fixed-point Lloyd
     ),
 ]

@@ -148,6 +148,10 @@ HEADLINE = [
     "part_price_size_skyline",
     "order_value_quantile_bins",
     "weighted_sample_aes",
+    # round-11 additions (95 -> 98; r10-comparable subset = first 95)
+    "part_price_size_date_skyline",
+    "weighted_sample_allocated",
+    "embedding_pq_codebook",
 ]
 
 

@@ -312,3 +312,72 @@ def test_weighted_sample_aes_weight_dominance(spark, tmp_path):
         if r.rk == 1
     ]
     assert len(top) == 1 and top[0].doc_id == 0
+
+
+def test_weighted_allocated_allocation_arithmetic_exact(spark, sf_dir):
+    """VERDICT r10 #6 done-condition: the Neyman/largest-remainder
+    allocation is asserted EXACTLY against a pure-Python integer replay
+    (no Spark, no DuckDB — independent arithmetic)."""
+    import math
+
+    import pandas as pd
+
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        ALLOC_BUDGET,
+        weighted_sample_allocated,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "n_chars"]
+    ]
+    pdf = pdf[pdf["doc_id"].notna() & (pdf["n_chars"] > 0)]
+    stats: dict[str, tuple[int, int, int]] = {}
+    for src, g in pdf.groupby("source"):
+        xs = [int(x) for x in g["n_chars"]]
+        stats[src] = (len(xs), sum(xs), sum(x * x for x in xs))
+    w = {
+        s: int(math.floor(math.sqrt(n * ss - x * x) + 0.5))
+        for s, (n, x, ss) in stats.items()
+    }
+    tw = max(sum(w.values()), 1)
+    base = {s: (ALLOC_BUDGET * v) // tw for s, v in w.items()}
+    rem = {s: (ALLOC_BUDGET * v) % tw for s, v in w.items()}
+    leftover = ALLOC_BUDGET - sum(base.values())
+    order = sorted(stats, key=lambda s: (-rem[s], s))
+    expected = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    assert sum(expected.values()) == ALLOC_BUDGET
+
+    out = weighted_sample_allocated(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], r["k_alloc"])
+        assert r["k_alloc"] == expected[r["source"]]
+        assert r["rk"] <= r["k_alloc"]
+    # every source with a positive allocation contributed exactly
+    # min(k_alloc, stratum size) rows
+    per_source = pd.DataFrame([(r["source"],) for r in out],
+                              columns=["source"]).value_counts()
+    for s, k in expected.items():
+        want = min(k, stats[s][0])
+        have = int(per_source.get((s,), 0))
+        assert have == want, (s, k, want, have)
+
+
+def test_weighted_allocated_corpus_side_stays_contracted(spark, sf_dir):
+    """The global budget must not smuggle a per-source corpus window
+    back in: the only Window in the executed plan is the O(|sources|)
+    largest-remainder rank; the corpus side stays the Arrow-batched
+    two-pass contraction."""
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        weighted_sample_allocated,
+    )
+
+    import re
+
+    plan = _formatted_plan(weighted_sample_allocated(spark, sf_dir))
+    window_nodes = re.findall(r"^\(\d+\) Window", plan, flags=re.M)
+    assert len(window_nodes) == 1, plan
+    assert "MapInPandas" in plan, plan
