@@ -148,10 +148,14 @@ HEADLINE = [
     "part_price_size_skyline",
     "order_value_quantile_bins",
     "weighted_sample_aes",
-    # round-11 additions (95 -> 98; r10-comparable subset = first 95)
+    # round-11 additions (95 -> 99; r10-comparable subset = first 95).
+    # simsearch_ivfpq_recall is registry-gated but not benched: it
+    # re-runs the ivfpq plan plus a k*|queries|-row overlap join —
+    # timing it would double-pay the PQ training for no new shape.
     "part_price_size_date_skyline",
     "weighted_sample_allocated",
     "embedding_pq_codebook",
+    "simsearch_ivfpq_topk",
 ]
 
 

@@ -50,6 +50,11 @@ DRIVER_FRAME_QUERIES = [
     # r10 addition: global-grain range-path helper consumer (one
     # rank-target driver frame feeding the broadcast cutoff crossJoin)
     "order_value_quantile_bins",
+    # r11 additions: PQ collects init/centroid rows driver-side and
+    # inlines them as literals (the exact r8 numpy-scalar class);
+    # the allocated sampler collects its max-k scalar at plan build
+    "embedding_pq_codebook",
+    "weighted_sample_allocated",
 ]
 
 
