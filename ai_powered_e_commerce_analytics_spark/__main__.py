@@ -121,11 +121,17 @@ def main(argv: list[str] | None = None) -> int:
         "and swept at the start of the next run",
     )
     c.add_argument(
-        "--store", required=True, choices=("cms", "histogram", "wau")
+        "--store", required=True,
+        choices=("cms", "histogram", "wau", "wsample"),
     )
     c.add_argument("--out", required=True, help="store directory")
     c.add_argument(
         "--checkpoint", required=True, help="the stream's checkpoint dir"
+    )
+    c.add_argument(
+        "--k", type=int, default=None,
+        help="per-source reservoir size (wsample store only; defaults "
+        "to the stream's WSAMPLE_STREAM_K)",
     )
 
     args = p.parse_args(argv)
@@ -170,12 +176,19 @@ def _run(spark, args) -> dict:
     if args.cmd == "audit":
         return _audit(spark, args)
     if args.cmd == "compact-sketches":
+        from .streaming.jobs import WSAMPLE_STREAM_K
         from .streaming.sketch_store import (
             compact_cms_store,
             compact_value_histogram_store,
             compact_wau_store,
+            compact_weighted_sample_store,
         )
 
+        if args.store == "wsample":
+            return compact_weighted_sample_store(
+                spark, args.out, args.checkpoint,
+                k=args.k or WSAMPLE_STREAM_K,
+            )
         fn = {
             "cms": compact_cms_store,
             "histogram": compact_value_histogram_store,

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 from ..operators.enrich import (
     StubLLMClient,
@@ -1402,6 +1403,91 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
     return wau_estimate_from_day_sketches(daily)
+
+
+#: Per-source reservoir size of the streamed weighted sample (test
+#: scale; a deployment sets each source's allocation here — e.g. the
+#: ``weighted_sample_allocated`` Neyman budget).
+WSAMPLE_STREAM_K = 3
+
+
+def weighted_sample_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = WSAMPLE_STREAM_K,
+    available_now: bool = True,
+):
+    """Streaming twin of ``plans/sampling.weighted_sample_aes``: a
+    length-weighted without-replacement sample of K docs per source,
+    maintained INCREMENTALLY over a document stream — the fourth member
+    of the streamed-sketch family (frequencies / distincts /
+    percentiles / now SAMPLES). The Efraimidis–Spirakis construction is
+    what makes the sample mergeable: each row's exponential clock is a
+    pure function of its content hash and weight, and "keep the K
+    smallest clocks" is an associative fold — so each micro-batch
+    writes only its OWN per-source K-smallest rows to a ``batch_id={N}``
+    partition (OVERWRITE per batch, the family's replay-idempotent sink
+    contract) and the authoritative sample is the same fold over the
+    store (:func:`read_streamed_weighted_sample`). No state store, no
+    read-modify-write: the per-batch partial is <= K x |sources| rows
+    however large the batch, and a batch-computed sample over the same
+    rows is IDENTICAL to the merged stream (parity asserted in
+    tests/test_sketch_compaction.py — mergeability proven, not
+    claimed). Compaction rides :func:`..streaming.sketch_store.
+    compact_weighted_sample_store` with the same fold.
+    """
+    from ..plans.sampling import _aes_key_micro
+
+    from .sketch_store import wsample_topk_fold
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rows = batch.where(
+            F.col("doc_id").isNotNull() & (F.col("n_chars") > 0)
+        ).select(
+            "source", _aes_key_micro().alias("e_micro"), "doc_id", "n_chars"
+        )
+        wsample_topk_fold(rows, k).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_streamed_weighted_sample(
+    spark: SparkSession, out_dir: str, *, k: int = WSAMPLE_STREAM_K
+) -> DataFrame:
+    """Merge-on-read of the streamed weighted sample: the shared
+    per-source K-smallest fold over base + live partitions, emitted
+    with the batch twin's (doc_id, source, n_chars, e_micro, rk)
+    shape."""
+    from .sketch_store import live_store_frame, wsample_topk_fold
+
+    w = Window.partitionBy("source").orderBy("e_micro", "doc_id")
+    return (
+        wsample_topk_fold(live_store_frame(spark, out_dir), k)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "n_chars", "e_micro", "rk")
+    )
 
 
 # ---------------------------------------------------------------------------

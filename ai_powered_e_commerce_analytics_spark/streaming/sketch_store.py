@@ -1,12 +1,12 @@
 """Replay-safe compaction for the streamed-sketch stores.
 
-The three mergeable-sketch streams (``cms_counters_stream`` =
+The four mergeable-sketch streams (``cms_counters_stream`` =
 frequencies, ``wau_sketches_stream`` = distincts,
-``value_histogram_stream`` = percentiles; streaming/jobs.py) share one
-sink contract: each micro-batch OVERWRITES its own ``batch_id={N}``
+``value_histogram_stream`` = percentiles, ``weighted_sample_stream`` =
+samples; streaming/jobs.py) share one sink contract: each micro-batch OVERWRITES its own ``batch_id={N}``
 partition, so foreachBatch's at-least-once replay rewrites in place and
 never duplicates, and the authoritative sketch is the merge across
-partitions (addition for counters, register-wise max for HLL). The
+partitions (addition for counters, register-wise max for HLL, per-source K-smallest for samples). The
 per-batch PARTIAL is bounded (O(d*w) / O(days) / O(value_range/width)
 rows), but the store accumulates one partition per micro-batch — a
 long-lived continuous stream needs periodic compaction to bound file
@@ -75,7 +75,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,8 +207,9 @@ def compact_sketch_store(
     spark: SparkSession,
     out_dir: str,
     checkpoint_dir: str,
-    key_cols: Sequence[str],
-    merge_aggs: Sequence[Column],
+    key_cols: Sequence[str] = (),
+    merge_aggs: Sequence[Column] = (),
+    fold: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> dict:
     """Fold every COMMITTED, not-yet-compacted ``batch_id=N`` partition
     (plus the previous base) into a fresh base partition, advance the
@@ -218,6 +219,10 @@ def compact_sketch_store(
     the SAME fold its merge-on-read applies (sum for counters,
     hll_union_agg for sketches), so compaction is associative
     re-bracketing of the read fold and bit-equality is structural.
+    Stores whose merge is not a single grouped aggregation (the
+    weighted-sample store's per-source K-smallest keeps ROWS) pass the
+    whole row-to-row fold as ``fold`` instead — same associativity
+    requirement, same contract.
 
     The commit frontier is :func:`last_committed_batch_id`, not literal
     membership in the commit log: Spark retains only the last
@@ -239,21 +244,25 @@ def compact_sketch_store(
     man = load_manifest(out_dir)
     watermark = man["watermark"] if man else -1
     parts = _batch_partitions(out_dir)
-    fold = sorted(i for i in parts if watermark < i <= frontier)
-    if not fold:
+    fold_ids = sorted(i for i in parts if watermark < i <= frontier)
+    if not fold_ids:
         base = (
             os.path.join(_local(out_dir), _BASE_DIR, man["base"])
             if man
             else None
         )
         return {"watermark": watermark, "folded": 0, "base": base}
-    new_w = fold[-1]
-    srcs = [parts[i] for i in fold]
+    new_w = fold_ids[-1]
+    srcs = [parts[i] for i in fold_ids]
     old_base = None
     if man is not None:
         old_base = os.path.join(_local(out_dir), _BASE_DIR, man["base"])
         srcs.insert(0, old_base)
-    merged = spark.read.parquet(*srcs).groupBy(*key_cols).agg(*merge_aggs)
+    raw = spark.read.parquet(*srcs)
+    merged = (
+        fold(raw) if fold is not None
+        else raw.groupBy(*key_cols).agg(*merge_aggs)
+    )
     token = f"base-{new_w}"
     new_base = os.path.join(_local(out_dir), _BASE_DIR, token)
     # Fully materialized before the manifest swap; a crash-rerun of the
@@ -265,7 +274,7 @@ def compact_sketch_store(
     # keep working); the NEXT run's _gc_superseded_generation sweeps
     # them. Reads already go through the new manifest, so nothing is
     # double-counted in the meantime.
-    return {"watermark": new_w, "folded": len(fold), "base": new_base}
+    return {"watermark": new_w, "folded": len(fold_ids), "base": new_base}
 
 
 # -- per-store folds (one place; streams + readers + compaction agree) --
@@ -299,4 +308,46 @@ def compact_wau_store(
     return compact_sketch_store(
         spark, out_dir, checkpoint_dir,
         ("day",), (F.hll_union_agg("sk").alias("sk"),),
+    )
+
+
+def wsample_topk_fold(rows: DataFrame, k: int) -> DataFrame:
+    """Per-source K-smallest A-ES clocks — the ONE fold shared by the
+    weighted-sample stream's per-batch partial, its merge-on-read, and
+    compaction (streaming/jobs.py ``weighted_sample_stream`` family).
+    Min-K is ASSOCIATIVE (the K smallest of a union are contained in
+    the union of per-part K smallest), so any re-bracketing — per
+    batch, base+partitions, compacted base — yields identical rows.
+    Bounded input by construction: every partial holds <= K rows per
+    source, so the collect_list here sees <= K x (1 + live partitions)
+    rows per source at ANY corpus scale."""
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("e_micro", "doc_id", "n_chars"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("source", F.explode("top").alias("r"))
+        .select(
+            "source",
+            F.col("r.e_micro").alias("e_micro"),
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.n_chars").alias("n_chars"),
+        )
+    )
+
+
+def compact_weighted_sample_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str, *, k: int
+) -> dict:
+    """Weighted-sample store: merge = the row-preserving per-source
+    K-smallest fold (``fold`` form — not a single grouped agg)."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        fold=lambda rows: wsample_topk_fold(rows, k),
     )

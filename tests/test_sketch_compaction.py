@@ -1,7 +1,7 @@
 """Replay-safe compaction of the streamed-sketch stores (VERDICT r9 #1).
 
-One shared rig drives all three stores (CMS / value-histogram / WAU)
-through: two micro-batches -> merge-on-read snapshot -> compaction ->
+One shared rig drives all four stores (CMS / value-histogram / WAU /
+weighted-sample) through: two micro-batches -> merge-on-read snapshot -> compaction ->
 bit-exact read equality -> a PLANTED checkpoint replay of the
 already-compacted last micro-batch (the commit-marker-deletion rig from
 test_streaming.py) -> the replayed partition reappears on disk but
@@ -16,20 +16,25 @@ import os
 import pytest
 
 from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+    WSAMPLE_STREAM_K,
     cms_counters_stream,
     read_cms_counters,
     read_streamed_percentiles,
+    read_streamed_weighted_sample,
     read_wau_estimates,
     value_histogram_stream,
     wau_sketches_stream,
+    weighted_sample_stream,
 )
 from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
     compact_cms_store,
     compact_sketch_store,
     compact_value_histogram_store,
     compact_wau_store,
+    compact_weighted_sample_store,
     live_store_frame,
     load_manifest,
+    wsample_topk_fold,
 )
 
 # Each store: (stream fn, compact fn, input schema, two file drops,
@@ -59,7 +64,31 @@ _EVENTS = [
     [(u, "2024-01-04 09:00:00") for u in range(200, 260)],
 ]
 
+# weighted-sample store (r11, fourth family member): sources repeat
+# across batches and exceed K docs, so the K-smallest fold genuinely
+# truncates; the fresh drop's huge weights produce near-zero clocks
+# that must enter the merged sample.
+_WDOCS = [
+    [(1, "srcA", 100, "t"), (2, "srcA", 50, "t"), (3, "srcA", 400, "t"),
+     (4, "srcB", 80, "t")],
+    [(5, "srcA", 900, "t"), (6, "srcA", 20, "t"), (7, "srcB", 300, "t")],
+    # fresh post-compaction drop: must CHANGE the merged fold
+    [(8, "srcA", 10000, "t"), (9, "srcB", 9000, "t")],
+]
+
 _STORES = {
+    "wsample": (
+        weighted_sample_stream,
+        lambda spark, out, ckpt: compact_weighted_sample_store(
+            spark, out, ckpt, k=WSAMPLE_STREAM_K
+        ),
+        "doc_id long, source string, n_chars long, ts string",
+        _WDOCS,
+        lambda spark, out: sorted(
+            tuple(r)
+            for r in read_streamed_weighted_sample(spark, out).collect()
+        ),
+    ),
     "cms": (
         cms_counters_stream,
         compact_cms_store,
@@ -258,3 +287,46 @@ def test_frontier_folds_ids_whose_commit_files_aged_out(spark, tmp_path):
         d.startswith("batch_id=") for d in os.listdir(out)
     )
     assert snapshot(spark, out) == before
+
+
+def test_weighted_sample_stream_matches_batch_fold(spark, tmp_path):
+    # Mergeability proof for the sample store: the merged stream equals
+    # the SAME per-source K-smallest fold applied to all rows at once
+    # (min-K is associative), with the batch twin's output shape.
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as W
+
+    from ai_powered_e_commerce_analytics_spark.plans.sampling import (
+        _aes_key_micro,
+    )
+
+    stream_fn, _compact, schema, drops, snapshot = _STORES["wsample"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    allrows = []
+    for i, rows in enumerate(drops):
+        allrows += rows
+        _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, i)
+    streamed = snapshot(spark, out)
+
+    batch = (
+        spark.createDataFrame(allrows, schema)
+        .where(SF.col("doc_id").isNotNull() & (SF.col("n_chars") > 0))
+        .select(
+            "source", _aes_key_micro().alias("e_micro"), "doc_id", "n_chars"
+        )
+    )
+    w = W.partitionBy("source").orderBy("e_micro", "doc_id")
+    expected = sorted(
+        tuple(r)
+        for r in wsample_topk_fold(batch, WSAMPLE_STREAM_K)
+        .withColumn("rk", SF.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "n_chars", "e_micro", "rk")
+        .collect()
+    )
+    assert streamed == expected
+    # the drops were sized so truncation is real: srcA contributed 6
+    # docs but only K survive
+    per_src = {}
+    for r in streamed:
+        per_src[r[1]] = per_src.get(r[1], 0) + 1
+    assert per_src["srcA"] == WSAMPLE_STREAM_K
