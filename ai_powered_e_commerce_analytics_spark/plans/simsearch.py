@@ -1342,6 +1342,123 @@ FROM (
 SIMSEARCH_IVFPQ_SQL = _ivfpq_sql()
 
 
+KCENTER_K = 6   # coreset size (selection trace length)
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus —
+    the diversity-sampling step of data curation (pick K maximally
+    spread exemplars; the classic 2-approximation farthest-point
+    heuristic, and the usual seed set for facility-location /
+    submodular selection). Emits the selection TRACE: rank, chosen
+    vector, and its distance to the already-selected set — the curve a
+    curation report reads to see when additional exemplars stop adding
+    diversity.
+
+    Iterative fixed point, kmeans-family discipline: each round scores
+    every vector's min squared L2 distance to the selected set (the
+    selected vectors are inlined as literals — a pure per-row map, no
+    join), quantizes each PAIR distance to micro-unit longs (same
+    left-fold + round the oracle replays), takes min over the selected
+    set on exact longs, and argmaxes via ``orderBy(...).limit(1)`` —
+    ``TakeOrderedAndProject``, per-partition 1-row heaps. The driver
+    sees ONE row per round; per-round cost is one corpus scan with a
+    K-term expression, no shuffle at all. Deterministic: seed = lowest
+    vec_id; ties break by vec_id on exact longs.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    selected: list[tuple[int, list[float]]] = [
+        (int(seed["vec_id"]), list(seed["emb"]))
+    ]
+    trace: list[tuple[int, int, int]] = [(1, selected[0][0], 0)]
+
+    def min_dist_micro() -> Column:
+        cols = [
+            F.round(
+                _sqdist(F.col("emb"), F.array(*[F.lit(v) for v in vec]))
+                * _INERTIA_GRID,
+                0,
+            ).cast("long")
+            for _vid, vec in selected
+        ]
+        return F.least(*cols) if len(cols) > 1 else cols[0]
+
+    for r in range(2, KCENTER_K + 1):
+        sel_ids = [vid for vid, _ in selected]
+        best = (
+            e.where(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "emb", min_dist_micro().alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((int(best["vec_id"]), list(best["emb"])))
+        trace.append((r, int(best["vec_id"]), int(best["md"])))
+    return spark.createDataFrame(
+        trace, "sel_rank int, vec_id long, mindist_micro long"
+    ).select(
+        "sel_rank",
+        "vec_id",
+        "mindist_micro",
+        (
+            F.col("mindist_micro").cast("double") / F.lit(float(_INERTIA_GRID))
+        ).alias("mindist"),
+    )
+
+
+def _kcenter_sql() -> str:
+    dist = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.emb[i] - s.emb[i]) * (e.emb[i] - s.emb[i])), "
+        "(a, b) -> a + b)"
+    )
+    parts = [
+        """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s1 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+p1 AS (SELECT 1 AS sel_rank, vec_id, 0::BIGINT AS md FROM s1)"""
+    ]
+    for k in range(2, KCENTER_K + 1):
+        parts.append(f"""
+c{k} AS (
+    SELECT e.vec_id,
+           min(round({dist} * {_INERTIA_GRID})::BIGINT) AS md
+    FROM e CROSS JOIN s{k - 1} s
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM s{k - 1})
+    GROUP BY e.vec_id
+)""")
+        parts.append(f"""
+p{k} AS (
+    SELECT {k} AS sel_rank, vec_id, md FROM c{k}
+    ORDER BY md DESC, vec_id LIMIT 1
+)""")
+        parts.append(f"""
+s{k} AS (
+    SELECT vec_id, emb FROM s{k - 1}
+    UNION ALL
+    SELECT e.vec_id, e.emb FROM e WHERE e.vec_id = (SELECT vec_id FROM p{k})
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT sel_rank, vec_id, md FROM p{k}"
+        for k in range(1, KCENTER_K + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT sel_rank::INTEGER AS sel_rank, vec_id, md AS mindist_micro,
+       md::DOUBLE / {float(_INERTIA_GRID)} AS mindist
+FROM ({finals})
+"""
+    )
+
+
+EMBEDDING_KCENTER_SQL = _kcenter_sql()
+
+
 def simsearch_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF-PQ ADC path against exact brute-force cosine
     — the SECOND approximation stage's quality monitor (IVF pruning
@@ -1552,5 +1669,12 @@ SIMSEARCH_SPECS = [
         SIMSEARCH_IVFPQ_RECALL_SQL,
         ("ann-ivfpq-recall-monitor",),
         touched_round=11,  # r11 addition: compound IVF+PQ quality gauge
+    ),
+    QuerySpec(
+        "embedding_kcenter_coreset",
+        embedding_kcenter_coreset,
+        EMBEDDING_KCENTER_SQL,
+        ("coreset-kcenter-greedy",),
+        touched_round=11,  # r11 addition: farthest-point diversity trace
     ),
 ]

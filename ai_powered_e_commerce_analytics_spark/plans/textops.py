@@ -1639,7 +1639,80 @@ LIMIT {PMI_TOP_K}
 """
 
 
+def doc_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CONTENT NOVELTY against everything ingested before
+    it: of a doc's distinct word 3-shingles, how many appear in NO
+    lower-doc_id document (doc_id is ingestion order in this corpus).
+    The aggregate over the curve is the dataset's vocabulary-growth /
+    Heaps-law profile — the training-data signal that says when a
+    source stops contributing new content and marginal tokens become
+    rehash (the moment a curation pipeline downsamples or stops
+    crawling it).
+
+    Plan: ONE tokenize+shingle explode; first occurrence per shingle is
+    a ``min(doc_id)`` contraction over the distinct (doc, shingle)
+    frame; the frame is repartitioned by ``shingle`` as an explicit
+    exchange barrier (the :func:`tfidf_top_terms` idiom) so
+    ReuseExchange serves BOTH the first-occurrence aggregate and the
+    join probe from one tokenization and the join adds no new exchange
+    of either side — a 100 TB crawl's shingle vocabulary is far past
+    broadcast range. One final doc-keyed agg. Novelty ratio is an
+    exact small-integer quotient (raw; float policy).
+    """
+    pairs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles("text", SHINGLE_K))
+            ).alias("shingle"),
+        )
+        .repartition("shingle")
+    )
+    first = pairs.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pairs.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles")
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+DOC_NOVELTY_PROFILE_SQL = f"""
+WITH pairs AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    FROM documents WHERE doc_id IS NOT NULL
+),
+first_occ AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM pairs GROUP BY 1
+)
+SELECT p.doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel,
+       sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
+           / count(*) AS novelty_ratio
+FROM pairs p JOIN first_occ f USING (shingle)
+GROUP BY p.doc_id
+"""
+
+
 TEXTOPS_SPECS = [
+    QuerySpec("doc_novelty_profile", doc_novelty_profile,
+              DOC_NOVELTY_PROFILE_SQL, ("corpus-novelty-curve",),
+              touched_round=11),  # r11 addition: first-occurrence shingles
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("text-quality",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("lang-id",)),
     QuerySpec("token_stats_by_source", token_stats_by_source, TOKEN_STATS_SQL, ("token-count",)),

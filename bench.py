@@ -156,6 +156,8 @@ HEADLINE = [
     "weighted_sample_allocated",
     "embedding_pq_codebook",
     "simsearch_ivfpq_topk",
+    "doc_novelty_profile",
+    "embedding_kcenter_coreset",
 ]
 
 

@@ -52,9 +52,11 @@ DRIVER_FRAME_QUERIES = [
     "order_value_quantile_bins",
     # r11 additions: PQ collects init/centroid rows driver-side and
     # inlines them as literals (the exact r8 numpy-scalar class);
-    # the allocated sampler collects its max-k scalar at plan build
+    # the allocated sampler collects its max-k scalar at plan build;
+    # the k-center trace is a driver-built createDataFrame
     "embedding_pq_codebook",
     "weighted_sample_allocated",
+    "embedding_kcenter_coreset",
 ]
 
 
