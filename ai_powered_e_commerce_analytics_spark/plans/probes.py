@@ -108,9 +108,35 @@ def _pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_update(sub, _pq_init_cents(sub))
 
 
+def _kcenter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one representative selection round: the full-corpus min-distance
+    # scoring scan + TakeOrderedAndProject argmax against the seed (the
+    # returned query frame is the driver-built trace, which audits as
+    # an empty plan)
+    from .simsearch import _INERTIA_GRID, _sqdist, t
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    md = F.round(
+        _sqdist(F.col("emb"), F.array(*[F.lit(v) for v in seed["emb"]]))
+        * _INERTIA_GRID,
+        0,
+    ).cast("long")
+    return (
+        e.where(F.col("vec_id") != int(seed["vec_id"]))
+        .select("vec_id", md.alias("md"))
+        .orderBy(F.desc("md"), "vec_id")
+        .limit(1)
+    )
+
+
 #: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
 PLAN_PROBES = {
     "bpe_merges_topn": _bpe_probe,
+    "embedding_kcenter_coreset": _kcenter_probe,
     "embedding_pq_codebook": _pq_probe,
     "copurchase_pagerank": _pagerank_probe,
     "dedup_components": _cc_probe(_minhash_pairs),
