@@ -93,6 +93,58 @@ FROM documents
 """
 
 
+LEAKSAFE_SEED = 29   # salt: independent of the doc-level split gate
+
+
+def train_test_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-integral 80/10/10 split: the hash gate keys on the
+    NEAR-DUP COMPONENT representative (transitive MinHash-LSH clusters,
+    :func:`..textops.dedup_components`), not the document — so a near
+    duplicate of a test document can never land in train. This is the
+    eval-contamination bug the plain per-doc split
+    (:func:`train_test_split_assignment`) cannot prevent: two 95%%-
+    identical crawls of one page hash to different gates and straddle
+    the split, leaking test content into training. Gating the
+    representative makes every cluster atomic by construction
+    (asserted in tests: one split value per component).
+
+    Plan: the components labeling (iterative CC over the banded-LSH
+    verified pairs — O(log diameter) rounds over O(dup-docs) rows) plus
+    ONE pure per-row gate map; no new shuffle beyond the labeling's
+    doc_id join. Salted independently of the doc-level split so the two
+    assignments are uncorrelated.
+    """
+    from .textops import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    g = _gate(F.col("component").cast("string"), seed=LEAKSAFE_SEED)
+    split = (
+        F.when(g < TRAIN_PCT * 100, F.lit("train"))
+        .when(g < (TRAIN_PCT + VAL_PCT) * 100, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        g.alias("gate"),
+        split.alias("split"),
+    )
+
+
+def _leakage_safe_sql() -> str:
+    from .textops import DEDUP_COMPONENTS_SQL
+
+    gate = _gate_sql("component::VARCHAR", LEAKSAFE_SEED)
+    return f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL})
+SELECT doc_id, component, {gate} AS gate,
+       CASE WHEN {gate} < {TRAIN_PCT * 100} THEN 'train'
+            WHEN {gate} < {(TRAIN_PCT + VAL_PCT) * 100} THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
 def per_source_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-K deterministic sample per source: rank rows inside each
     source by (hash gate, doc_id) and keep the first K — a fixed-size
@@ -585,6 +637,13 @@ SAMPLING_SPECS = [
         WEIGHTED_SAMPLE_ALLOCATED_SQL,
         ("sample-neyman-allocation",),
         touched_round=11,  # r11 addition: largest-remainder Neyman budget
+    ),
+    QuerySpec(
+        "train_test_split_leakage_safe",
+        train_test_split_leakage_safe,
+        _leakage_safe_sql(),
+        ("train-test-split-cluster-integral",),
+        touched_round=11,  # r11 addition: near-dup-atomic split gate
     ),
     QuerySpec(
         "token_budget_curriculum",
