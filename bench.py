@@ -148,10 +148,12 @@ HEADLINE = [
     "part_price_size_skyline",
     "order_value_quantile_bins",
     "weighted_sample_aes",
-    # round-11 additions (95 -> 99; r10-comparable subset = first 95).
-    # simsearch_ivfpq_recall is registry-gated but not benched: it
-    # re-runs the ivfpq plan plus a k*|queries|-row overlap join —
-    # timing it would double-pay the PQ training for no new shape.
+    # round-11 additions (95 -> 101; r10-comparable subset = first 95).
+    # simsearch_ivfpq_recall and train_test_split_leakage_safe are
+    # registry-gated but not benched: each re-runs an already-benched
+    # expensive fixed point (PQ training / CC labeling) plus only a
+    # tiny join or per-row gate — timing them would double-pay the
+    # loop for no new plan information.
     "part_price_size_date_skyline",
     "weighted_sample_allocated",
     "embedding_pq_codebook",
