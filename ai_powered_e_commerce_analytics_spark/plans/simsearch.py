@@ -1236,27 +1236,15 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_reduce performs, on identical doubles (query embeddings +
     # the trained codebook), floor(x+0.5) = round-half-up like both
     # engines' round() on the non-negative distances.
-    q_rows = (
-        base.where(F.col("vec_id") < KNN_QUERIES)
+    q_rows = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in base.where(F.col("vec_id") < KNN_QUERIES)
         .select("vec_id", "emb")
         .collect()
-    )
-    lut_rows = []
-    for qr in q_rows:
-        qemb = list(qr["emb"])
-        for m, cent_list in sorted(cents.items()):
-            off = m * PQ_SUBDIM
-            for cid, cvec in cent_list:
-                acc = 0.0
-                for i in range(PQ_SUBDIM):
-                    d = qemb[off + i] - cvec[i]
-                    acc += d * d
-                lut_rows.append((
-                    int(qr["vec_id"]), int(m), int(cid),
-                    int(math.floor(acc * _INERTIA_GRID + 0.5)),
-                ))
+    ]
     lut = spark.createDataFrame(
-        lut_rows, "query_id long, m int, pq_cid long, lut_micro long"
+        adc_lut_rows(q_rows, cents),
+        "query_id long, m int, pq_cid long, lut_micro long",
     )
     cand = (
         assign.select("vec_id", "cid")
@@ -1264,6 +1252,48 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
+    return adc_topk(codes, cand, lut, k=KNN_K)
+
+
+def adc_lut_rows(
+    q_rows: "list[tuple[int, list[float]]]",
+    cents: "dict[int, list[tuple[int, list[float]]]]",
+) -> "list[tuple[int, int, int, int]]":
+    """Per-query ADC lookup table: (query_id, m, pq_cid, lut_micro) for
+    every (subspace, code) — Q x M x K rows, computed driver-side. The
+    distance fold is the same left-to-right (q[i]-c[i])^2 accumulation
+    the oracle's list_reduce performs, on identical doubles;
+    floor(x+0.5) = round-half-up like both engines' round() on the
+    non-negative distances. Shared by the oracle-gated query and the
+    persisted-index serving path."""
+    out = []
+    for qid, qemb in q_rows:
+        for m, cent_list in sorted(cents.items()):
+            off = m * PQ_SUBDIM
+            for cid, cvec in cent_list:
+                acc = 0.0
+                for i in range(PQ_SUBDIM):
+                    d = qemb[off + i] - cvec[i]
+                    acc += d * d
+                out.append((
+                    int(qid), int(m), int(cid),
+                    int(math.floor(acc * _INERTIA_GRID + 0.5)),
+                ))
+    return out
+
+
+def adc_topk(
+    codes: DataFrame, cand: DataFrame, lut: DataFrame, *, k: int
+) -> DataFrame:
+    """The ADC scoring + per-query top-k assembly, shared by the
+    oracle-gated :func:`simsearch_ivfpq_topk` (codes trained in-plan)
+    and the persisted-index serving path
+    (``operators/ann_index.ivfpq_search`` — codes read bucket-pruned
+    from storage), so the served math IS the oracle-checked math.
+    ``codes``: (vec_id, m, pq_cid); ``cand``: (query_id, vec_id),
+    query-sized; ``lut``: (query_id, m, pq_cid, lut_micro), Q x M x K
+    rows. The only corpus-grain exchange is the (query, neighbor)
+    partial-agg."""
     w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
     return (
         codes.join(F.broadcast(cand), "vec_id")
@@ -1279,7 +1309,7 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= KNN_K)
+        .where(F.col("rank") <= k)
     )
 
 
