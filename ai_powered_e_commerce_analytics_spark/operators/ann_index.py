@@ -96,6 +96,115 @@ def build_ivfpq_index(
     return manifest
 
 
+def _load_codebook(spark: SparkSession, out_dir: str):
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in spark.read.parquet(f"{out_dir}/codebook").collect():
+        cb.setdefault(int(r["m"]), []).append(
+            (int(r["cid"]), list(r["cemb"]))
+        )
+    return {m: sorted(v) for m, v in cb.items()}
+
+
+def encode_vectors(
+    spark: SparkSession, out_dir: str, vecs: DataFrame
+) -> DataFrame:
+    """Encode NEW vectors — (vec_id, emb array<double>) — against the
+    index's FROZEN artifacts: nearest coarse centroid by the same
+    rounded-cosine + lowest-cid rule the builder used, PQ codes by the
+    same per-subspace argmin, centroids inlined as literals (pure map,
+    no join on the vector side). This is how an index stays fresh
+    without retraining: the codebook is a trained artifact; new data is
+    quantized under it (and codebook drift is monitored separately —
+    ``embedding_pq_codebook``'s reconstruction error over fresh data
+    rising is the retrain signal)."""
+    from ..plans.simsearch import PQ_SUBDIM, _sqdist
+
+    cents = _load_codebook(spark, out_dir)
+    coarse = [
+        (int(r["cid"]), list(r["c_emb"]), float(r["c_norm"]))
+        for r in spark.read.parquet(f"{out_dir}/centroids").collect()
+    ]
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    structs = []
+    for cid, c_emb, c_norm in sorted(coarse):
+        lit = F.array(*[F.lit(v) for v in c_emb])
+        cos = F.round(
+            F.aggregate(
+                F.zip_with("emb", lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("__norm") * F.lit(c_norm)),
+            6,
+        )
+        structs.append(
+            F.struct(
+                (-cos).alias("neg_cos"), F.lit(cid).cast("long").alias("cid")
+            )
+        )
+    ivf_cid = F.least(*structs)["cid"]
+
+    sub_structs = []
+    for m in sorted(cents):
+        off = m * PQ_SUBDIM
+        sub = F.slice("emb", off + 1, PQ_SUBDIM)
+        best = F.least(*[
+            F.struct(
+                _sqdist(sub, F.array(*[F.lit(v) for v in vec])).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, vec in cents[m]
+        ])
+        sub_structs.append(
+            F.struct(
+                F.lit(m).cast("int").alias("m"), best["cid"].alias("pq_cid")
+            )
+        )
+    return (
+        vecs.withColumn("__norm", norm)
+        .select(
+            "vec_id",
+            F.explode(F.array(*sub_structs)).alias("mc"),
+            ivf_cid.alias("ivf_cid"),
+        )
+        .select(
+            "vec_id",
+            F.col("mc.m").alias("m"),
+            F.col("mc.pq_cid").alias("pq_cid"),
+            "ivf_cid",
+        )
+    )
+
+
+def append_to_index(
+    spark: SparkSession, out_dir: str, vecs: DataFrame
+) -> int:
+    """Incremental index maintenance: encode ``vecs`` under the frozen
+    artifacts and APPEND their code rows into the bucketed codes table
+    (``insertInto`` respects the table's bucket spec, so the new rows
+    land in the right buckets and searches stay pruned). Append-only
+    contract: callers pass NEW vec_ids (re-encoding an existing id
+    duplicates it — dedup upstream). Each append adds one file per
+    touched bucket; a long-lived index periodically rewrites the table
+    (the same economics as the sketch stores' compaction). Returns the
+    number of code rows appended."""
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    rows = encode_vectors(spark, out_dir, vecs).select(
+        # insertInto is POSITIONAL: match the table's column order
+        "vec_id", "m", "pq_cid", "ivf_cid"
+    )
+    n = rows.count()
+    rows.write.insertInto(manifest["table"], overwrite=False)
+    return n
+
+
 def ivfpq_search(
     spark: SparkSession,
     out_dir: str,
@@ -141,10 +250,7 @@ def ivfpq_search(
         .where(F.col("prn") <= manifest["nprobe"])
         .select("query_id", F.col("cid").alias("ivf_cid"))
     )
-    cb = {}
-    for r in spark.read.parquet(f"{out_dir}/codebook").collect():
-        cb.setdefault(int(r["m"]), []).append((int(r["cid"]), list(r["cemb"])))
-    cents = {m: sorted(v) for m, v in cb.items()}
+    cents = _load_codebook(spark, out_dir)
     q_rows = [
         (int(r["query_id"]), list(r["q_emb"]))
         for r in q.select("query_id", "q_emb").collect()

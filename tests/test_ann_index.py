@@ -98,3 +98,88 @@ def test_search_without_precomputed_norm(spark, tmp_path):
         ).collect()
     )
     assert with_norm == without
+
+
+def test_incremental_append_serves_new_vectors(spark, tmp_path):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        append_to_index,
+        encode_vectors,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        PQ_SUBDIM,
+    )
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_incr", buckets=8
+    )
+    base_rows = spark.table("t_ann_codes_incr").count()
+
+    # "new" vectors: existing embeddings shifted to fresh ids, so their
+    # true nearest PQ cells are known from the stored codebook
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    ).head(5)
+    new_ids = [100_000 + i for i in range(len(pdf))]
+    vecs = spark.createDataFrame(
+        [
+            (nid, [float(x) for x in emb])
+            for nid, emb in zip(new_ids, pdf["embedding"])
+        ],
+        "vec_id long, emb array<double>",
+    )
+    n = append_to_index(spark, out, vecs)
+    assert n == len(new_ids) * 4  # PQ_M rows per vector
+    assert spark.table("t_ann_codes_incr").count() == base_rows + n
+
+    # the appended rows' PQ codes match a numpy nearest-centroid replay
+    # from the STORED codebook
+    cb = {
+        (int(r["m"]), int(r["cid"])): np.array(r["cemb"])
+        for r in spark.read.parquet(f"{out}/codebook").collect()
+    }
+    got = {
+        (int(r["vec_id"]), int(r["m"])): int(r["pq_cid"])
+        for r in encode_vectors(spark, out, vecs).collect()
+    }
+    for nid, emb in zip(new_ids, pdf["embedding"]):
+        emb = np.asarray(emb, dtype=np.float64)
+        for m in range(4):
+            sub = emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            cids = sorted(c for (mm, c) in cb if mm == m)
+            want = min(
+                cids, key=lambda c: (((sub - cb[(m, c)]) ** 2).sum(), c)
+            )
+            assert got[(nid, m)] == want, (nid, m)
+
+    # an appended duplicate of a query's own vector carries the
+    # query's OPTIMAL ADC score (its codes are the per-subspace argmin
+    # cells, so no vector can score lower — though same-code vectors
+    # TIE and the id tiebreak may outrank it). Assert: rank-1's
+    # adc_micro equals the theoretical minimum sum-of-min-LUT-cells,
+    # and a wide search surfaces the duplicate at exactly that score.
+    q = _queries(spark).where(F.col("query_id") < len(new_ids))
+    res = ivfpq_search(spark, out, q, k=400)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    for qid, emb in zip(range(len(new_ids)), pdf["embedding"]):
+        emb = np.asarray(emb, dtype=np.float64)
+        expected_min = 0
+        for m in range(4):
+            sub = emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            expected_min += min(
+                int(math.floor(((sub - cb[(m, c)]) ** 2).sum() * 1e6 + 0.5))
+                for (mm, c) in cb
+                if mm == m
+            )
+        rows = by_q[qid]
+        rank1 = min(rows, key=lambda r: r["rank"])
+        assert int(rank1["adc_micro"]) == expected_min, qid
+        dup = [r for r in rows if int(r["neighbor_id"]) == 100_000 + qid]
+        assert dup and int(dup[0]["adc_micro"]) == expected_min, qid
