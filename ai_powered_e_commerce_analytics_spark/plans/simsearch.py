@@ -1372,6 +1372,143 @@ FROM (
 SIMSEARCH_IVFPQ_SQL = _ivfpq_sql()
 
 
+COV_FP = 1 << 20   # fixed-point grid for exact covariance sums
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-pair covariance of the embedding dimensions (upper
+    triangle incl. diagonal — dim·(dim+1)/2 = 2,080 rows) — the input
+    to whitening / PCA / Mahalanobis scoring, and the decorrelation
+    step a production ANN pipeline runs before product quantization
+    (PQ assumes roughly isotropic subspaces; OPQ is a rotation learned
+    from exactly this matrix).
+
+    Exactness discipline: each element quantizes ONCE to the 2^20
+    fixed-point grid; every pair product is an exact long (~2^40 per
+    term) and the sums are associative long sums — any partitioning,
+    same matrix. The covariance emits as a deterministic IEEE
+    expression on identical operands in both engines:
+    ``(sxy/n)/FP² − ((si/n)/FP)·((sj/n)/FP)``. Headroom: long sums
+    carry ~2^23 rows of unit-scale embeddings; beyond that swap the
+    accumulators to DECIMAL(38,0) (the ``ship_delay_ols_slope``
+    pattern, r8) — the grid and expression are unchanged.
+
+    Plan: ONE corpus scan; each row fans out to its 2,080 scalar
+    products INSIDE the row (nested transforms + one posexplode), and
+    the groupBy(i, j) agg map-side-combines every task down to ≤2,080
+    rows before the shuffle — the same contraction class as the Lloyd
+    update. Per-dim sums ride a 64-row twin agg and join back
+    broadcast. Nothing downstream of the scan is corpus-sized.
+    """
+    xfp = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long")
+    )
+    e = t(spark, sf_dir, "embeddings").select(xfp.alias("xfp"))
+    # SQL-expression lambdas (NOT nested Python-lambda HOFs, whose
+    # outer-variable capture mis-binds — observed: wrong products and
+    # dropped pairs); array[] indexing is 0-based in Spark SQL.
+    prods = F.expr(f"""
+        flatten(transform(sequence(0, {EMBED_DIM - 1}), i ->
+            transform(sequence(i, {EMBED_DIM - 1}), j ->
+                struct(cast(i as int) as i, cast(j as int) as j,
+                       xfp[i] * xfp[j] as p))))
+    """)
+    pairs = (
+        e.select(F.explode(prods).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("sxy"), F.count("*").alias("n"))
+    )
+    dims = (
+        # posexplode is 0-BASED on arrays — pos IS the dim index
+        e.select(F.posexplode("xfp").alias("pos", "v"))
+        .groupBy(F.col("pos").cast("int").alias("d"))
+        .agg(F.sum("v").alias("s"))
+    )
+    fp = float(COV_FP)
+    mean_i = (F.col("si").cast("double") / F.col("n")) / F.lit(fp)
+    mean_j = (F.col("sj").cast("double") / F.col("n")) / F.lit(fp)
+    cov = (
+        (F.col("sxy").cast("double") / F.col("n")) / F.lit(fp * fp)
+        - mean_i * mean_j
+    )
+    di = dims.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    dj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    return (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select("i", "j", "n", cov.alias("cov"))
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH e AS (
+    SELECT list_transform(embedding::DOUBLE[],
+                          x -> round(x * {COV_FP})::BIGINT) AS xfp
+    FROM embeddings
+),
+pairs AS (
+    SELECT i.i::INTEGER AS i, j.j::INTEGER AS j,
+           sum(xfp[i.i + 1] * xfp[j.j + 1])::BIGINT AS sxy,
+           count(*)::BIGINT AS n
+    FROM e CROSS JOIN range(0, {EMBED_DIM}) i(i)
+           CROSS JOIN range(0, {EMBED_DIM}) j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+),
+dims AS (
+    SELECT i.i::INTEGER AS d, sum(xfp[i.i + 1])::BIGINT AS s
+    FROM e CROSS JOIN range(0, {EMBED_DIM}) i(i)
+    GROUP BY 1
+)
+SELECT p.i, p.j, p.n,
+       (p.sxy::DOUBLE / p.n) / {float(COV_FP) ** 2}
+       - ((di.s::DOUBLE / p.n) / {float(COV_FP)})
+         * ((dj.s::DOUBLE / p.n) / {float(COV_FP)}) AS cov
+FROM pairs p
+JOIN dims di ON di.d = p.i
+JOIN dims dj ON dj.d = p.j
+"""
+
+
+def pca_top_component(
+    spark: SparkSession, sf_dir: str, *, iters: int = 1000
+) -> dict:
+    """Top principal component of the embedding corpus by power
+    iteration on the EXACT covariance from
+    :func:`embedding_covariance`: the matrix is dim x dim (64 x 64 =
+    4,096 scalars — driver-sized at ANY corpus scale), so the
+    iteration runs driver-side in plain Python after one distributed
+    contraction. Returns ``{"eigenvalue", "component", "explained"}``
+    (explained = λ / trace). Deterministic: fixed all-ones start,
+    fixed iteration count, exact input matrix. Convergence is
+    geometric in λ2/λ1 — a near-flat spectrum (random embeddings)
+    needs hundreds of iterations, which at 64x64 costs microseconds;
+    the default 1000 converges the eigenvalue past 1e-9 here. The
+    whitening / OPQ-rotation seed; verified against numpy's full
+    eigendecomposition in tests/test_pq_codebook.py."""
+    rows = embedding_covariance(spark, sf_dir).collect()
+    dim = EMBED_DIM
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        cov[r["i"]][r["j"]] = float(r["cov"])
+        cov[r["j"]][r["i"]] = float(r["cov"])
+    v = [1.0] * dim
+    lam = 0.0
+    for _ in range(iters):
+        w = [sum(cov[i][k] * v[k] for k in range(dim)) for i in range(dim)]
+        nrm = sum(x * x for x in w) ** 0.5
+        if nrm == 0.0:
+            break
+        v = [x / nrm for x in w]
+        lam = nrm
+    trace = sum(cov[i][i] for i in range(dim))
+    return {
+        "eigenvalue": lam,
+        "component": v,
+        "explained": lam / trace if trace else 0.0,
+    }
+
+
 KCENTER_K = 6   # coreset size (selection trace length)
 
 
@@ -1706,5 +1843,12 @@ SIMSEARCH_SPECS = [
         EMBEDDING_KCENTER_SQL,
         ("coreset-kcenter-greedy",),
         touched_round=11,  # r11 addition: farthest-point diversity trace
+    ),
+    QuerySpec(
+        "embedding_covariance",
+        embedding_covariance,
+        EMBEDDING_COVARIANCE_SQL,
+        ("embedding-covariance-whitening",),
+        touched_round=11,  # r11 addition: exact fixed-point cov contraction
     ),
 ]

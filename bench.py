@@ -160,6 +160,7 @@ HEADLINE = [
     "simsearch_ivfpq_topk",
     "doc_novelty_profile",
     "embedding_kcenter_coreset",
+    "embedding_covariance",
 ]
 
 

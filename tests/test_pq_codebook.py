@@ -112,3 +112,27 @@ def test_pq_codebook_artifact(spark):
     # deterministic: a second training run emits the identical codebook
     again = pq_codebook(spark, SF_DIR).collect()
     assert sorted(map(tuple, cb)) == sorted(map(tuple, again))
+
+
+def test_pca_top_component_matches_numpy(spark):
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        pca_top_component,
+    )
+
+    res = pca_top_component(spark, SF_DIR)
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # reference covariance on the SAME fixed-point grid the query uses
+    x = np.sign(emb * KMEANS_FP) * np.floor(np.abs(emb * KMEANS_FP) + 0.5)
+    x = x / KMEANS_FP
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top_val, top_vec = w[-1], v[:, -1]
+    assert abs(res["eigenvalue"] - top_val) < 1e-9
+    got = np.array(res["component"])
+    # eigenvectors are sign-ambiguous; tolerance reflects the near-flat
+    # spectrum of random embeddings (vec error ~ gap-conditioned)
+    assert min(
+        np.abs(got - top_vec).max(), np.abs(got + top_vec).max()
+    ) < 1e-4
+    assert 0.0 < res["explained"] < 1.0
