@@ -122,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument(
         "--store", required=True,
-        choices=("cms", "histogram", "wau", "wsample"),
+        choices=("cms", "histogram", "wau", "wsample", "cov"),
     )
     c.add_argument("--out", required=True, help="store directory")
     c.add_argument(
@@ -179,6 +179,7 @@ def _run(spark, args) -> dict:
         from .streaming.jobs import WSAMPLE_STREAM_K
         from .streaming.sketch_store import (
             compact_cms_store,
+            compact_covariance_store,
             compact_value_histogram_store,
             compact_wau_store,
             compact_weighted_sample_store,
@@ -191,6 +192,7 @@ def _run(spark, args) -> dict:
             )
         fn = {
             "cms": compact_cms_store,
+            "cov": compact_covariance_store,
             "histogram": compact_value_histogram_store,
             "wau": compact_wau_store,
         }[args.store]

@@ -1404,6 +1404,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long")
     )
     e = t(spark, sf_dir, "embeddings").select(xfp.alias("xfp"))
+    sums = (
+        covariance_partials(e)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return covariance_from_sums(sums)
+
+
+def covariance_partials(e: DataFrame) -> DataFrame:
+    """Per-row (i, j, v) partial rows whose per-key SUM reconstructs
+    the exact covariance — the ONE fold shared by the batch query, the
+    streaming twin (``covariance_sums_stream``), and its compaction
+    (everything is long addition, so the statistic is mergeable under
+    any bracketing):
+
+    - pair rows ``(i, j>=i, xfp[i]*xfp[j])``;
+    - per-dim sum rows ``(d, -1, xfp[d])``;
+    - one count row ``(-1, -1, 1)`` per input row.
+
+    ``e`` must carry the fixed-point array column ``xfp``."""
     # SQL-expression lambdas (NOT nested Python-lambda HOFs, whose
     # outer-variable capture mis-binds — observed: wrong products and
     # dropped pairs); array[] indexing is 0-based in Spark SQL.
@@ -1411,31 +1431,51 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         flatten(transform(sequence(0, {EMBED_DIM - 1}), i ->
             transform(sequence(i, {EMBED_DIM - 1}), j ->
                 struct(cast(i as int) as i, cast(j as int) as j,
-                       xfp[i] * xfp[j] as p))))
+                       xfp[i] * xfp[j] as v))))
     """)
-    pairs = (
-        e.select(F.explode(prods).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum("t.p").alias("sxy"), F.count("*").alias("n"))
+    pairs = e.select(F.explode(prods).alias("t")).select(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+        F.col("t.v").alias("v"),
     )
-    dims = (
-        # posexplode is 0-BASED on arrays — pos IS the dim index
-        e.select(F.posexplode("xfp").alias("pos", "v"))
-        .groupBy(F.col("pos").cast("int").alias("d"))
-        .agg(F.sum("v").alias("s"))
+    # posexplode is 0-BASED on arrays — pos IS the dim index
+    dims = e.select(F.posexplode("xfp").alias("pos", "x")).select(
+        F.col("pos").cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.col("x").alias("v"),
     )
+    cnt = e.select(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    return pairs.unionByName(dims).unionByName(cnt)
+
+
+def covariance_from_sums(sums: DataFrame) -> DataFrame:
+    """(i, j, n, cov) from the aggregated partial sums — the identical
+    deterministic IEEE expression on identical operands as the oracle
+    (see :func:`embedding_covariance`)."""
     fp = float(COV_FP)
+    n_row = (
+        sums.where((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("v").alias("n"))
+    )
+    dims = sums.where((F.col("j") == -1) & (F.col("i") >= 0))
+    pairs = sums.where(F.col("j") >= 0).select(
+        "i", "j", F.col("v").alias("sxy")
+    )
     mean_i = (F.col("si").cast("double") / F.col("n")) / F.lit(fp)
     mean_j = (F.col("sj").cast("double") / F.col("n")) / F.lit(fp)
     cov = (
         (F.col("sxy").cast("double") / F.col("n")) / F.lit(fp * fp)
         - mean_i * mean_j
     )
-    di = dims.select(F.col("d").alias("i"), F.col("s").alias("si"))
-    dj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    di = dims.select(F.col("i"), F.col("v").alias("si"))
+    dj = dims.select(F.col("i").alias("j"), F.col("v").alias("sj"))
     return (
         pairs.join(F.broadcast(di), "i")
         .join(F.broadcast(dj), "j")
+        .crossJoin(F.broadcast(n_row))
         .select("i", "j", "n", cov.alias("cov"))
     )
 

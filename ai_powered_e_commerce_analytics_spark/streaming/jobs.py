@@ -1405,6 +1405,84 @@ def read_wau_estimates(spark: SparkSession, out_dir: str) -> DataFrame:
     return wau_estimate_from_day_sketches(daily)
 
 
+def covariance_sums_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming twin of ``plans/simsearch.embedding_covariance`` — the
+    FIFTH member of the streamed-sketch family (frequencies / distincts
+    / percentiles / samples / now SECOND MOMENTS): maintains the exact
+    fixed-point covariance sufficient statistics over an embedding
+    stream. Every partial is a long SUM keyed by (i, j) — pair
+    products, per-dim sums, and the row count ride one (i, j, v)
+    contract (``covariance_partials``, shared with the batch query) —
+    so each micro-batch writes <= 2,145 rows to its replay-idempotent
+    ``batch_id={N}`` partition and the authoritative matrix is
+    addition across partitions. A batch-computed covariance over the
+    same rows is BIT-IDENTICAL to the merged stream (same fold, same
+    emission expression — parity asserted in tests). The drift monitor
+    this feeds: a PQ/OPQ deployment watches the streamed matrix move
+    away from the one its codebook was trained on and triggers the
+    retrain (``embedding_pq_codebook``) when reconstruction error
+    follows.
+    """
+    from ..plans.simsearch import COV_FP, covariance_partials
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        e = batch.where(F.col("embedding").isNotNull()).select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long"),
+            ).alias("xfp")
+        )
+        (
+            covariance_partials(e)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_streamed_covariance(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed covariance store: sum the (i, j)
+    partials across base + live partitions, then the shared emission —
+    (i, j, n, cov) out, bit-identical to the batch query over the same
+    rows."""
+    from ..plans.simsearch import covariance_from_sums
+
+    from .sketch_store import live_store_frame
+
+    sums = (
+        live_store_frame(spark, out_dir)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return covariance_from_sums(sums)
+
+
 #: Per-source reservoir size of the streamed weighted sample (test
 #: scale; a deployment sets each source's allocation here — e.g. the
 #: ``weighted_sample_allocated`` Neyman budget).

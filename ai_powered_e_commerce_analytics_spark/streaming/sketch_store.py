@@ -1,9 +1,10 @@
 """Replay-safe compaction for the streamed-sketch stores.
 
-The four mergeable-sketch streams (``cms_counters_stream`` =
+The five mergeable-sketch streams (``cms_counters_stream`` =
 frequencies, ``wau_sketches_stream`` = distincts,
 ``value_histogram_stream`` = percentiles, ``weighted_sample_stream`` =
-samples; streaming/jobs.py) share one sink contract: each micro-batch OVERWRITES its own ``batch_id={N}``
+samples, ``covariance_sums_stream`` = second moments;
+streaming/jobs.py) share one sink contract: each micro-batch OVERWRITES its own ``batch_id={N}``
 partition, so foreachBatch's at-least-once replay rewrites in place and
 never duplicates, and the authoritative sketch is the merge across
 partitions (addition for counters, register-wise max for HLL, per-source K-smallest for samples). The
@@ -308,6 +309,17 @@ def compact_wau_store(
     return compact_sketch_store(
         spark, out_dir, checkpoint_dir,
         ("day",), (F.hll_union_agg("sk").alias("sk"),),
+    )
+
+
+def compact_covariance_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """Covariance-sums store: merge = per-(i, j) long addition (pair
+    products, per-dim sums, and the count row share the key space)."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        ("i", "j"), (F.sum("v").alias("v"),),
     )
 
 

@@ -1,7 +1,7 @@
 """Replay-safe compaction of the streamed-sketch stores (VERDICT r9 #1).
 
-One shared rig drives all four stores (CMS / value-histogram / WAU /
-weighted-sample) through: two micro-batches -> merge-on-read snapshot -> compaction ->
+One shared rig drives all five stores (CMS / value-histogram / WAU /
+weighted-sample / covariance-sums) through: two micro-batches -> merge-on-read snapshot -> compaction ->
 bit-exact read equality -> a PLANTED checkpoint replay of the
 already-compacted last micro-batch (the commit-marker-deletion rig from
 test_streaming.py) -> the replayed partition reappears on disk but
@@ -18,7 +18,9 @@ import pytest
 from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     WSAMPLE_STREAM_K,
     cms_counters_stream,
+    covariance_sums_stream,
     read_cms_counters,
+    read_streamed_covariance,
     read_streamed_percentiles,
     read_streamed_weighted_sample,
     read_wau_estimates,
@@ -28,6 +30,7 @@ from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
 )
 from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
     compact_cms_store,
+    compact_covariance_store,
     compact_sketch_store,
     compact_value_histogram_store,
     compact_wau_store,
@@ -76,7 +79,32 @@ _WDOCS = [
     [(8, "srcA", 10000, "t"), (9, "srcB", 9000, "t")],
 ]
 
+# covariance store (r11, fifth family member): 64-dim vectors with a
+# deterministic pattern; the fresh drop's large-magnitude vector must
+# move every pair sum.
+def _cov_vec(seed, scale=1.0):
+    return [scale * (((seed * 31 + d * 7) % 13) - 6) / 8.0
+            for d in range(64)]
+
+
+_COVS = [
+    [(1, _cov_vec(1), "t"), (2, _cov_vec(2), "t")],
+    [(3, _cov_vec(3), "t"), (4, _cov_vec(4), "t")],
+    # fresh post-compaction drop: must CHANGE the merged fold
+    [(5, _cov_vec(5, scale=9.0), "t")],
+]
+
 _STORES = {
+    "cov": (
+        covariance_sums_stream,
+        compact_covariance_store,
+        "vec_id long, embedding array<double>, ts string",
+        _COVS,
+        lambda spark, out: sorted(
+            tuple(r)
+            for r in read_streamed_covariance(spark, out).collect()
+        ),
+    ),
     "wsample": (
         weighted_sample_stream,
         lambda spark, out, ckpt: compact_weighted_sample_store(
@@ -330,3 +358,38 @@ def test_weighted_sample_stream_matches_batch_fold(spark, tmp_path):
     for r in streamed:
         per_src[r[1]] = per_src.get(r[1], 0) + 1
     assert per_src["srcA"] == WSAMPLE_STREAM_K
+
+
+def test_covariance_stream_matches_batch_fold(spark, tmp_path):
+    # Bit-identical batch/stream parity: the merged stream equals the
+    # SAME partials fold + emission applied to all rows at once.
+    from pyspark.sql import functions as SF
+
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        COV_FP,
+        covariance_from_sums,
+        covariance_partials,
+    )
+
+    stream_fn, _compact, schema, drops, snapshot = _STORES["cov"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    allrows = []
+    for i, rows in enumerate(drops):
+        allrows += rows
+        _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, i)
+    streamed = snapshot(spark, out)
+
+    e = spark.createDataFrame(allrows, schema).select(
+        SF.transform(
+            "embedding",
+            lambda x: SF.round(x.cast("double") * COV_FP, 0).cast("long"),
+        ).alias("xfp")
+    )
+    sums = covariance_partials(e).groupBy("i", "j").agg(
+        SF.sum("v").alias("v")
+    )
+    expected = sorted(
+        tuple(r) for r in covariance_from_sums(sums).collect()
+    )
+    assert streamed == expected
+    assert len(streamed) == 64 * 65 // 2  # full upper triangle
