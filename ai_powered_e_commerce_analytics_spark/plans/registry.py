@@ -429,9 +429,43 @@ _R10_DRIVER_VERIFIED = {
 }
 
 
+# Queries verified GREEN by round 11's driver window (CORRECTNESS_r11 —
+# all 50 rows green, zero err: the seven oracle-gated r11 additions, the
+# four r11-touched PQ/BPE rows, the 17 remaining stale-r7 rows, and 22
+# stale r8 rows). After round 11 the oldest evidence anywhere is the
+# 27-row r8 band (VERDICT r11 next-round #1), which therefore leads the
+# round-12 window.
+_R11_DRIVER_VERIFIED = {
+    "acctbal_minmax_normalized", "asof_last_click_before_purchase",
+    "batch_assignment", "bpe_merges_topn", "bpe_token_counts",
+    "chunk_dedup_exact", "customer_clv_cohort", "customers_without_orders",
+    "date_kpis", "decontaminate_embedding_cosine",
+    "decontaminate_ngram_overlap", "doc_chunk_tokens",
+    "doc_length_log2_histogram", "doc_novelty_profile",
+    "embedding_covariance", "embedding_kcenter_coreset",
+    "embedding_pq_codebook", "events_dwell_percentiles",
+    "events_props_extract", "gold_enrichment_join", "item_id_assignment",
+    "item_id_assignment_ranged", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_metadata_stats",
+    "order_priority_pivot_table", "pack_sequences_greedy",
+    "part_price_size_date_skyline", "per_source_topk_sample",
+    "pool_assignment", "range_join_clicks_before_purchase",
+    "salted_skew_join_brand_revenue", "ship_delay_ols_slope", "shop_kpis",
+    "simsearch_ivfpq_recall", "simsearch_ivfpq_topk", "source_mix_rebalance",
+    "term_doc_frequency_curve", "token_budget_curriculum",
+    "tokenizer_vocab_coverage", "top100_orders", "top3_orders_per_customer",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "train_test_split_assignment",
+    "train_test_split_leakage_safe", "union_all_orders", "user_kpis",
+    "weighted_sample_allocated",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R11_DRIVER_VERIFIED:
+        return 11
     if name in _R10_DRIVER_VERIFIED:
         return 10
     if name in _R9_DRIVER_VERIFIED:
@@ -461,12 +495,12 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-11 window is therefore: the round-11 additions (never
-# checked), any query whose plan or oracle round 11 touched, then the
-# 17 remaining r7-verified rows (the oldest evidence left in the
-# registry — VERDICT r10 next-round #2), then the stalest r8 rows
-# filling to 50. After round 11 no row's driver evidence should
-# predate round 8.
+# The round-12 window is therefore: the round-12 additions (never
+# checked), any query whose plan or oracle round 12 touched, then the
+# 27 remaining r8-verified rows (the oldest evidence left in the
+# registry — VERDICT r11 next-round #1), then the stalest r9 rows
+# filling to 50. After round 12 no row's driver evidence should
+# predate round 9.
 def _staleness(q: QuerySpec) -> float:
     verified = _last_verified_round(q.name)
     if verified == 0:
