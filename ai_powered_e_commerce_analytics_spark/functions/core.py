@@ -198,6 +198,14 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     Emitted results are identical either way — pinning only changes
     where the already-computed partitions live (test_checkpoint_knob
     asserts identical BPE merges through both paths).
+
+    Checkpoint-file GC: reliable checkpoints are NOT reclaimed by Spark
+    unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` was true
+    at SparkContext creation — ``session.get_spark`` sets it, so rounds'
+    directories are deleted as their RDDs fall out of scope. A session
+    built elsewhere (or a pre-existing context) must set that static
+    conf itself or GC ``spark.graft.checkpointDir`` out of band; without
+    it a long trainer leaves one directory per pinned round.
     """
     spark = df.sparkSession
     try:

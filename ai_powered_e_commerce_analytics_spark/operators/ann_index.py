@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,10 +48,19 @@ from ..plans.simsearch import (
     adc_topk,
     ivf_assignment,
 )
+from ..functions.core import pin
 from ..sources.bucketing import write_bucketed
 
 _MANIFEST = "_index.json"
 _AUTO_BUCKET_CONF = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+# The autoBucketedScan toggle in ivfpq_search is a SESSION-global conf:
+# two concurrent searches on a shared SparkSession could interleave
+# set/restore and either lose bucket pruning mid-window or leak the
+# disabled state (ADVICE r11). Serialize the toggle window; planning a
+# search is milliseconds, so contention is negligible. Callers needing
+# truly parallel searches should isolate via spark.newSession() per
+# thread (session-local confs, shared executors).
+_CONF_TOGGLE_LOCK = threading.Lock()
 
 
 def build_ivfpq_index(
@@ -217,7 +227,13 @@ def ivfpq_search(
     (query_id, q_emb) and optionally q_norm — from the persisted index.
     Request-sized driver work only: the query vectors and the M x K
     codebook are collected to build the LUT; the code scan is pruned to
-    the probed buckets."""
+    the probed buckets.
+
+    Concurrency: the bucket-pruning conf toggle below is session-global,
+    so concurrent calls on ONE SparkSession serialize on a module lock
+    (the locked window is plan construction + the eager materialization,
+    not the caller's consumption). For genuinely parallel serving use
+    ``spark.newSession()`` per search thread."""
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     cent = spark.read.parquet(f"{out_dir}/centroids")
@@ -266,27 +282,28 @@ def ivfpq_search(
     # autoBucketedScan heuristic disabled for filter-only probes (the
     # bucketing module's measured gotcha) — the plan then reads
     # "SelectedBucketsCount: n of m" instead of scanning every bucket.
-    prev = spark.conf.get(_AUTO_BUCKET_CONF, "true")
-    spark.conf.set(_AUTO_BUCKET_CONF, "false")
-    try:
-        code_rows = (
-            spark.table(manifest["table"])
-            .where(F.col("ivf_cid").isin(probed_cids))
-        )
-        cand = code_rows.select("vec_id", "ivf_cid").distinct().join(
-            F.broadcast(probe), "ivf_cid"
-        )
-        if exclude_self:
-            cand = cand.where(F.col("vec_id") != F.col("query_id"))
-        out = adc_topk(
-            code_rows.select("vec_id", "m", "pq_cid"),
-            cand.select("query_id", "vec_id"),
-            lut,
-            k=k,
-        )
-        # materialize within the conf window so the pruned scan is the
-        # executed scan even if the caller collects later
-        out = out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(_AUTO_BUCKET_CONF, prev)
+    with _CONF_TOGGLE_LOCK:
+        prev = spark.conf.get(_AUTO_BUCKET_CONF, "true")
+        spark.conf.set(_AUTO_BUCKET_CONF, "false")
+        try:
+            code_rows = (
+                spark.table(manifest["table"])
+                .where(F.col("ivf_cid").isin(probed_cids))
+            )
+            cand = code_rows.select("vec_id", "ivf_cid").distinct().join(
+                F.broadcast(probe), "ivf_cid"
+            )
+            if exclude_self:
+                cand = cand.where(F.col("vec_id") != F.col("query_id"))
+            out = adc_topk(
+                code_rows.select("vec_id", "m", "pq_cid"),
+                cand.select("query_id", "vec_id"),
+                lut,
+                k=k,
+            )
+            # materialize within the conf window so the pruned scan is
+            # the executed scan even if the caller collects later
+            out = pin(out, eager=True)
+        finally:
+            spark.conf.set(_AUTO_BUCKET_CONF, prev)
     return out

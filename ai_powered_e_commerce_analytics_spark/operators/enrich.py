@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..functions.core import pin
 from ..schemas import REVIEWS, SENTIMENTS
 from ..session import LLM_BATCH_SIZE
 
@@ -512,7 +513,7 @@ def retry_residuals(
     """
     ok = enriched.where(
         F.col(enriched.columns[-1]).isNotNull()
-    ).localCheckpoint()
+    ).transform(pin)
     residual = items.join(ok.select("item_id"), "item_id", "left_anti")
     return ok.unionByName(enrich_fn(residual))
 

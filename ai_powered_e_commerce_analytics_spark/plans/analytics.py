@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.core import pin
 from .quantiles import exact_percentiles_scalable
 from .spec import QuerySpec, cents, cents_sql, t
 
@@ -417,7 +418,7 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", x.alias("price_c"))
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # each cutoff frame is O(groups) rows but its helper SUBTREE is
     # contraction-sized; med is consumed twice (deviations + final
@@ -427,7 +428,7 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_percentiles_scalable(
         dv, "price_c", (0.5,), ("med_c",), ("o_orderpriority",),
         counts_col="cnt",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     devs = (
         dv.join(F.broadcast(med), "o_orderpriority")
         .select(
@@ -442,12 +443,12 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (group, value)
         .groupBy("o_orderpriority", "dev_c")
         .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds the MAD fold AND MeanAD
+        .transform(pin)  # feeds the MAD fold AND MeanAD
     )
     mad = exact_percentiles_scalable(
         devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
         counts_col="cnt",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # Degenerate-group fallback (code review r9, Iglewicz-Hosmer's
     # published prescription): when >=50% of a group shares one exact
     # price, MAD = 0 and the MAD-scaled z is undefined — but
@@ -592,7 +593,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("frequency"),
             F.sum(cents("o_totalprice")).alias("monetary_cents"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ref = per_cust.agg(F.max("last_order").alias("__ref"))
     rfm = per_cust.crossJoin(F.broadcast(ref)).select(
@@ -762,7 +763,7 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
         )
         .agg(F.sum(cents("o_totalprice")).alias("spend_cents"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     th = exact_percentiles_scalable(
         yearly, "spend_cents", (0.25, 0.50, 0.75), ("q25", "q50", "q75"),

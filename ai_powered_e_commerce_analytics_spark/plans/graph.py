@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.core import pin
 from .spec import QuerySpec, t
 
 MIN_SUPPORT = 2   # co-order count floor for a co-purchase edge
@@ -89,7 +90,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _supported_edges(spark, sf_dir)
         .select("x", "y")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Undirected degree per vertex (one narrow agg over both endpoints).
     deg = (
@@ -108,7 +109,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(kx < ky, ky).otherwise(kx).alias("dst_key"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # Wedges at the low vertex: (src -> v, src -> w) with v before w in
     # the orientation order; closed iff oriented edge v -> w exists.
     e1 = oriented.select(

@@ -733,7 +733,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         tok.groupBy("source", "term")
         .agg(F.count("*").alias("c_st"))
-        .localCheckpoint(eager=True)  # 3 downstream consumers
+        .transform(pin)  # 3 downstream consumers
     )
     per_source = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
     per_term = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))

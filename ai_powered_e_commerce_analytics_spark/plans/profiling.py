@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.core import pin
 from .quantiles import exact_percentiles_scalable
 from .spec import QuerySpec, cents, cents_sql, t
 
@@ -558,7 +559,7 @@ def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = (
         j.groupBy("o_orderpriority", "delay_days")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     stats = dv.groupBy("o_orderpriority").agg(
         F.sum("cnt").alias("n_lineitems"),
@@ -1037,7 +1038,7 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", cents("o_totalprice").alias("c"))
         .groupBy("o_custkey")
         .agg(F.sum("c").alias("spend_c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     qs = [i / _PARETO_BUCKETS for i in range(1, _PARETO_BUCKETS)]
     names = [f"__c{i}" for i in range(1, _PARETO_BUCKETS)]

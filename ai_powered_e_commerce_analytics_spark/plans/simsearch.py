@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.core import pin
 from .spec import QuerySpec, t
 
 EMBED_DIM = 64
@@ -917,17 +918,19 @@ PQ_UPDATES = 2      # Lloyd updates per subspace, same budget as k-means
 
 
 def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (vector, subspace): the 16-dim subvector. The explode
-    is x``PQ_M`` on the embedding scan — still a pure map, no shuffle."""
+    """One row per (vector, subspace): the 16-dim subvector. ``emb`` is
+    carried THROUGH the explode in one select (ADVICE r11: an earlier
+    form dropped it and joined the scan back on vec_id to recover it —
+    a corpus-sized BroadcastHashJoin for nothing), so the xPQ_M explode
+    is a genuine pure map on the embedding scan: no join, no shuffle."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     return e.select(
         "vec_id",
+        "emb",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    ).join(
-        e, "vec_id"
     ).select(
         "vec_id",
         "m",
@@ -1192,7 +1195,8 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production — and each candidate costs M table lookups + M-1 adds.
 
     Determinism: the LUT is quantized ONCE to micro-unit longs
-    (``round(d * 1e6)``, driver-side over Q x M x K = 128 entries);
+    (``round(d * 1e6)``, driver-side over Q x M x K entries — 160 at
+    the fixture's 10 queries x 4 subspaces x 4 codes);
     every ADC score is then an exact sum of M longs, ordered with a
     neighbor_id tiebreak — a total order both engines agree on (the
     established micro-grid policy; the oracle computes the identical
@@ -1231,7 +1235,7 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prn") <= IVF_NPROBE)
         .select("query_id", "cid")
     )
-    # LUT driver-side: Q x M x K = 128 exact micro-unit longs. The fold
+    # LUT driver-side: Q x M x K exact micro-unit longs. The fold
     # is the same left-to-right (q[i]-c[i])^2 accumulation the oracle's
     # list_reduce performs, on identical doubles (query embeddings +
     # the trained codebook), floor(x+0.5) = round-half-up like both
@@ -1756,14 +1760,15 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the assignment once: it feeds BOTH self-join sides and
     # the final left join, and the argmin is a K×dim expression per row —
     # without the checkpoint the corpus scan + assignment runs 3×
-    # (measured 5.6 s -> 3.1 s at sf0.1). Same localCheckpoint
-    # discipline as the CC/PageRank iterations.
+    # (measured 5.6 s -> 3.1 s at sf0.1). Routed through ``pin`` (r12)
+    # so the reliable-checkpoint knob covers it like the CC/PageRank
+    # iterations.
     assigned = e.select(
         "vec_id",
         _argmin_struct(cents)["cid"].alias("cluster_id"),
         "emb",
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # Few-key parallelism note: the cid join key has only K=8 values,
     # but a left-side-by-vec_id salt (tried, measured) buys nothing
     # here — AQE broadcasts the small build side, so pair enumeration
@@ -1861,21 +1866,21 @@ SIMSEARCH_SPECS = [
         embedding_pq_codebook,
         EMBEDDING_PQ_CODEBOOK_SQL,
         ("embedding-product-quantization",),
-        touched_round=11,  # r11 addition: per-subspace fixed-point Lloyd
+        touched_round=12,  # r12: _pq_sub_frame explode keeps emb (join removed)
     ),
     QuerySpec(
         "simsearch_ivfpq_topk",
         simsearch_ivfpq_topk,
         SIMSEARCH_IVFPQ_SQL,
         ("ann-ivfpq-adc",),
-        touched_round=11,  # r11 addition: LUT-based ADC over PQ codes
+        touched_round=12,  # r12: _pq_sub_frame explode keeps emb (join removed)
     ),
     QuerySpec(
         "simsearch_ivfpq_recall",
         simsearch_ivfpq_recall,
         SIMSEARCH_IVFPQ_RECALL_SQL,
         ("ann-ivfpq-recall-monitor",),
-        touched_round=11,  # r11 addition: compound IVF+PQ quality gauge
+        touched_round=12,  # r12: rerank twin added; _pq_sub_frame join removed
     ),
     QuerySpec(
         "embedding_kcenter_coreset",

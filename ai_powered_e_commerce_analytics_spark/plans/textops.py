@@ -170,7 +170,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_heuristic(spark, sf_dir)
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
-        .localCheckpoint(eager=True)  # 3 consumers; cells are |langs|² rows
+        .transform(pin)  # 3 consumers; cells are |langs|² rows
     )
     truth = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_true"))
     pred = cells.groupBy("predicted_lang").agg(

@@ -69,6 +69,16 @@ def get_spark(
         # current TIMESTAMP_NTZ µs encoding — plans/spec.event_ts_us
         # adapts to whichever type arrives).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- Reliable-checkpoint GC (functions/core.pin): when the
+        # spark.graft.checkpointDir knob arms fault-tolerant checkpoints,
+        # each trainer round writes one RDD directory that Spark never
+        # reclaims by default — a long BPE/CC/PageRank run accumulates
+        # them for the application's lifetime. This flag lets the
+        # ContextCleaner delete a checkpoint's files once its RDD is
+        # garbage-collected. Static conf (read at SparkContext init), so
+        # it must be set HERE, not per-pin; sessions built elsewhere must
+        # set it themselves or GC the checkpoint dir out of band.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # -- Keep driver logs quiet in tests/bench.

@@ -22,6 +22,7 @@ Scale notes: the upsert rewrite is partitioned by key-hash bucket so a
 MERGE is the production path and noted inline.
 """
 
+from .functions.core import pin
 from __future__ import annotations
 
 import json
@@ -290,7 +291,7 @@ def _occ_commit_loop(
         bucketed = changes.withColumn("__bucket", bucket)
         if snapshot:
             pre = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
-            bucketed = bucketed.localCheckpoint(eager=True)
+            bucketed = bucketed.transform(pin)
             snap_rdd_ids = (
                 set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - pre
             )

@@ -86,3 +86,54 @@ def test_pin_default_is_local(spark):
     # no conf set -> localCheckpoint semantics (no checkpoint dir needed)
     df = pin(spark.range(5))
     assert df.count() == 5
+
+
+def test_semdedup_identical_through_reliable_path(spark, reliable_dir):
+    """r12 (VERDICT r11 #5): semantic_dedup_semdedup's assignment
+    materialization was a bare ``localCheckpoint`` — unrecoverable on a
+    real cluster during the downstream pair join. Now routed through
+    ``pin``: the knob must cover it, results identical."""
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        semantic_dedup_semdedup,
+    )
+
+    spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+    local_rows = sorted(
+        tuple(r) for r in semantic_dedup_semdedup(spark, SF_DIR).collect()
+    )
+    assert local_rows
+
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, reliable_dir)
+    reliable_rows = sorted(
+        tuple(r) for r in semantic_dedup_semdedup(spark, SF_DIR).collect()
+    )
+    assert reliable_rows == local_rows
+    assert _rdd_files(reliable_dir), "no checkpoint files written"
+
+
+def test_no_bare_localcheckpoint_outside_pin():
+    """Every lineage-severing materialization must flow through ``pin``
+    so ``spark.graft.checkpointDir`` covers the whole family (VERDICT
+    r11 #5). Tokenize the package (comments/strings dropped) and assert
+    ``localCheckpoint`` appears in CODE only inside functions/core.py."""
+    import io
+    import pathlib
+    import tokenize
+
+    import ai_powered_e_commerce_analytics_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.relative_to(root).as_posix() == "functions/core.py":
+            continue
+        code_tokens = [
+            tok.string
+            for tok in tokenize.generate_tokens(
+                io.StringIO(py.read_text()).readline
+            )
+            if tok.type == tokenize.NAME
+        ]
+        if "localCheckpoint" in code_tokens:
+            offenders.append(str(py))
+    assert not offenders, f"bare localCheckpoint in: {offenders}"
