@@ -136,3 +136,48 @@ def test_pca_top_component_matches_numpy(spark):
         np.abs(got - top_vec).max(), np.abs(got + top_vec).max()
     ) < 1e-4
     assert 0.0 < res["explained"] < 1.0
+
+
+def test_rerank_recall_dominates_adc(spark):
+    """Two-stage search guarantee (VERDICT r11 #3): the exact re-rank
+    over the R ADC candidates can never LOSE recall vs the ADC top-k —
+    the re-rank uses the exact baseline's own total order (rounded
+    cosine DESC, neighbor_id), so every exact-top-k member inside the
+    candidate set ranks above every non-member. Asserted per query,
+    plus the set-containment facts the argument rests on."""
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        ADC_RERANK_R,
+        KNN_K,
+        _ivfpq_adc,
+        simsearch_ivfpq_recall,
+        simsearch_ivfpq_rerank,
+        simsearch_ivfpq_topk,
+    )
+
+    rows = simsearch_ivfpq_recall(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["recall_rerank"] >= r["recall_adc"], r
+        assert r["n_hits_rerank"] >= r["n_hits_adc"], r
+
+    # containment: ADC top-k is a subset of the R-candidate pool, and
+    # the reranked top-k draws only from that pool
+    pool = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _ivfpq_adc(spark, SF_DIR, k=ADC_RERANK_R).collect()
+    }
+    adc_topk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_ivfpq_topk(spark, SF_DIR).collect()
+    }
+    rr_topk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_ivfpq_rerank(spark, SF_DIR).collect()
+    }
+    assert adc_topk <= pool
+    assert rr_topk <= pool
+    # per-query output is capped at k
+    import collections
+
+    per_q = collections.Counter(q for q, _ in rr_topk)
+    assert all(n <= KNN_K for n in per_q.values())
