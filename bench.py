@@ -161,6 +161,12 @@ HEADLINE = [
     "doc_novelty_profile",
     "embedding_kcenter_coreset",
     "embedding_covariance",
+    # round-12 additions (102 -> 103; r11-comparable subset = first
+    # 102). simsearch_ivfpq_rerank is registry-gated but not benched:
+    # it re-runs simsearch_ivfpq_topk's training fixed point with k
+    # widened plus only a query-grain broadcast fetch + window — the
+    # r11 recall-monitor exclusion rationale applies verbatim.
+    "embedding_opq_rotation",
 ]
 
 
