@@ -25,12 +25,22 @@ Scale: build pays one training fixed point + one bucketed shuffle of
 the 4-int code rows; each search touches nprobe buckets of int codes,
 a query-sized probe table, and a Q x M x K-row LUT broadcast. Nothing
 at serve time is corpus-sized except the pruned code scan.
+
+Lifecycle (r12): ``append_to_index`` keeps the index fresh under the
+FROZEN artifacts; ``compact_index`` folds the append residue into a
+new bucketed generation with a retention-grace manifest swap (searches
+bit-identical across the swap, superseded generation swept on the NEXT
+compaction); ``check_index_health`` + ``ivfpq_recall_from_index`` are
+the recall monitors — the former against exact L2 ground truth with a
+``retrain_needed`` floor (the retrain trigger), the latter the
+persisted-path twin of the oracle-gated recall query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,10 +110,97 @@ def build_ivfpq_index(
     spark.createDataFrame(
         cb_rows, "m int, cid long, cemb array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebook")
-    manifest = {"table": table, "buckets": buckets, "nprobe": IVF_NPROBE}
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f)
+    manifest = {
+        "table": table,
+        "base_table": table,
+        "codes_path": f"{out_dir}/codes",
+        "buckets": buckets,
+        "nprobe": IVF_NPROBE,
+        "generation": 0,
+        "pending_gc": [],
+    }
+    _publish_manifest(out_dir, manifest)
     return manifest
+
+
+def _load_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _publish_manifest(out_dir: str, manifest: dict) -> None:
+    p = os.path.join(out_dir, _MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)  # atomic on POSIX: readers see old XOR new
+
+
+def index_code_files(out_dir: str) -> list[str]:
+    """Data files of the ACTIVE codes generation (the bounded-file-count
+    observable the compaction test asserts on)."""
+    root = _load_manifest(out_dir)["codes_path"]
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            # data files only: skip .crc shadows / _SUCCESS markers
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return out
+
+
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Fold the codes table's append residue into ONE fresh bucketed
+    generation (VERDICT r11 #4 — the sketch stores' retention-grace
+    pattern applied to the ANN index): every ``append_to_index`` call
+    leaves one file per touched bucket, so a streaming ingest grows the
+    table's file count without bound; compaction rewrites all live code
+    rows into generation g+1 (repartitioned by the bucket key, so each
+    task holds whole buckets and the file count collapses back to ~one
+    per bucket), atomically swaps the manifest, and TOMBSTONES the old
+    generation instead of deleting it — a reader that loaded the
+    pre-swap manifest finishes its search against intact files; the
+    NEXT compaction's sweep (step 1 below) is the earliest the
+    superseded generation can disappear. Searches are bit-identical
+    across the swap: same rows, same bucket spec, same ADC math."""
+    manifest = _load_manifest(out_dir)
+    # 1. retention-grace sweep: drop what the PREVIOUS compaction
+    #    superseded (no current reader can hold a manifest that old)
+    for victim in manifest.get("pending_gc", []):
+        spark.sql(f"DROP TABLE IF EXISTS {victim['table']}")
+        shutil.rmtree(victim["path"], ignore_errors=True)
+    # 2. fold the live rows into the next generation
+    gen = int(manifest.get("generation", 0)) + 1
+    base = manifest.get("base_table", manifest["table"])
+    new_table = f"{base}__g{gen}"
+    new_path = f"{out_dir}/codes_g{gen}"
+    # repartition by the BUCKET-ID expression (pmod of the same
+    # murmur3 bucketBy uses), not the raw key: each bucket then lives
+    # wholly inside one task, so the rewrite emits at most one file per
+    # non-empty bucket — repartitioning by the key alone lets a task
+    # hold cids of two buckets and doubles files (observed: 9 files
+    # for 8 buckets).
+    nb = int(manifest["buckets"])
+    rows = spark.table(manifest["table"]).repartition(
+        nb, F.pmod(F.hash(F.col("ivf_cid")), F.lit(nb))
+    )
+    write_bucketed(
+        rows, new_table, "ivf_cid", buckets=nb, path=new_path,
+    )
+    # 3. atomic swap; old generation becomes the next sweep's victim
+    new_manifest = {
+        **manifest,
+        "table": new_table,
+        "codes_path": new_path,
+        "generation": gen,
+        "pending_gc": [
+            {"table": manifest["table"], "path": manifest["codes_path"]}
+        ],
+    }
+    _publish_manifest(out_dir, new_manifest)
+    return new_manifest
 
 
 def _load_codebook(spark: SparkSession, out_dir: str):
@@ -204,8 +301,7 @@ def append_to_index(
     touched bucket; a long-lived index periodically rewrites the table
     (the same economics as the sketch stores' compaction). Returns the
     number of code rows appended."""
-    with open(os.path.join(out_dir, _MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = _load_manifest(out_dir)
     rows = encode_vectors(spark, out_dir, vecs).select(
         # insertInto is POSITIONAL: match the table's column order
         "vec_id", "m", "pq_cid", "ivf_cid"
@@ -234,8 +330,7 @@ def ivfpq_search(
     (the locked window is plan construction + the eager materialization,
     not the caller's consumption). For genuinely parallel serving use
     ``spark.newSession()`` per search thread."""
-    with open(os.path.join(out_dir, _MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = _load_manifest(out_dir)
     cent = spark.read.parquet(f"{out_dir}/centroids")
     q = queries
     if "q_norm" not in q.columns:
@@ -307,3 +402,124 @@ def ivfpq_search(
         finally:
             spark.conf.set(_AUTO_BUCKET_CONF, prev)
     return out
+
+
+def ivfpq_recall_from_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Recall@k of the PERSISTED index against exact brute-force cosine
+    (VERDICT r11 #8): the production twin of the oracle-gated
+    ``plans/simsearch.simsearch_ivfpq_recall`` — that query retrains
+    in-plan so DuckDB can replay it; THIS one measures the SERVED
+    index, so an operator watching recall watches the artifact actually
+    answering queries (append drift under the frozen codebook shows up
+    here first). Columns match the monitor's ADC pair
+    (query_id, n_hits_adc, recall_adc); with an index freshly built
+    from the same corpus the two outputs are identical —
+    tests/test_ann_index.py asserts it."""
+    from ..plans.simsearch import KNN_QUERIES, embedding_knn_bruteforce
+
+    exact = embedding_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    queries = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    served = ivfpq_search(spark, out_dir, queries, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(served, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h_adc"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h_adc", F.lit(0)).cast("long").alias("n_hits_adc"),
+            (
+                F.coalesce("h_adc", F.lit(0)).cast("double") / F.lit(KNN_K)
+            ).alias("recall_adc"),
+        )
+    )
+
+
+def check_index_health(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = KNN_K,
+    recall_floor: float = 0.5,
+) -> dict:
+    """Recall-triggered retrain policy (VERDICT r11 #4, lifecycle half):
+    serve ``queries`` — (query_id, q_emb) — from the persisted index
+    and measure recall@k against the EXACT squared-L2 top-k over the
+    raw ``corpus`` — (vec_id, emb) — the metric ADC approximates, so
+    the gap is pure quantization + probe loss. A corpus that drifted
+    away from the frozen codebook (appends encode badly, new mass sits
+    between stale coarse centroids) degrades exactly this number, and
+    ``retrain_needed`` fires when it crosses ``recall_floor`` — the
+    operator then rebuilds via ``build_ivfpq_index`` (new codebook) and
+    cuts searches over atomically, the same manifest swap compaction
+    uses.
+
+    Cost: query-grain — the ground truth broadcasts Q query vectors
+    onto ONE corpus scan (micro-rounded exact L2, per-query window);
+    the served side is a bucket-pruned search. Nothing corpus-sized
+    moves."""
+    from ..plans.simsearch import _INERTIA_GRID, _sqdist
+
+    served = ivfpq_search(spark, out_dir, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries.select("query_id", F.col("q_emb").alias("__q"))
+    d2 = F.round(_sqdist(F.col("emb"), F.col("__q")) * _INERTIA_GRID, 0).cast(
+        "long"
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_micro", "neighbor_id")
+    exact = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d2.alias("d2_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(served, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    per_query = {
+        int(r["query_id"]): int(r["h"] or 0)
+        for r in exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .collect()
+    }
+    n_q = len(per_query)
+    recall = (
+        sum(per_query.values()) / float(k * n_q) if n_q else 0.0
+    )
+    return {
+        "recall": recall,
+        "per_query": {q_: h / float(k) for q_, h in per_query.items()},
+        "recall_floor": recall_floor,
+        "retrain_needed": recall < recall_floor,
+        "n_queries": n_q,
+        "k": k,
+    }

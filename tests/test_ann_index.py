@@ -183,3 +183,149 @@ def test_incremental_append_serves_new_vectors(spark, tmp_path):
         assert int(rank1["adc_micro"]) == expected_min, qid
         dup = [r for r in rows if int(r["neighbor_id"]) == 100_000 + qid]
         assert dup and int(dup[0]["adc_micro"]) == expected_min, qid
+
+
+def _shifted_vectors(spark, n=8, shift=5.0, id_base=200_000):
+    """Planted drift: existing embeddings translated far from the
+    trained codebook's support — they encode under the frozen artifacts
+    (append contract) but the codes can no longer discriminate them."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    ).head(n)
+    return spark.createDataFrame(
+        [
+            (id_base + i, [float(x) + shift for x in emb])
+            for i, emb in enumerate(pdf["embedding"])
+        ],
+        "vec_id long, emb array<double>",
+    )
+
+
+def test_compaction_bounds_files_and_preserves_search(spark, tmp_path):
+    """VERDICT r11 #4: N appends -> compact -> search bit-identical +
+    bounded file count; the superseded generation survives the swap
+    (retention grace) and is swept by the NEXT compaction."""
+    import os
+
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        append_to_index,
+        compact_index,
+        index_code_files,
+    )
+
+    out = str(tmp_path / "idx")
+    manifest = build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_compact", buckets=8
+    )
+    for i in range(3):
+        append_to_index(
+            spark, out, _shifted_vectors(spark, n=4, id_base=300_000 + 10 * i)
+        )
+    pre_files = index_code_files(out)
+    pre = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, out, _queries(spark), k=25).collect()
+    )
+
+    m1 = compact_index(spark, out)
+    assert m1["generation"] == 1 and m1["table"] == "t_ann_codes_compact__g1"
+    post_files = index_code_files(out)
+    post = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, out, _queries(spark), k=25).collect()
+    )
+    assert post == pre, "search changed across compaction"
+    assert len(post_files) < len(pre_files)
+    # ~one file per non-empty bucket after the bucket-keyed repartition
+    assert len(post_files) <= m1["buckets"]
+    # retention grace: generation 0 still on disk for in-flight readers
+    assert os.path.isdir(manifest["codes_path"])
+    assert m1["pending_gc"][0]["path"] == manifest["codes_path"]
+
+    m2 = compact_index(spark, out)
+    assert m2["generation"] == 2
+    assert not os.path.isdir(manifest["codes_path"]), "g0 not swept"
+    post2 = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, out, _queries(spark), k=25).collect()
+    )
+    assert post2 == pre
+
+
+def test_recall_monitor_from_persisted_index_matches_in_plan(
+    spark, tmp_path
+):
+    """VERDICT r11 #8: pointing the recall monitor at a freshly built
+    index artifact returns exactly the in-plan monitor's ADC columns —
+    the production check measures the SERVED index, same math."""
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        ivfpq_recall_from_index,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        simsearch_ivfpq_recall,
+    )
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_monitor", buckets=8
+    )
+    from_index = sorted(
+        tuple(r)
+        for r in ivfpq_recall_from_index(spark, SF_DIR, out).collect()
+    )
+    in_plan = sorted(
+        (r["query_id"], r["n_hits_adc"], r["recall_adc"])
+        for r in simsearch_ivfpq_recall(spark, SF_DIR).collect()
+    )
+    assert from_index == in_plan and len(from_index) > 0
+
+
+def test_health_check_flags_planted_drift(spark, tmp_path):
+    """VERDICT r11 #4 (policy half): the health check's recall over a
+    drifted corpus drops below the clean index's, and the retrain flag
+    fires at a floor between the two. Planted drift = the corpus was
+    RE-EMBEDDED under the stale index (the classic upstream
+    model-version bump): the id<->vector association rotates, so the
+    exact ground truth relabels while the stored codes still rank the
+    old geometry — recall collapses, which is exactly what the monitor
+    exists to catch."""
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        check_index_health,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        KNN_QUERIES,
+    )
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_health", buckets=8
+    )
+    base_corpus = _emb(spark, SF_DIR).select("vec_id", "emb")
+    n_corpus = base_corpus.count()
+    clean_queries = _queries(spark).select("query_id", "q_emb")
+    clean = check_index_health(
+        spark, out, clean_queries, base_corpus, recall_floor=0.0
+    )
+    assert clean["n_queries"] == KNN_QUERIES
+
+    # re-embedded corpus: every id now carries another id's vector
+    drift_corpus = base_corpus.select(
+        ((F.col("vec_id") + 101) % n_corpus).alias("vec_id"), "emb"
+    )
+    drift_queries = drift_corpus.where(
+        F.col("vec_id") < KNN_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    bad = check_index_health(
+        spark, out, drift_queries, drift_corpus, recall_floor=0.0
+    )
+    assert bad["recall"] < clean["recall"], (bad["recall"], clean["recall"])
+
+    floor = (bad["recall"] + clean["recall"]) / 2
+    assert check_index_health(
+        spark, out, drift_queries, drift_corpus, recall_floor=floor
+    )["retrain_needed"]
+    assert not check_index_health(
+        spark, out, clean_queries, base_corpus, recall_floor=floor
+    )["retrain_needed"]
