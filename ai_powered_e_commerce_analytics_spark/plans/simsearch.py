@@ -1644,7 +1644,19 @@ def pca_top_component(
     the default 1000 converges the eigenvalue past 1e-9 here. The
     whitening / OPQ-rotation seed; verified against numpy's full
     eigendecomposition in tests/test_pq_codebook.py."""
-    rows = embedding_covariance(spark, sf_dir).collect()
+    return _power_iteration(
+        embedding_covariance(spark, sf_dir).collect(), iters=iters
+    )
+
+
+def _power_iteration(rows, *, iters: int = 1000) -> dict:
+    """Power iteration on collected (i, j, cov) upper-triangle rows —
+    the ONE iteration shared by the batch query and the streamed-store
+    twin (``streaming/jobs.pca_top_component_from_store``), so a
+    streaming deployment derives the SAME top component from its merged
+    sums as a batch run over the same rows (bit-exactly: the covariance
+    fold is associative long addition and this loop is a fixed-order
+    pure-Python float recurrence on the resulting matrix)."""
     dim = EMBED_DIM
     cov = [[0.0] * dim for _ in range(dim)]
     for r in rows:

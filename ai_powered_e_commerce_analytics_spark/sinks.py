@@ -22,7 +22,6 @@ Scale notes: the upsert rewrite is partitioned by key-hash bucket so a
 MERGE is the production path and noted inline.
 """
 
-from .functions.core import pin
 from __future__ import annotations
 
 import json
@@ -34,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from .functions.core import pin
 
 
 def write_gold_snapshot(df: DataFrame, gold_dir: str, *, fmt: str = "json") -> str:

@@ -393,3 +393,22 @@ def test_covariance_stream_matches_batch_fold(spark, tmp_path):
     )
     assert streamed == expected
     assert len(streamed) == 64 * 65 // 2  # full upper triangle
+
+    # VERDICT r11 #6: the streamed store feeds the SAME power iteration
+    # as the batch query — compact first, then require the component
+    # BIT-EXACTLY equal to the one derived from the batch-side fold
+    # (associative long sums -> identical matrix -> identical floats).
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        _power_iteration,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        pca_top_component_from_store,
+    )
+
+    _compact(spark, out, str(tmp_path / "ck_compact"))
+    from_store = pca_top_component_from_store(spark, out)
+    batch = _power_iteration(covariance_from_sums(sums).collect())
+    assert from_store["eigenvalue"] == batch["eigenvalue"]
+    assert from_store["component"] == batch["component"]
+    assert from_store["explained"] == batch["explained"]
+    assert from_store["eigenvalue"] > 0
