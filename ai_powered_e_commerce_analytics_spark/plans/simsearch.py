@@ -1986,6 +1986,33 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-term expression, no shuffle at all. Deterministic: seed = lowest
     vec_id; ties break by vec_id on exact longs.
     """
+    return kcenter_coreset(spark, sf_dir, KCENTER_K)
+
+
+#: Literal-inlining crossover for :func:`kcenter_coreset`: below this
+#: many selected vectors the per-row min-distance is a K-term inlined
+#: expression (zero joins, zero shuffles per round); above it the K·dim
+#: codegen expression would blow past the JVM method-size limit into
+#: interpreted mode (VERDICT r11 #7), so the selected set becomes a
+#: broadcast frame and the per-row min rides a grouped agg over the
+#: pair join instead. Identical micro distances either way (same
+#: doubles, same fold, same rounding) — trace parity asserted in
+#: tests/test_kcenter_paths.py.
+KCENTER_INLINE_MAX = 16
+
+
+def kcenter_coreset(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    *,
+    inline_threshold: int = KCENTER_INLINE_MAX,
+) -> DataFrame:
+    """Greedy k-center selection trace for arbitrary ``k`` —
+    :func:`embedding_kcenter_coreset` with the coreset size as a
+    parameter and a codegen-safe large-K path (see
+    ``KCENTER_INLINE_MAX``). Both paths: one corpus pass per round,
+    argmax via TakeOrderedAndProject, 1 driver row per round."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
@@ -1996,25 +2023,45 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     trace: list[tuple[int, int, int]] = [(1, selected[0][0], 0)]
 
-    def min_dist_micro() -> Column:
+    def pair_micro(emb: Column, sel_emb: Column) -> Column:
+        return F.round(_sqdist(emb, sel_emb) * _INERTIA_GRID, 0).cast("long")
+
+    def min_dist_inline() -> Column:
         cols = [
-            F.round(
-                _sqdist(F.col("emb"), F.array(*[F.lit(v) for v in vec]))
-                * _INERTIA_GRID,
-                0,
-            ).cast("long")
+            pair_micro(F.col("emb"), F.array(*[F.lit(v) for v in vec]))
             for _vid, vec in selected
         ]
         return F.least(*cols) if len(cols) > 1 else cols[0]
 
-    for r in range(2, KCENTER_K + 1):
+    for r in range(2, k + 1):
         sel_ids = [vid for vid, _ in selected]
+        cand = e.where(~F.col("vec_id").isin(sel_ids))
+        if len(selected) <= inline_threshold:
+            scored = cand.select(
+                "vec_id", "emb", min_dist_inline().alias("md")
+            )
+        else:
+            # broadcast-join form: the selected set is a tiny frame;
+            # min over the pair grain replaces the inlined least().
+            # Same doubles (createDataFrame round-trips the exact
+            # floats), same per-pair fold + rounding -> identical md.
+            sel = F.broadcast(
+                spark.createDataFrame(
+                    selected, "sel_id long, sel_emb array<double>"
+                )
+            )
+            scored = (
+                cand.join(sel)
+                .groupBy("vec_id")
+                .agg(
+                    F.min(
+                        pair_micro(F.col("emb"), F.col("sel_emb"))
+                    ).alias("md"),
+                    F.first("emb").alias("emb"),
+                )
+            )
         best = (
-            e.where(~F.col("vec_id").isin(sel_ids))
-            .select("vec_id", "emb", min_dist_micro().alias("md"))
-            .orderBy(F.desc("md"), "vec_id")
-            .limit(1)
-            .collect()[0]
+            scored.orderBy(F.desc("md"), "vec_id").limit(1).collect()[0]
         )
         selected.append((int(best["vec_id"]), list(best["emb"])))
         trace.append((r, int(best["vec_id"]), int(best["md"])))
