@@ -523,3 +523,51 @@ def check_index_health(
         "n_queries": n_q,
         "k": k,
     }
+
+
+def ivfpq_search_rerank(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    *,
+    k: int = KNN_K,
+    r: int | None = None,
+) -> DataFrame:
+    """Two-stage serving from the persisted index (the production twin
+    of the oracle-gated ``plans/simsearch.simsearch_ivfpq_rerank``):
+    stage 1 selects ``r`` ADC candidates from the bucket-pruned code
+    scan; stage 2 broadcasts the Q x r candidate ids onto ONE scan of
+    ``vectors`` — (vec_id, emb), the raw-embedding table — and
+    re-ranks by exact rounded cosine with neighbor_id tiebreak (the
+    monotone-recall order; see the in-plan query's docstring for the
+    L2-vs-cosine note). Query-grain cost on top of the ADC stage; on a
+    fresh index the output matches the in-plan query row-for-row
+    (tests/test_ann_index.py)."""
+    from ..plans.simsearch import ADC_RERANK_R, _dot
+
+    r = ADC_RERANK_R if r is None else r
+    cand = ivfpq_search(spark, out_dir, queries, k=r).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries
+    if "q_norm" not in q.columns:
+        q = q.withColumn(
+            "q_norm", F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        )
+    nb = (
+        vectors.withColumn("__n", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "emb", "__n")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("__n")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        nb.join(F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -133,9 +133,20 @@ def _kcenter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the rotation's ONLY distributed work is the exact covariance
+    # contraction (the Jacobi rounds run driver-side on 64x64 scalars
+    # and the returned frame is a driver-built createDataFrame, which
+    # audits as an empty plan)
+    from .simsearch import embedding_covariance
+
+    return embedding_covariance(spark, sf_dir)
+
+
 #: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
 PLAN_PROBES = {
     "bpe_merges_topn": _bpe_probe,
+    "embedding_opq_rotation": _opq_probe,
     "embedding_kcenter_coreset": _kcenter_probe,
     "embedding_pq_codebook": _pq_probe,
     "copurchase_pagerank": _pagerank_probe,

@@ -1503,6 +1503,22 @@ def pca_top_component_from_store(
     )
 
 
+def opq_rotation_from_store(spark: SparkSession, out_dir: str):
+    """OPQ rotation learned FROM THE STREAMED STORE: the same partial
+    Jacobi + snake allocation as ``plans/simsearch.opq_rotation``, fed
+    the merged streamed covariance instead of a batch scan — so a
+    streaming deployment can retrain its PQ rotation (and compare it to
+    the serving index's) without ever rescanning the corpus. Returns
+    ``(V, alloc)``; bit-identical to a batch run over the same rows by
+    the associative-long-sums argument of
+    :func:`pca_top_component_from_store`."""
+    from ..plans.simsearch import _opq_alloc, _opq_jacobi
+
+    rows = read_streamed_covariance(spark, out_dir).collect()
+    A, V = _opq_jacobi(rows)
+    return V, _opq_alloc(A)
+
+
 #: Per-source reservoir size of the streamed weighted sample (test
 #: scale; a deployment sets each source's allocation here — e.g. the
 #: ``weighted_sample_allocated`` Neyman budget).

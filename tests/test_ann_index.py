@@ -329,3 +329,30 @@ def test_health_check_flags_planted_drift(spark, tmp_path):
     assert not check_index_health(
         spark, out, clean_queries, base_corpus, recall_floor=floor
     )["retrain_needed"]
+
+
+def test_serving_path_rerank_matches_in_plan(spark, tmp_path):
+    """Two-stage search through the PERSISTED index equals the
+    oracle-gated in-plan rerank row-for-row on a fresh index."""
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        ivfpq_search_rerank,
+    )
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        simsearch_ivfpq_rerank,
+    )
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_rerank", buckets=8
+    )
+    vectors = _emb(spark, SF_DIR).select("vec_id", "emb")
+    served = sorted(
+        tuple(r)
+        for r in ivfpq_search_rerank(
+            spark, out, _queries(spark), vectors
+        ).collect()
+    )
+    in_plan = sorted(
+        tuple(r) for r in simsearch_ivfpq_rerank(spark, SF_DIR).collect()
+    )
+    assert served == in_plan and len(served) > 0

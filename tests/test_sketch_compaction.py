@@ -412,3 +412,18 @@ def test_covariance_stream_matches_batch_fold(spark, tmp_path):
     assert from_store["component"] == batch["component"]
     assert from_store["explained"] == batch["explained"]
     assert from_store["eigenvalue"] > 0
+
+    # same argument for the OPQ rotation: streamed sums -> identical
+    # Jacobi input -> identical rotation + allocation
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        _opq_alloc,
+        _opq_jacobi,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        opq_rotation_from_store,
+    )
+
+    v_store, alloc_store = opq_rotation_from_store(spark, out)
+    a_batch, v_batch = _opq_jacobi(covariance_from_sums(sums).collect())
+    assert v_store == v_batch
+    assert alloc_store == _opq_alloc(a_batch)
