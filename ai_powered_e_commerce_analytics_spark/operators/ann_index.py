@@ -26,6 +26,13 @@ the 4-int code rows; each search touches nprobe buckets of int codes,
 a query-sized probe table, and a Q x M x K-row LUT broadcast. Nothing
 at serve time is corpus-sized except the pruned code scan.
 
+OPQ flavor (r12): ``build_ivfpq_index(opq=True)`` learns the OPQ-P
+rotation from the exact covariance, trains/encodes PQ in the rotated
+space (lower reconstruction error), persists the rotation weights as a
+fourth artifact, and rotates query vectors driver-side when building
+the ADC LUT — build, append, and search are bit-consistent
+(round-trip + self-duplicate-optimality tested).
+
 Lifecycle (r12): ``append_to_index`` keeps the index fresh under the
 FROZEN artifacts; ``compact_index`` folds the append residue into a
 new bucketed generation with a retention-grace manifest swap (searches
@@ -80,12 +87,45 @@ def build_ivfpq_index(
     *,
     table: str,
     buckets: int = 8,
+    opq: bool = False,
 ) -> dict:
     """Train + materialize the IVF-PQ index under ``out_dir``; the code
     rows register as bucketed catalog table ``table`` (external path,
     so the files live with the other artifacts). Returns the manifest
-    (also written to ``_index.json``)."""
-    sub, cents = _pq_state(spark, sf_dir)
+    (also written to ``_index.json``).
+
+    ``opq=True`` closes the covariance -> rotation -> codes loop in
+    the SERVING path: the OPQ-P rotation is learned from the exact
+    covariance (``plans/simsearch.opq_rotation``), PQ trains and
+    encodes in the ROTATED space (lower reconstruction error per
+    tests/test_opq.py), and the rotation weights persist as a fourth
+    artifact so searches and appends rotate consistently. The IVF
+    coarse quantizer stays in RAW space (an orthogonal rotation
+    preserves the L2 geometry ADC approximates, and raw-space probing
+    keeps the centroid artifact shared between both index flavors);
+    only the PQ stage sees rotated coordinates."""
+    if opq:
+        from ..plans.simsearch import (
+            EMBED_DIM,
+            _pq_state_from_sub,
+            _sub_split,
+            apply_opq_rotation,
+            opq_rotation,
+            opq_vmat_flat,
+        )
+
+        V, alloc = opq_rotation(spark, sf_dir)
+        flat = opq_vmat_flat(V, alloc)
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(flat)], "pos int, w double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/rotation"
+        )
+        sub, cents = _pq_state_from_sub(
+            _sub_split(apply_opq_rotation(spark, sf_dir))
+        )
+    else:
+        sub, cents = _pq_state(spark, sf_dir)
     codes = sub.select(
         "vec_id", "m", _pq_argmin(cents)["cid"].alias("pq_cid")
     )
@@ -118,9 +158,22 @@ def build_ivfpq_index(
         "nprobe": IVF_NPROBE,
         "generation": 0,
         "pending_gc": [],
+        "opq": bool(opq),
     }
     _publish_manifest(out_dir, manifest)
     return manifest
+
+
+def _load_rotation(spark: SparkSession, out_dir: str) -> list[float]:
+    """The persisted OPQ weight vector, out-position-major (the
+    ``opq_rotate_col``/``opq_rotate_py`` layout). Parquet round-trips
+    the doubles exactly, so rotated coordinates computed at build,
+    append, and search time are bit-consistent."""
+    rows = spark.read.parquet(f"{out_dir}/rotation").collect()
+    flat = [0.0] * len(rows)
+    for r in rows:
+        flat[int(r["pos"])] = float(r["w"])
+    return flat
 
 
 def _load_manifest(out_dir: str) -> dict:
@@ -257,10 +310,24 @@ def encode_vectors(
         )
     ivf_cid = F.least(*structs)["cid"]
 
+    # OPQ index: PQ cells are matched in ROTATED coordinates (the space
+    # the codebook was trained in); the coarse cell stays raw-space.
+    manifest = _load_manifest(out_dir)
+    pq_src = "emb"
+    base = vecs
+    if manifest.get("opq"):
+        from ..plans.simsearch import opq_rotate_col
+
+        flat = _load_rotation(spark, out_dir)
+        base = vecs.withColumn(
+            "__vmat", F.array(*[F.lit(w) for w in flat])
+        ).withColumn("__emb_r", opq_rotate_col("emb"))
+        pq_src = "__emb_r"
+
     sub_structs = []
     for m in sorted(cents):
         off = m * PQ_SUBDIM
-        sub = F.slice("emb", off + 1, PQ_SUBDIM)
+        sub = F.slice(pq_src, off + 1, PQ_SUBDIM)
         best = F.least(*[
             F.struct(
                 _sqdist(sub, F.array(*[F.lit(v) for v in vec])).alias("d"),
@@ -274,7 +341,7 @@ def encode_vectors(
             )
         )
     return (
-        vecs.withColumn("__norm", norm)
+        base.withColumn("__norm", norm)
         .select(
             "vec_id",
             F.explode(F.array(*sub_structs)).alias("mc"),
@@ -366,6 +433,15 @@ def ivfpq_search(
         (int(r["query_id"]), list(r["q_emb"]))
         for r in q.select("query_id", "q_emb").collect()
     ]
+    if manifest.get("opq"):
+        # the codebook lives in rotated coordinates — rotate the query
+        # vectors the same way (opq_rotate_py mirrors the build-side
+        # fold bit-exactly) before building the ADC LUT; the IVF probe
+        # above stays raw-space like the stored centroids.
+        from ..plans.simsearch import opq_rotate_py
+
+        flat = _load_rotation(spark, out_dir)
+        q_rows = [(qid, opq_rotate_py(emb, flat)) for qid, emb in q_rows]
     lut = spark.createDataFrame(
         adc_lut_rows(q_rows, cents),
         "query_id long, m int, pq_cid long, lut_micro long",

@@ -1831,29 +1831,57 @@ def apply_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_pos) partial agg, the ``embedding_covariance`` contraction
     class."""
     V, alloc = opq_rotation(spark, sf_dir)
-    axis_of_out = [0] * EMBED_DIM
-    for sub, slot, k in alloc:
-        axis_of_out[sub * PQ_SUBDIM + slot] = k
-    flat = [
-        V[d][axis_of_out[o]]
-        for o in range(EMBED_DIM)
-        for d in range(EMBED_DIM)
-    ]
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("raw"),
     )
-    vmat = F.array(*[F.lit(v) for v in flat])
-    rot = F.expr(
+    return (
+        e.withColumn(
+            "__vmat", F.array(*[F.lit(v) for v in opq_vmat_flat(V, alloc)])
+        )
+        .select("vec_id", opq_rotate_col("raw").alias("emb"))
+    )
+
+
+def opq_vmat_flat(V, alloc) -> list[float]:
+    """Flatten (V, alloc) into the out-position-major weight vector
+    :func:`opq_rotate_col` consumes: entry o*dim + d = V[d][axis(o)]."""
+    axis_of_out = [0] * EMBED_DIM
+    for sub, slot, k in alloc:
+        axis_of_out[sub * PQ_SUBDIM + slot] = k
+    return [
+        V[d][axis_of_out[o]]
+        for o in range(EMBED_DIM)
+        for d in range(EMBED_DIM)
+    ]
+
+
+def opq_rotate_col(src: str) -> Column:
+    """Rotated embedding as a deterministic left-fold per-row map over
+    the literal weight column ``__vmat`` (see :func:`apply_opq_rotation`
+    for the production-dim broadcast-join alternative). The fold order
+    is the contract: ``opq_rotate_py`` mirrors it bit-exactly."""
+    return F.expr(
         f"""transform(sequence(0, {EMBED_DIM - 1}), o ->
                 aggregate(sequence(0, {EMBED_DIM - 1}),
                           cast(0.0 as double),
-                          (acc, d) -> acc + raw[d] * __vmat[o * {EMBED_DIM} + d]))"""
+                          (acc, d) -> acc + {src}[d] * __vmat[o * {EMBED_DIM} + d]))"""
     )
-    return (
-        e.withColumn("__vmat", vmat)
-        .select("vec_id", rot.alias("emb"))
-    )
+
+
+def opq_rotate_py(vec: list[float], vmat_flat: list[float]) -> list[float]:
+    """Driver-side mirror of :func:`opq_rotate_col` — the identical
+    left-to-right accumulation on identical doubles, so a query vector
+    rotated here scores appended/built codes consistently (used by the
+    OPQ index's ADC LUT construction)."""
+    out = []
+    for o in range(EMBED_DIM):
+        acc = 0.0
+        off = o * EMBED_DIM
+        for d in range(EMBED_DIM):
+            acc = acc + vec[d] * vmat_flat[off + d]
+        out.append(acc)
+    return out
 
 
 def _opq_sql(rounds: int = OPQ_JACOBI_ROUNDS) -> str:

@@ -356,3 +356,78 @@ def test_serving_path_rerank_matches_in_plan(spark, tmp_path):
         tuple(r) for r in simsearch_ivfpq_rerank(spark, SF_DIR).collect()
     )
     assert served == in_plan and len(served) > 0
+
+
+def test_opq_index_roundtrip_and_serving(spark, tmp_path):
+    """r12 OPQ-rotated index: PQ trains/encodes in rotated coordinates,
+    the rotation persists as a fourth artifact, and build / append /
+    search stay mutually consistent:
+
+    - encode_vectors over the ORIGINAL corpus reproduces the stored
+      code rows exactly (build-side and append-side rotation agree);
+    - an appended duplicate of a query's own vector achieves the
+      minimum ADC score among all returned candidates (per-subspace
+      argmin cells in rotated space x rotated-query LUT);
+    - compaction preserves search results on the opq flavor too.
+    """
+    import os
+
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        append_to_index,
+        compact_index,
+        encode_vectors,
+        ivfpq_search,
+    )
+
+    out = str(tmp_path / "idx")
+    manifest = build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_opq", buckets=8, opq=True
+    )
+    assert manifest["opq"] is True
+    assert os.path.isdir(f"{out}/rotation")
+
+    # round-trip: re-encoding the corpus reproduces the stored codes
+    corpus = _emb(spark, SF_DIR).select("vec_id", "emb")
+    stored = sorted(
+        (int(r["vec_id"]), int(r["m"]), int(r["pq_cid"]), int(r["ivf_cid"]))
+        for r in spark.table("t_ann_codes_opq").collect()
+    )
+    reencoded = sorted(
+        (int(r["vec_id"]), int(r["m"]), int(r["pq_cid"]), int(r["ivf_cid"]))
+        for r in encode_vectors(spark, out, corpus).collect()
+    )
+    assert reencoded == stored and len(stored) > 0
+
+    # appended self-duplicates score at the ADC minimum for their query
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    ).head(3)
+    dup_ids = {i: 400_000 + i for i in range(len(pdf))}
+    append_to_index(
+        spark,
+        out,
+        spark.createDataFrame(
+            [
+                (dup_ids[i], [float(x) for x in emb])
+                for i, emb in enumerate(pdf["embedding"])
+            ],
+            "vec_id long, emb array<double>",
+        ),
+    )
+    q = _queries(spark).where(F.col("query_id") < len(pdf))
+    rows = ivfpq_search(spark, out, q, k=400).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    for qid, dup_id in dup_ids.items():
+        scores = {int(r["neighbor_id"]): int(r["adc_micro"]) for r in by_q[qid]}
+        assert dup_id in scores, qid
+        assert scores[dup_id] == min(scores.values()), qid
+
+    # compaction keeps the opq search bit-identical
+    pre = sorted(tuple(r) for r in ivfpq_search(spark, out, q, k=25).collect())
+    compact_index(spark, out)
+    post = sorted(tuple(r) for r in ivfpq_search(spark, out, q, k=25).collect())
+    assert post == pre
