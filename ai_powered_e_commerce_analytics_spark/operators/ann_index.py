@@ -106,7 +106,6 @@ def build_ivfpq_index(
     only the PQ stage sees rotated coordinates."""
     if opq:
         from ..plans.simsearch import (
-            EMBED_DIM,
             _pq_state_from_sub,
             _sub_split,
             apply_opq_rotation,

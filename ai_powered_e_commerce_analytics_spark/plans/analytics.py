@@ -1569,7 +1569,163 @@ WHERE NOT EXISTS (
 """
 
 
+_KM_EPOCH = "1992-01-01"
+_SURV_GRID = 1_000_000   # micro-nat quantization of ln(1 - hazard)
+
+
+def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer re-order gaps — "what
+    fraction of customers have NOT yet re-ordered after t days?", the
+    survival-analysis form of retention (churn models, re-engagement
+    SLAs, inventory cadence). Each order contributes one observation:
+    the gap to the customer's next order (an EVENT at t = gap days) or,
+    for a customer's last order, the right-CENSORED interval to the
+    dataset's final order date. KM: S(t) = Π_{u<=t} (1 − d_u/n_u) over
+    event times u, with d = events at u and n = observations still at
+    risk (duration >= u; censored-at-u counted at risk, the standard
+    events-before-censoring tie rule).
+
+    Determinism discipline (the ``doc_unigram_surprisal`` pattern for
+    products): ``hazard`` is an exact long ratio (raw per float
+    policy); the survival PRODUCT runs as an exact-long cumsum of
+    micro-nat terms — ``round(ln(1 − d/n) · 1e6)`` is one libm call on
+    identical operands per event time (cross-engine agreement ~1e-15,
+    absorbed by the micro grid), and the cumulative sum is
+    order-independent long addition — then one ``exp`` on the identical
+    quotient, rounded to 1e-6. A risk set emptied by its last event
+    time (d = n) short-circuits to survival 0.0 via a prefix flag
+    instead of ln(0).
+
+    Scale: one per-customer window over the orders scan (key-
+    partitioned), a duration-grain groupBy with map-side combine, and
+    prefix windows over the O(|distinct gap days|) CONTRACTION — the
+    ``monthly_revenue_mom`` bounded-frame class, never data-sized.
+    """
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit(_KM_EPOCH).cast("timestamp")
+    ).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    obs = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", day.alias("day"))
+        .withColumn("next_day", F.lead("day").over(w))
+    )
+    max_day = obs.agg(F.max("day").alias("__max_day"))
+    obs = (
+        obs.crossJoin(F.broadcast(max_day))
+        .select(
+            F.coalesce(
+                F.col("next_day") - F.col("day"),
+                F.col("__max_day") - F.col("day"),
+            ).alias("t_days"),
+            F.col("next_day").isNotNull().cast("long").alias("event"),
+        )
+    )
+    per_t = obs.groupBy("t_days").agg(
+        F.sum("event").alias("n_events"),
+        F.count("*").alias("n_obs"),
+    )
+    tw = Window.orderBy("t_days")
+    # at-risk as a SUFFIX sum over the duration-grain contraction (one
+    # window, no second pass over the observations for a global total)
+    suffix = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hazard = F.col("n_events").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    curve = (
+        per_t.withColumn("n_at_risk", F.sum("n_obs").over(suffix))
+        .where(F.col("n_events") > 0)
+        .withColumn("hazard", hazard)
+        .withColumn(
+            "w_micro",
+            F.when(
+                F.col("n_events") == F.col("n_at_risk"), F.lit(None)
+            ).otherwise(
+                F.round(
+                    F.log(F.lit(1.0) - F.col("hazard")) * _SURV_GRID, 0
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "zeroed",
+            F.max(
+                (F.col("n_events") == F.col("n_at_risk")).cast("int")
+            ).over(tw),
+        )
+        .withColumn("cum_micro", F.sum("w_micro").over(tw))
+    )
+    survival = F.when(F.col("zeroed") == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.col("cum_micro").cast("double") / F.lit(float(_SURV_GRID))
+            ),
+            6,
+        )
+    )
+    return curve.select(
+        "t_days",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "hazard",
+        survival.alias("survival"),
+    )
+
+
+CUSTOMER_REORDER_SURVIVAL_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', TIMESTAMP '{_KM_EPOCH}', o_orderdate)::BIGINT
+               AS day
+    FROM orders
+),
+nx AS (
+    SELECT o_custkey, day,
+           lead(day) OVER (PARTITION BY o_custkey
+                           ORDER BY day, o_orderkey) AS next_day,
+           max(day) OVER () AS max_day
+    FROM o
+),
+obs AS (
+    SELECT coalesce(next_day - day, max_day - day) AS t_days,
+           (next_day IS NOT NULL)::BIGINT AS event
+    FROM nx
+),
+per_t AS (
+    SELECT t_days, sum(event)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_obs
+    FROM obs GROUP BY t_days
+),
+curve AS (
+    SELECT t_days, n_events,
+           sum(n_obs) OVER (
+               ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS n_at_risk
+    FROM per_t
+),
+ev AS (
+    SELECT t_days, n_events, n_at_risk,
+           n_events::DOUBLE / n_at_risk::DOUBLE AS hazard,
+           CASE WHEN n_events = n_at_risk THEN NULL
+                ELSE round(ln(1.0 - n_events::DOUBLE / n_at_risk::DOUBLE)
+                           * {_SURV_GRID})::BIGINT END AS w_micro,
+           max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_days) AS zeroed
+    FROM curve WHERE n_events > 0
+)
+SELECT t_days, n_at_risk, n_events, hazard,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp((sum(w_micro) OVER (ORDER BY t_days))::DOUBLE
+                           / {float(_SURV_GRID)}), 6) END AS survival
+FROM ev
+"""
+
+
 ANALYTICS_SPECS = [
+    QuerySpec("customer_reorder_survival", customer_reorder_survival,
+              CUSTOMER_REORDER_SURVIVAL_SQL, ("survival-kaplan-meier",)),
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
     # priority placement for driver evidence.

@@ -147,6 +147,7 @@ def _opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 PLAN_PROBES = {
     "bpe_merges_topn": _bpe_probe,
     "embedding_opq_rotation": _opq_probe,
+    "embedding_pca_explained_variance": _opq_probe,
     "embedding_kcenter_coreset": _kcenter_probe,
     "embedding_pq_codebook": _pq_probe,
     "copurchase_pagerank": _pagerank_probe,

@@ -1884,12 +1884,13 @@ def opq_rotate_py(vec: list[float], vmat_flat: list[float]) -> list[float]:
     return out
 
 
-def _opq_sql(rounds: int = OPQ_JACOBI_ROUNDS) -> str:
-    """The unrolled-Jacobi oracle: ``rounds`` x (pick, params, matrix
-    update, rotation update) CTE quadruples over the 4,096-row matrix
-    frames. Every multi-referenced CTE is MATERIALIZED — inlining would
-    re-expand each round's 5 parent references and blow up
-    exponentially across 48 rounds."""
+def _opq_cte_chain(rounds: int = OPQ_JACOBI_ROUNDS) -> str:
+    """The unrolled-Jacobi CTE chain through ``a{rounds}``/``u{rounds}``
+    — ``rounds`` x (pick, params, matrix update, rotation update) CTE
+    quadruples over the 4,096-row matrix frames, shared by the rotation
+    oracle and the explained-variance oracle. Every multi-referenced
+    CTE is MATERIALIZED — inlining would re-expand each round's 5
+    parent references and blow up exponentially across 48 rounds."""
     parts = [f"""cov AS MATERIALIZED ({EMBEDDING_COVARIANCE_SQL}),
 a0 AS MATERIALIZED (
     SELECT i, j, cov AS v FROM cov
@@ -1964,7 +1965,11 @@ u{r + 1} AS MATERIALIZED (
     LEFT JOIN u{r} up ON up.i = u.i AND up.j = cs.p
     LEFT JOIN u{r} uq ON uq.i = u.i AND uq.j = cs.q
 )""")
-    final = f""",
+    return "WITH " + ",".join(parts)
+
+
+def _opq_sql(rounds: int = OPQ_JACOBI_ROUNDS) -> str:
+    return f"""{_opq_cte_chain(rounds)},
 diag AS (
     SELECT i AS k, v,
            row_number() OVER (ORDER BY v DESC, i) - 1 AS r
@@ -1984,10 +1989,84 @@ SELECT al.subspace::INTEGER AS subspace, al.slot::INTEGER AS slot,
            / {float(_INERTIA_GRID)} AS w
 FROM u{rounds} u JOIN alloc al ON al.k = u.j
 """
-    return "WITH " + ",".join(parts) + final
 
 
 EMBEDDING_OPQ_ROTATION_SQL = _opq_sql()
+
+
+def embedding_pca_explained_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explained-variance spectrum of the embedding corpus — the scree
+    curve a dimensionality-reduction / whitening report publishes
+    (how many axes carry how much of the variance; where to truncate).
+    Axes are the partially-diagonalized Jacobi basis of
+    :func:`embedding_opq_rotation` (variance per rotated axis = the
+    diagonal), ranked by captured variance.
+
+    Determinism: the diagonal is bit-identical cross-engine (the
+    trig-free Jacobi argument); each variance quantizes to micro-unit
+    longs, so the CUMULATIVE curve is an exact long cumsum over the
+    rank order (order-independent addition — no float-accumulation
+    drift), and ``cum_explained`` is one exact-integer division per
+    row. ``variance`` itself emits raw (bit-identical doubles).
+
+    Plan: the covariance contraction + driver-side scalars, like the
+    rotation query. Emits 64 rows at any corpus scale.
+    """
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    A, _V = _opq_jacobi(cov_rows)
+    dim = EMBED_DIM
+    order = sorted(range(dim), key=lambda k: (-A[k][k], k))
+    micro = {
+        k: int(math.floor(abs(A[k][k]) * _INERTIA_GRID + 0.5))
+        * (1 if A[k][k] >= 0 else -1)
+        for k in range(dim)
+    }
+    total = sum(micro.values())
+    rows, cum = [], 0
+    for r, k in enumerate(order, start=1):
+        cum += micro[k]
+        rows.append(
+            (
+                r,
+                k,
+                A[k][k],
+                micro[k],
+                cum,
+                (float(cum) / float(total)) if total else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "var_rank int, axis int, variance double, var_micro long, "
+        "cum_var_micro long, cum_explained double",
+    )
+
+
+EMBEDDING_PCA_EXPLAINED_SQL = f"""{_opq_cte_chain()},
+d AS (
+    SELECT i AS axis, v,
+           round(v * {_INERTIA_GRID})::BIGINT AS var_micro,
+           row_number() OVER (ORDER BY v DESC, i) AS var_rank
+    FROM a{OPQ_JACOBI_ROUNDS} WHERE i = j
+),
+c AS (
+    SELECT *,
+           sum(var_micro) OVER (
+               ORDER BY var_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_var_micro,
+           sum(var_micro) OVER ()::BIGINT AS total_micro
+    FROM d
+)
+SELECT var_rank::INTEGER AS var_rank, axis, v AS variance, var_micro,
+       cum_var_micro,
+       CASE WHEN total_micro = 0 THEN 0.0
+            ELSE cum_var_micro::DOUBLE / total_micro::DOUBLE END
+           AS cum_explained
+FROM c
+"""
 
 
 KCENTER_K = 6   # coreset size (selection trace length)
@@ -2410,6 +2489,12 @@ SIMSEARCH_SPECS = [
         embedding_opq_rotation,
         EMBEDDING_OPQ_ROTATION_SQL,
         ("embedding-opq-rotation",),
+    ),
+    QuerySpec(
+        "embedding_pca_explained_variance",
+        embedding_pca_explained_variance,
+        EMBEDDING_PCA_EXPLAINED_SQL,
+        ("embedding-pca-scree",),
     ),
     QuerySpec(
         "embedding_kcenter_coreset",

@@ -161,12 +161,16 @@ HEADLINE = [
     "doc_novelty_profile",
     "embedding_kcenter_coreset",
     "embedding_covariance",
-    # round-12 additions (102 -> 103; r11-comparable subset = first
-    # 102). simsearch_ivfpq_rerank is registry-gated but not benched:
-    # it re-runs simsearch_ivfpq_topk's training fixed point with k
-    # widened plus only a query-grain broadcast fetch + window — the
-    # r11 recall-monitor exclusion rationale applies verbatim.
+    # round-12 additions (102 -> 104; r11-comparable subset = first
+    # 102). simsearch_ivfpq_rerank and embedding_pca_explained_variance
+    # are registry-gated but not benched: the former re-runs
+    # simsearch_ivfpq_topk's training fixed point with k widened plus
+    # only a query-grain broadcast fetch + window, the latter re-runs
+    # embedding_opq_rotation's covariance + Jacobi fixed point plus a
+    # 64-row cumsum — the r11 recall-monitor exclusion rationale
+    # applies verbatim to both.
     "embedding_opq_rotation",
+    "customer_reorder_survival",
 ]
 
 
