@@ -1601,6 +1601,14 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix windows over the O(|distinct gap days|) CONTRACTION — the
     ``monthly_revenue_mom`` bounded-frame class, never data-sized.
     """
+    return _km_curve(_km_observations(spark, sf_dir), strata=[])
+
+
+def _km_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, event) observation rows from the orders table: one per
+    order — the gap to the customer's next order (event) or the
+    censored interval from the last order to the dataset's final order
+    date."""
     day = F.datediff(
         F.col("o_orderdate"), F.lit(_KM_EPOCH).cast("timestamp")
     ).cast("long")
@@ -1611,9 +1619,10 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_day", F.lead("day").over(w))
     )
     max_day = obs.agg(F.max("day").alias("__max_day"))
-    obs = (
+    return (
         obs.crossJoin(F.broadcast(max_day))
         .select(
+            "o_custkey",
             F.coalesce(
                 F.col("next_day") - F.col("day"),
                 F.col("__max_day") - F.col("day"),
@@ -1621,16 +1630,24 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_day").isNotNull().cast("long").alias("event"),
         )
     )
-    per_t = obs.groupBy("t_days").agg(
+
+
+def _km_curve(obs: DataFrame, *, strata: list[str]) -> DataFrame:
+    """The KM estimator over (t_days, event) observations, optionally
+    stratified: all windows partition by ``strata``, so each stratum's
+    curve is an independent O(|its gap days|) frame and adding strata
+    ADDS parallelism instead of widening any single task (the global
+    curve is the strata=[] degenerate case)."""
+    per_t = obs.groupBy(*strata, "t_days").agg(
         F.sum("event").alias("n_events"),
         F.count("*").alias("n_obs"),
     )
-    tw = Window.orderBy("t_days")
+    tw = Window.partitionBy(*strata).orderBy("t_days")
     # at-risk as a SUFFIX sum over the duration-grain contraction (one
     # window, no second pass over the observations for a global total)
-    suffix = Window.orderBy(F.desc("t_days")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    suffix = Window.partitionBy(*strata).orderBy(
+        F.desc("t_days")
+    ).rowsBetween(Window.unboundedPreceding, 0)
     hazard = F.col("n_events").cast("double") / F.col(
         "n_at_risk"
     ).cast("double")
@@ -1665,6 +1682,7 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curve.select(
+        *strata,
         "t_days",
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.col("n_events").cast("long").alias("n_events"),
@@ -1673,7 +1691,62 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMER_REORDER_SURVIVAL_SQL = f"""
+def segment_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier re-order survival STRATIFIED by customer market
+    segment — the comparative form a retention analysis actually reads
+    ("does AUTOMOBILE churn faster than BUILDING?"). Same estimator and
+    determinism discipline as :func:`customer_reorder_survival`; the
+    segment joins in via the customer dimension (broadcast at test SF;
+    a plain key-shuffle dim join at scale) and every window partitions
+    by segment, so stratification ADDS parallelism — per-stratum curves
+    are independent contraction-sized frames, the partitioned-window
+    shape the global curve cannot have."""
+    seg = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    obs = _km_observations(spark, sf_dir).join(seg, "o_custkey")
+    return _km_curve(obs, strata=["segment"])
+
+
+def _km_sql_core(obs_cte: str, strata: str = "") -> str:
+    """The estimator's SQL (mirrors ``_km_curve``); ``strata`` is a
+    trailing-comma'd column list, e.g. ``"segment,"``, empty for the
+    global curve."""
+    part = f"PARTITION BY {strata.rstrip(',')}" if strata else ""
+    return f"""
+per_t AS (
+    SELECT {strata} t_days, sum(event)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_obs
+    FROM ({obs_cte}) GROUP BY ALL
+),
+curve AS (
+    SELECT {strata} t_days, n_events,
+           sum(n_obs) OVER (
+               {part} ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS n_at_risk
+    FROM per_t
+),
+ev AS (
+    SELECT {strata} t_days, n_events, n_at_risk,
+           n_events::DOUBLE / n_at_risk::DOUBLE AS hazard,
+           CASE WHEN n_events = n_at_risk THEN NULL
+                ELSE round(ln(1.0 - n_events::DOUBLE / n_at_risk::DOUBLE)
+                           * {_SURV_GRID})::BIGINT END AS w_micro,
+           max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+               OVER ({part} ORDER BY t_days) AS zeroed
+    FROM curve WHERE n_events > 0
+)
+SELECT {strata} t_days, n_at_risk, n_events, hazard,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp((sum(w_micro) OVER ({part} ORDER BY t_days))::DOUBLE
+                           / {float(_SURV_GRID)}), 6) END AS survival
+FROM ev
+"""
+
+
+_KM_OBS_SQL = f"""
 WITH o AS (
     SELECT o_custkey, o_orderkey,
            date_diff('day', TIMESTAMP '{_KM_EPOCH}', o_orderdate)::BIGINT
@@ -1688,44 +1761,31 @@ nx AS (
     FROM o
 ),
 obs AS (
-    SELECT coalesce(next_day - day, max_day - day) AS t_days,
+    SELECT o_custkey,
+           coalesce(next_day - day, max_day - day) AS t_days,
            (next_day IS NOT NULL)::BIGINT AS event
     FROM nx
-),
-per_t AS (
-    SELECT t_days, sum(event)::BIGINT AS n_events,
-           count(*)::BIGINT AS n_obs
-    FROM obs GROUP BY t_days
-),
-curve AS (
-    SELECT t_days, n_events,
-           sum(n_obs) OVER (
-               ORDER BY t_days DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )::BIGINT AS n_at_risk
-    FROM per_t
-),
-ev AS (
-    SELECT t_days, n_events, n_at_risk,
-           n_events::DOUBLE / n_at_risk::DOUBLE AS hazard,
-           CASE WHEN n_events = n_at_risk THEN NULL
-                ELSE round(ln(1.0 - n_events::DOUBLE / n_at_risk::DOUBLE)
-                           * {_SURV_GRID})::BIGINT END AS w_micro,
-           max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
-               OVER (ORDER BY t_days) AS zeroed
-    FROM curve WHERE n_events > 0
-)
-SELECT t_days, n_at_risk, n_events, hazard,
-       CASE WHEN zeroed = 1 THEN 0.0
-            ELSE round(exp((sum(w_micro) OVER (ORDER BY t_days))::DOUBLE
-                           / {float(_SURV_GRID)}), 6) END AS survival
-FROM ev
+)"""
+
+CUSTOMER_REORDER_SURVIVAL_SQL = f"""{_KM_OBS_SQL},
+{_km_sql_core("SELECT t_days, event FROM obs")}
+"""
+
+SEGMENT_REORDER_SURVIVAL_SQL = f"""{_KM_OBS_SQL},
+{_km_sql_core(
+    "SELECT c.c_mktsegment AS segment, o.t_days, o.event "
+    "FROM obs o JOIN customer c ON c.c_custkey = o.o_custkey",
+    strata="segment,",
+)}
 """
 
 
 ANALYTICS_SPECS = [
     QuerySpec("customer_reorder_survival", customer_reorder_survival,
               CUSTOMER_REORDER_SURVIVAL_SQL, ("survival-kaplan-meier",)),
+    QuerySpec("segment_reorder_survival", segment_reorder_survival,
+              SEGMENT_REORDER_SURVIVAL_SQL,
+              ("survival-kaplan-meier-stratified",)),
     # pivot_table / price_stats lead: they were the only analytics entries outside
     # the driver's round-1 correctness window (see VERDICT round 1), so they get
     # priority placement for driver evidence.

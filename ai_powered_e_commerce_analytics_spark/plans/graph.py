@@ -343,7 +343,144 @@ CROSS JOIN tot
 """
 
 
+_G2_GRID = 1_000_000   # micro quantization of per-cell G-test terms
+
+
+def copurchase_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) significance of each
+    supported co-purchase pair — the statistic that separates "bought
+    together more than chance" from "both just popular", which raw
+    lift/confidence cannot (lift on tiny counts is noise; G² scales
+    with evidence). Per undirected pair the 2x2 basket contingency is
+    O11 = both, O10/O01 = one-sided, O00 = neither, with independence
+    expectations E = row·col/N, and G² = 2·Σ O·ln(O/E) (zero cells
+    contribute 0 in the limit). G² is asymptotically χ²(1df): > 3.84
+    ~= p < 0.05, > 10.83 ~= p < 0.001 — the thresholds a merchandising
+    rule miner gates on.
+
+    Determinism (the surprisal micro-nat discipline on each CELL): all
+    counts are exact longs; each cell term ``2·O·ln(O/E)`` is one libm
+    ln on identical doubles, quantized to micro units; G² is the exact
+    long sum of the 4 cell terms (order-independent), emitted as the
+    exact ratio. Lift rides along raw (exact-integer-ratio quotient).
+
+    Plan: the frequent-pair contraction (``_supported_edges`` — the
+    Apriori pruning IS the scale gate), two item-keyed degree joins, a
+    1-row broadcast total; everything past the basket shuffle is
+    pair-grain. No new corpus pass.
+    """
+    edges = _supported_edges(spark, sf_dir)
+    d = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    total = d.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("x"), F.col("n_orders").alias("n_a")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("y"), F.col("n_orders").alias("n_b")
+    )
+    base = (
+        edges.join(da, "x")
+        .join(db, "y")
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("n_baskets").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+
+    def cell(o, row, col):
+        od = o.cast("double")
+        e = row * col / n
+        return F.round(
+            F.when(
+                o > 0, F.lit(2.0) * od * F.log(od / e)
+            ).otherwise(F.lit(0.0))
+            * _G2_GRID,
+            0,
+        ).cast("long")
+
+    g2_micro = (
+        cell(F.col("c"), na, nb)
+        + cell(F.col("n_a") - F.col("c"), na, n - nb)
+        + cell(F.col("n_b") - F.col("c"), n - na, nb)
+        + cell(
+            F.col("n_baskets") - F.col("n_a") - F.col("n_b") + F.col("c"),
+            n - na,
+            n - nb,
+        )
+    )
+    lift = (F.col("c").cast("double") * n) / (na * nb)
+    return base.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        F.col("c").alias("n_both"),
+        "n_a",
+        "n_b",
+        "n_baskets",
+        lift.alias("lift"),
+        g2_micro.alias("g2_micro"),
+        (g2_micro.cast("double") / F.lit(float(_G2_GRID))).alias("g2"),
+    )
+
+
+def _g2_cell_sql(o: str, row: str, col: str) -> str:
+    return (
+        f"round((CASE WHEN {o} > 0 THEN 2.0 * ({o})::DOUBLE * "
+        f"ln(({o})::DOUBLE / (({row}) * ({col}) / n_baskets::DOUBLE)) "
+        f"ELSE 0.0 END) * {_G2_GRID})::BIGINT"
+    )
+
+
+COPURCHASE_RULE_SIGNIFICANCE_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y, count(*)::BIGINT AS c
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS n_orders FROM d GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM d),
+base AS (
+    SELECT e.x, e.y, e.c, da.n_orders AS n_a, db.n_orders AS n_b,
+           n_baskets
+    FROM e
+    JOIN deg da ON da.l_partkey = e.x
+    JOIN deg db ON db.l_partkey = e.y
+    CROSS JOIN tot
+),
+g AS (
+    SELECT *,
+        {_g2_cell_sql("c", "n_a::DOUBLE", "n_b::DOUBLE")}
+      + {_g2_cell_sql("n_a - c", "n_a::DOUBLE",
+                      "n_baskets::DOUBLE - n_b::DOUBLE")}
+      + {_g2_cell_sql("n_b - c", "n_baskets::DOUBLE - n_a::DOUBLE",
+                      "n_b::DOUBLE")}
+      + {_g2_cell_sql("n_baskets - n_a - n_b + c",
+                      "n_baskets::DOUBLE - n_a::DOUBLE",
+                      "n_baskets::DOUBLE - n_b::DOUBLE")}
+        AS g2_micro
+    FROM base
+)
+SELECT x AS part_a, y AS part_b, c AS n_both, n_a, n_b, n_baskets,
+       (c::DOUBLE * n_baskets::DOUBLE) / (n_a::DOUBLE * n_b::DOUBLE)
+           AS lift,
+       g2_micro,
+       g2_micro::DOUBLE / {float(_G2_GRID)} AS g2
+FROM g
+"""
+
+
 GRAPH_SPECS = [
+    QuerySpec(
+        "copurchase_rule_significance",
+        copurchase_rule_significance,
+        COPURCHASE_RULE_SIGNIFICANCE_SQL,
+        ("rule-gtest-significance",),
+    ),
     QuerySpec(
         "copurchase_triangles",
         copurchase_triangles,

@@ -59,3 +59,78 @@ def test_km_curve_invariants(spark):
     assert all(a > b for a, b in zip(risk, risk[1:]))
     assert all(0 < d <= n for _, n, d, _ in rows)
     assert 0.0 <= surv[-1] < surv[0] <= 1.0
+
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KM_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small random order histories with heavy day ties (ties exercise the
+# per-customer lead ordering and duration-grain grouping)
+_histories = st.lists(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=6),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _km_reference(histories):
+    """Pure-Python KM over the same observation construction."""
+    days = sorted({d for h in histories for d in h})
+    max_day = max(days)
+    obs = []  # (duration, event)
+    for h in histories:
+        hs = sorted(h)
+        for a, b in zip(hs, hs[1:]):
+            obs.append((b - a, 1))
+        obs.append((max_day - hs[-1], 0))
+    out = []
+    cum_micro, zeroed = 0, False
+    for t in sorted({d for d, e in obs if e == 1}):
+        n = sum(1 for d, _ in obs if d >= t)
+        d = sum(1 for dd, e in obs if dd == t and e == 1)
+        hazard = float(d) / float(n)
+        if d == n:
+            zeroed = True
+        elif not zeroed:
+            w = math.log(1.0 - hazard) * 1_000_000
+            cum_micro += int(math.floor(abs(w) + 0.5)) * (1 if w >= 0 else -1)
+        surv = 0.0 if zeroed else round(math.exp(cum_micro / 1e6), 6)
+        out.append((t, n, d, hazard, surv))
+    return out
+
+
+@given(histories=_histories)
+@settings(**_KM_SETTINGS)
+def test_km_property_vs_python_reference(spark, tmp_path_factory, histories):
+    epoch = datetime.datetime.fromisoformat(_KM_EPOCH)
+    rows = []
+    key = 0
+    for cust, h in enumerate(histories):
+        for d in h:
+            key += 1
+            rows.append((cust, key, epoch + datetime.timedelta(days=int(d))))
+    tmp = tmp_path_factory.mktemp("km")
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    got = sorted(
+        tuple(r) for r in customer_reorder_survival(spark, str(tmp)).collect()
+    )
+    want = _km_reference(histories)
+    # survival compared at the emission grid; ln-rounding in the engine
+    # is round-half-even vs the reference's half-away only at exact .5
+    # micro boundaries, which these integer-day hazards never hit
+    assert [(t, n, d) for t, n, d, _, _ in got] == [
+        (t, n, d) for t, n, d, _, _ in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) == 0.0
+        assert abs(g[4] - w[4]) < 2e-6, (g, w)
