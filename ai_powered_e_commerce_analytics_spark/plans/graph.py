@@ -388,6 +388,15 @@ def copurchase_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "y")
         .crossJoin(F.broadcast(total))
     )
+    return rule_significance_frame(base)
+
+
+def rule_significance_frame(base: DataFrame) -> DataFrame:
+    """The G-test emission over a (x, y, c, n_a, n_b, n_baskets) base —
+    the ONE statistic shared by the batch query and the streamed
+    co-purchase-counts store's reader
+    (``streaming/jobs.read_streamed_rule_significance``), so a
+    streaming deployment's significance numbers are the batch numbers."""
     n = F.col("n_baskets").cast("double")
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
 

@@ -1978,3 +1978,114 @@ def rotate_bloom_first_seen(
     if available_now:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def copurchase_counts_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streamed co-purchase sufficient statistics — the SIXTH member of
+    the mergeable-sketch family (frequencies / distincts / percentiles
+    / samples / second moments / now RULE-MINING COUNTS): each
+    micro-batch of COMPLETE baskets — (l_orderkey, parts array, ts);
+    the stream contract is one record per finished order, so a basket
+    never splits across batches — contracts to (i, j, v) long partials
+    on the covariance store's key scheme: in-basket pair counts
+    (i < j part keys), per-item basket degrees (j = -1), and one
+    (-1, -1, 1) basket-count row. Every statistic downstream of rule
+    mining (support, confidence, lift, G-test significance) is a pure
+    expression over per-key SUMS of these rows, so the merged store
+    reconstructs the batch answer exactly
+    (``read_streamed_rule_significance`` shares the emission with the
+    oracle-gated ``plans/graph.copurchase_rule_significance``).
+    Replay-idempotent ``batch_id={N}`` partitions; compaction =
+    ``compact_copurchase_store`` (the covariance store's fold)."""
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("parts", T.ArrayType(T.LongType())),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = _file_stream(spark, src_dir, schema, archive_dir=None)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        b = batch.where(
+            F.col("parts").isNotNull() & (F.size("parts") > 0)
+        ).select(F.array_sort(F.array_distinct("parts")).alias("__ps"))
+        pair_structs = F.expr("""
+            flatten(transform(__ps, (x, ix) ->
+                transform(slice(__ps, ix + 2, size(__ps) - ix - 1), y ->
+                    struct(cast(x as bigint) as i, cast(y as bigint) as j,
+                           cast(1 as bigint) as v))))
+        """)
+        pairs = b.select(F.explode(pair_structs).alias("t")).select(
+            "t.i", "t.j", "t.v"
+        )
+        degs = b.select(F.explode("__ps").alias("i")).select(
+            F.col("i").cast("long").alias("i"),
+            F.lit(-1).cast("long").alias("j"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        baskets = b.select(
+            F.lit(-1).cast("long").alias("i"),
+            F.lit(-1).cast("long").alias("j"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        (
+            pairs.unionByName(degs)
+            .unionByName(baskets)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def read_streamed_rule_significance(
+    spark: SparkSession, out_dir: str, *, min_support: int | None = None
+) -> DataFrame:
+    """Merge-on-read of the co-purchase counts store into the G-test
+    rule report: per-(i, j) SUM across base + live partitions, split
+    the key space back into pairs / degrees / basket count, then the
+    SAME emission as the batch query
+    (``plans/graph.rule_significance_frame``) — bit-identical to a
+    batch run over the same baskets."""
+    from ..plans.graph import MIN_SUPPORT, rule_significance_frame
+
+    from .sketch_store import live_store_frame
+
+    ms = MIN_SUPPORT if min_support is None else min_support
+    merged = (
+        live_store_frame(spark, out_dir)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    pairs = merged.where(
+        (F.col("i") >= 0) & (F.col("j") >= 0) & (F.col("v") >= ms)
+    ).select(
+        F.col("i").alias("x"), F.col("j").alias("y"), F.col("v").alias("c")
+    )
+    deg = merged.where((F.col("j") == -1) & (F.col("i") >= 0))
+    da = deg.select(F.col("i").alias("x"), F.col("v").alias("n_a"))
+    db = deg.select(F.col("i").alias("y"), F.col("v").alias("n_b"))
+    total = merged.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n_baskets")
+    )
+    base = (
+        pairs.join(da, "x").join(db, "y").crossJoin(F.broadcast(total))
+    )
+    return rule_significance_frame(base)

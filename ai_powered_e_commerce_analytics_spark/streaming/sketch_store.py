@@ -363,3 +363,18 @@ def compact_weighted_sample_store(
         spark, out_dir, checkpoint_dir,
         fold=lambda rows: wsample_topk_fold(rows, k),
     )
+
+
+def compact_copurchase_store(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """Co-purchase sufficient-statistics store (r12, SIXTH family
+    member): merge = per-(i, j) long addition over the shared key
+    space — pair co-order counts (i < j part keys), item basket
+    degrees (j = -1), and the basket count row (-1, -1). The same fold
+    as the covariance store, applied to rule mining: the merged frame
+    reconstructs support / lift / G-test significance exactly."""
+    return compact_sketch_store(
+        spark, out_dir, checkpoint_dir,
+        ("i", "j"), (F.sum("v").alias("v"),),
+    )

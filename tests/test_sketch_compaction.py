@@ -1,7 +1,7 @@
 """Replay-safe compaction of the streamed-sketch stores (VERDICT r9 #1).
 
-One shared rig drives all five stores (CMS / value-histogram / WAU /
-weighted-sample / covariance-sums) through: two micro-batches -> merge-on-read snapshot -> compaction ->
+One shared rig drives all six stores (CMS / value-histogram / WAU /
+weighted-sample / covariance-sums / co-purchase counts) through: two micro-batches -> merge-on-read snapshot -> compaction ->
 bit-exact read equality -> a PLANTED checkpoint replay of the
 already-compacted last micro-batch (the commit-marker-deletion rig from
 test_streaming.py) -> the replayed partition reappears on disk but
@@ -18,6 +18,7 @@ import pytest
 from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     WSAMPLE_STREAM_K,
     cms_counters_stream,
+    copurchase_counts_stream,
     covariance_sums_stream,
     read_cms_counters,
     read_streamed_covariance,
@@ -28,8 +29,12 @@ from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
     wau_sketches_stream,
     weighted_sample_stream,
 )
+from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+    read_streamed_rule_significance,
+)
 from ai_powered_e_commerce_analytics_spark.streaming.sketch_store import (
     compact_cms_store,
+    compact_copurchase_store,
     compact_covariance_store,
     compact_sketch_store,
     compact_value_histogram_store,
@@ -94,7 +99,27 @@ _COVS = [
     [(5, _cov_vec(5, scale=9.0), "t")],
 ]
 
+# co-purchase counts store (r12, sixth family member): pairs repeat
+# across batches so the counts genuinely merge; the fresh drop bumps
+# supported-pair counts and the basket total.
+_BASKETS = [
+    [(1, [10, 20, 30], "t"), (2, [10, 20], "t")],
+    [(3, [20, 10], "t"), (4, [20, 30, 40], "t")],
+    # fresh post-compaction drop: must CHANGE the merged fold
+    [(5, [10, 20, 30], "t")],
+]
+
 _STORES = {
+    "copurchase": (
+        copurchase_counts_stream,
+        compact_copurchase_store,
+        "l_orderkey long, parts array<long>, ts string",
+        _BASKETS,
+        lambda spark, out: sorted(
+            tuple(r)
+            for r in read_streamed_rule_significance(spark, out).collect()
+        ),
+    ),
     "cov": (
         covariance_sums_stream,
         compact_covariance_store,
@@ -427,3 +452,61 @@ def test_covariance_stream_matches_batch_fold(spark, tmp_path):
     a_batch, v_batch = _opq_jacobi(covariance_from_sums(sums).collect())
     assert v_store == v_batch
     assert alloc_store == _opq_alloc(a_batch)
+
+
+def test_copurchase_stream_matches_batch_fold(spark, tmp_path):
+    # Bit-identical batch/stream parity for the rule-significance
+    # report: the merged store equals the SAME base construction +
+    # shared emission applied to all baskets at once.
+    from pyspark.sql import functions as SF
+
+    from ai_powered_e_commerce_analytics_spark.plans.graph import (
+        MIN_SUPPORT,
+        rule_significance_frame,
+    )
+
+    stream_fn, _compact, schema, drops, snapshot = _STORES["copurchase"]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    allrows = []
+    for i, rows in enumerate(drops):
+        allrows += rows
+        _drop_and_run(spark, stream_fn, schema, rows, src, out, ckpt, i)
+    streamed = snapshot(spark, out)
+
+    d = (
+        spark.createDataFrame(allrows, schema)
+        .select("l_orderkey", SF.explode("parts").alias("p"))
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (SF.col("a.l_orderkey") == SF.col("b.l_orderkey"))
+            & (SF.col("a.p") < SF.col("b.p")),
+        )
+        .groupBy(SF.col("a.p").alias("x"), SF.col("b.p").alias("y"))
+        .agg(SF.count("*").alias("c"))
+        .where(SF.col("c") >= MIN_SUPPORT)
+    )
+    deg = d.groupBy("p").agg(SF.count("*").alias("n"))
+    base = (
+        pairs.join(deg.select(SF.col("p").alias("x"), SF.col("n").alias("n_a")), "x")
+        .join(deg.select(SF.col("p").alias("y"), SF.col("n").alias("n_b")), "y")
+        .crossJoin(
+            SF.broadcast(
+                d.select("l_orderkey").distinct().agg(
+                    SF.count("*").alias("n_baskets")
+                )
+            )
+        )
+    )
+    expected = sorted(
+        tuple(r) for r in rule_significance_frame(base).collect()
+    )
+    assert streamed == expected
+    # the drops were sized so the support floor genuinely filters:
+    # (20,40) and (30,40) co-ordered once and must be absent
+    kept = {(r[0], r[1]) for r in streamed}
+    assert (20, 40) not in kept and (30, 40) not in kept
+    assert (10, 20) in kept and (20, 30) in kept
