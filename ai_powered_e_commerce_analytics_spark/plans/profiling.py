@@ -1399,7 +1399,91 @@ FROM a
 """
 
 
+#: PII-ish surface patterns, restricted to the regex subset Java
+#: (Spark) and RE2 (DuckDB) agree on — char classes, +, bounded
+#: repetition, \s. No backrefs, no lookaround (RE2 has neither).
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "long_digits": r"[0-9]{6,}",
+}
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII surface scan — emails, URLs, long digit runs
+    (phone/account/SSN-shaped) — the governance pass a training-data
+    pipeline runs BEFORE release (PII leakage into a trained model is
+    unrecoverable; scan-then-redact is the standard mitigation, and
+    the per-source rollup of this frame decides which sources need the
+    expensive NER-based second pass). Counts are per non-overlapping
+    match; ``pii_flag`` marks documents for the redaction path
+    (:func:`redact_pii`).
+
+    Determinism: ``regexp_count`` on both engines returns the exact
+    non-overlapping match count; the patterns are written in the
+    Java∩RE2 dialect subset (see ``PII_PATTERNS``) so both engines
+    tokenize identically — planted-document parity (Spark vs DuckDB vs
+    hand counts) is asserted in tests/test_pii_scan.py. The synthetic
+    fixture corpus contains no PII (all-zero counts), which the oracle
+    verifies like any other frame; the capability is exercised by the
+    planted tests.
+
+    Scale: one pure per-row map over the documents scan — three regex
+    passes per document, zero shuffle, zero driver state. At 100 TB
+    this is embarrassingly parallel and IO-bound; the flag column
+    makes the downstream redaction scan read only flagged documents.
+    """
+    cols = [
+        F.regexp_count(F.col("text"), F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = d.select("doc_id", "source", *cols)
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_flag", total > 0)
+
+
+def redact_pii(text, tag_fmt: str = "<{kind}>"):
+    """Redaction column: every ``PII_PATTERNS`` match replaced by its
+    kind tag, applied in the dict's fixed order (emails before
+    long_digits, so a digit-bearing email redacts as ONE email tag).
+    Pure JVM ``regexp_replace`` chain — the scan's cheap mitigation
+    twin, tested on planted documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    for k, p in PII_PATTERNS.items():
+        c = F.regexp_replace(c, p, tag_fmt.format(kind=k[:-1] if k.endswith("s") else k))
+    return c
+
+
+def _pii_sql() -> str:
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{p}'))::BIGINT AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    return f"""
+SELECT doc_id, source,
+       {cols},
+       ({total}) > 0 AS pii_flag
+FROM documents
+"""
+
+
+DOC_PII_SCAN_SQL = _pii_sql()
+
+
 PROFILING_SPECS = [
+    QuerySpec(
+        "doc_pii_scan",
+        doc_pii_scan,
+        DOC_PII_SCAN_SQL,
+        ("governance-pii-scan",),
+    ),
     QuerySpec(
         "table_profile_orders",
         table_profile_orders,

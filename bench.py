@@ -161,7 +161,7 @@ HEADLINE = [
     "doc_novelty_profile",
     "embedding_kcenter_coreset",
     "embedding_covariance",
-    # round-12 additions (102 -> 106; r11-comparable subset = first
+    # round-12 additions (102 -> 107; r11-comparable subset = first
     # 102). simsearch_ivfpq_rerank and embedding_pca_explained_variance
     # are registry-gated but not benched: the former re-runs
     # simsearch_ivfpq_topk's training fixed point with k widened plus
@@ -173,6 +173,7 @@ HEADLINE = [
     "customer_reorder_survival",
     "segment_reorder_survival",
     "copurchase_rule_significance",
+    "doc_pii_scan",
 ]
 
 
