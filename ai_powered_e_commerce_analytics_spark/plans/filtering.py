@@ -521,7 +521,137 @@ FROM hist h JOIN tot t USING (source)
 """
 
 
+_PSI_GRID = 1_000_000   # micro quantization of per-bucket PSI terms
+# PSI reading bands (industry convention), compared on EXACT micro
+# longs so the label can never flip on a float boundary:
+_PSI_STABLE_MICRO = 100_000   # < 0.10: stable
+_PSI_MODERATE_MICRO = 250_000  # < 0.25: moderate shift; else major
+
+
+def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole-corpus baseline — THE standard
+    drift gauge (credit-scoring heritage, now the default data-drift
+    monitor): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over length buckets,
+    with p = the source's bucket share and q = the corpus's. A source
+    whose length profile drifts from the corpus it is mixed into skews
+    sequence packing, token budgets, and quality-filter calibration —
+    this is the early-warning a curation pipeline reads per ingest.
+    Bands (exact micro-long thresholds, never a float compare):
+    < 0.10 stable, < 0.25 moderate, else major.
+
+    Determinism: buckets are the exact binary-digit-count idiom of
+    :func:`doc_length_log2_histogram` (no float log at the boundary);
+    p and q are exact long ratios; each bucket term quantizes its one
+    libm ``ln`` to micro units (the surprisal discipline) and PSI is
+    the exact long sum. Buckets the SOURCE is absent from are excluded
+    and REPORTED (``n_buckets_excluded``) rather than epsilon-fudged —
+    q > 0 holds for every included bucket because the corpus contains
+    the source.
+
+    Scale: one (source, bucket) contraction off the documents scan,
+    a ~O(buckets) corpus rollup broadcast back, a source-grain agg.
+    Nothing downstream of the first groupBy is data-sized.
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bucket = F.length(
+        F.conv(F.col("n_chars").cast("string"), 10, 2)
+    ).cast("long")
+    sb = (
+        docs.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c_sb"))
+    )
+    src_tot = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    corpus = sb.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
+    grand = corpus.agg(
+        F.sum("c_b").alias("n_total"),
+        F.count("*").alias("n_corpus_buckets"),
+    )
+    p = F.col("c_sb").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_b").cast("double") / F.col("n_total").cast("double")
+    term_micro = F.round((p - q) * F.log(p / q) * _PSI_GRID, 0).cast("long")
+    per_source = (
+        sb.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "b")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "n_s",
+            "n_corpus_buckets",
+            term_micro.alias("t_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_docs"),
+            F.count("*").alias("n_buckets_used"),
+            (F.first("n_corpus_buckets") - F.count("*")).alias(
+                "n_buckets_excluded"
+            ),
+            F.sum("t_micro").alias("psi_micro"),
+        )
+    )
+    band = (
+        F.when(F.col("psi_micro") < _PSI_STABLE_MICRO, F.lit("stable"))
+        .when(F.col("psi_micro") < _PSI_MODERATE_MICRO, F.lit("moderate"))
+        .otherwise(F.lit("major"))
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.col("n_buckets_excluded").cast("long").alias("n_buckets_excluded"),
+        "psi_micro",
+        (F.col("psi_micro").cast("double") / F.lit(float(_PSI_GRID))).alias(
+            "psi"
+        ),
+        band.alias("shift_band"),
+    )
+
+
+SOURCE_LENGTH_PSI_SQL = f"""
+WITH sb AS (
+    SELECT source, length(bin(n_chars))::BIGINT AS b,
+           count(*)::BIGINT AS c_sb
+    FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+),
+st AS (SELECT source, sum(c_sb)::BIGINT AS n_s FROM sb GROUP BY 1),
+cb AS (SELECT b, sum(c_sb)::BIGINT AS c_b FROM sb GROUP BY 1),
+g AS (SELECT sum(c_b)::BIGINT AS n_total,
+             count(*)::BIGINT AS n_corpus_buckets FROM cb),
+terms AS (
+    SELECT sb.source, st.n_s, g.n_corpus_buckets,
+           round((sb.c_sb::DOUBLE / st.n_s::DOUBLE
+                  - cb.c_b::DOUBLE / g.n_total::DOUBLE)
+                 * ln((sb.c_sb::DOUBLE / st.n_s::DOUBLE)
+                      / (cb.c_b::DOUBLE / g.n_total::DOUBLE))
+                 * {_PSI_GRID})::BIGINT AS t_micro
+    FROM sb JOIN st USING (source) JOIN cb USING (b) CROSS JOIN g
+),
+agg AS (
+    SELECT source, first(n_s) AS n_docs,
+           count(*)::BIGINT AS n_buckets_used,
+           (first(n_corpus_buckets) - count(*))::BIGINT
+               AS n_buckets_excluded,
+           sum(t_micro)::BIGINT AS psi_micro
+    FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_buckets_used, n_buckets_excluded, psi_micro,
+       psi_micro::DOUBLE / {float(_PSI_GRID)} AS psi,
+       CASE WHEN psi_micro < {_PSI_STABLE_MICRO} THEN 'stable'
+            WHEN psi_micro < {_PSI_MODERATE_MICRO} THEN 'moderate'
+            ELSE 'major' END AS shift_band
+FROM agg
+"""
+
+
 FILTERING_SPECS = [
+    QuerySpec(
+        "source_length_psi",
+        source_length_psi,
+        SOURCE_LENGTH_PSI_SQL,
+        ("drift-psi-monitor",),
+    ),
     QuerySpec(
         "quality_filter_battery",
         quality_filter_battery,

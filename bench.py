@@ -161,7 +161,7 @@ HEADLINE = [
     "doc_novelty_profile",
     "embedding_kcenter_coreset",
     "embedding_covariance",
-    # round-12 additions (102 -> 107; r11-comparable subset = first
+    # round-12 additions (102 -> 108; r11-comparable subset = first
     # 102). simsearch_ivfpq_rerank and embedding_pca_explained_variance
     # are registry-gated but not benched: the former re-runs
     # simsearch_ivfpq_topk's training fixed point with k widened plus
@@ -174,6 +174,7 @@ HEADLINE = [
     "segment_reorder_survival",
     "copurchase_rule_significance",
     "doc_pii_scan",
+    "source_length_psi",
 ]
 
 
