@@ -134,6 +134,27 @@ def main(argv: list[str] | None = None) -> int:
         "to the stream's WSAMPLE_STREAM_K)",
     )
 
+    c = sub.add_parser(
+        "ann-index",
+        help="persisted IVF-PQ index lifecycle: build (train + "
+        "materialize, optionally OPQ-rotated), compact (fold append "
+        "residue into a fresh bucketed generation behind the "
+        "retention-grace manifest swap), health (served recall@k vs "
+        "exact L2 ground truth with the retrain-needed floor)",
+    )
+    c.add_argument(
+        "--action", required=True, choices=("build", "compact", "health")
+    )
+    c.add_argument("--out", required=True, help="index artifact dir")
+    c.add_argument("--sf-dir", help="corpus dir (build / health)")
+    c.add_argument("--table", help="codes catalog table name (build)")
+    c.add_argument("--buckets", type=int, default=8)
+    c.add_argument(
+        "--opq", action="store_true",
+        help="train/encode PQ in the OPQ-rotated space (build)",
+    )
+    c.add_argument("--recall-floor", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     import os
@@ -175,6 +196,8 @@ def _run(spark, args) -> dict:
         return run_pretrain_pipeline(spark, args.sf_dir, args.out)
     if args.cmd == "audit":
         return _audit(spark, args)
+    if args.cmd == "ann-index":
+        return _ann_index(spark, args)
     if args.cmd == "compact-sketches":
         from .streaming.jobs import WSAMPLE_STREAM_K
         from .streaming.sketch_store import (
@@ -251,6 +274,38 @@ def _run(spark, args) -> dict:
     for name in ("user_kpis", "shop_kpis", "date_kpis"):
         stats[name] = read_upsert_table(spark, f"{d['kpis']}/{name}").count()
     return stats
+
+
+def _ann_index(spark, args) -> dict:
+    """CLI surface of the operators/ann_index.py lifecycle. ``health``
+    serves the standard query set (vec_id < KNN_QUERIES) from the
+    persisted index and measures recall against exact squared-L2 over
+    the raw corpus — the retrain-trigger an operator crons."""
+    from pyspark.sql import functions as F
+
+    from .operators.ann_index import (
+        build_ivfpq_index,
+        check_index_health,
+        compact_index,
+    )
+
+    if args.action == "build":
+        return build_ivfpq_index(
+            spark, args.sf_dir, args.out,
+            table=args.table, buckets=args.buckets, opq=args.opq,
+        )
+    if args.action == "compact":
+        return compact_index(spark, args.out)
+    from .plans.simsearch import KNN_QUERIES, _emb
+
+    base = _emb(spark, args.sf_dir)
+    queries = base.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    return check_index_health(
+        spark, args.out, queries, base.select("vec_id", "emb"),
+        recall_floor=args.recall_floor,
+    )
 
 
 def _audit(spark, args) -> dict:

@@ -180,6 +180,28 @@ def _load_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
+_CODES_SCHEMA_SQL = "(vec_id BIGINT, m INT, pq_cid BIGINT, ivf_cid BIGINT)"
+
+
+def _ensure_table(spark: SparkSession, manifest: dict) -> None:
+    """Re-register the bucketed codes table from the manifest when the
+    session's catalog doesn't have it — the default in-memory catalog
+    dies with the building session, but the ARTIFACTS (files + manifest)
+    are the durable truth, so any fresh session (the CLI, a serving
+    job) reconstructs the catalog entry with the same bucket spec and
+    external location. Plain ``spark.read.parquet`` would lose the
+    bucketing metadata and with it the pruned scan."""
+    if spark.catalog.tableExists(manifest["table"]):
+        return
+    nb = int(manifest["buckets"])
+    spark.sql(
+        f"""CREATE TABLE {manifest["table"]} {_CODES_SCHEMA_SQL}
+            USING PARQUET
+            CLUSTERED BY (ivf_cid) SORTED BY (ivf_cid) INTO {nb} BUCKETS
+            LOCATION '{manifest["codes_path"]}'"""
+    )
+
+
 def _publish_manifest(out_dir: str, manifest: dict) -> None:
     p = os.path.join(out_dir, _MANIFEST)
     tmp = p + ".tmp"
@@ -218,6 +240,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     superseded generation can disappear. Searches are bit-identical
     across the swap: same rows, same bucket spec, same ADC math."""
     manifest = _load_manifest(out_dir)
+    _ensure_table(spark, manifest)
     # 1. retention-grace sweep: drop what the PREVIOUS compaction
     #    superseded (no current reader can hold a manifest that old)
     for victim in manifest.get("pending_gc", []):
@@ -368,6 +391,7 @@ def append_to_index(
     (the same economics as the sketch stores' compaction). Returns the
     number of code rows appended."""
     manifest = _load_manifest(out_dir)
+    _ensure_table(spark, manifest)
     rows = encode_vectors(spark, out_dir, vecs).select(
         # insertInto is POSITIONAL: match the table's column order
         "vec_id", "m", "pq_cid", "ivf_cid"
@@ -397,6 +421,7 @@ def ivfpq_search(
     not the caller's consumption). For genuinely parallel serving use
     ``spark.newSession()`` per search thread."""
     manifest = _load_manifest(out_dir)
+    _ensure_table(spark, manifest)
     cent = spark.read.parquet(f"{out_dir}/centroids")
     q = queries
     if "q_norm" not in q.columns:

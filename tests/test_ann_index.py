@@ -431,3 +431,30 @@ def test_opq_index_roundtrip_and_serving(spark, tmp_path):
     compact_index(spark, out)
     post = sorted(tuple(r) for r in ivfpq_search(spark, out, q, k=25).collect())
     assert post == pre
+
+
+def test_codes_table_reregisters_from_manifest(spark, tmp_path):
+    """r12: the artifacts (files + manifest), not the session catalog,
+    are the index's durable truth — a serving session that never built
+    the index (simulated by DROPping the catalog entry) re-registers
+    the bucketed table from the manifest and serves identically, with
+    the bucket spec (and therefore pruning) intact."""
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_rereg", buckets=8
+    )
+    expected = sorted(
+        tuple(r) for r in ivfpq_search(spark, out, _queries(spark)).collect()
+    )
+    spark.sql("DROP TABLE t_ann_codes_rereg")
+    assert not spark.catalog.tableExists("t_ann_codes_rereg")
+    served = sorted(
+        tuple(r) for r in ivfpq_search(spark, out, _queries(spark)).collect()
+    )
+    assert served == expected and len(served) > 0
+    # the re-registered entry is bucketed (DESCRIBE shows the spec)
+    desc = "\n".join(
+        f"{r['col_name']} {r['data_type']}"
+        for r in spark.sql("DESCRIBE EXTENDED t_ann_codes_rereg").collect()
+    )
+    assert "Num Buckets 8" in desc and "ivf_cid" in desc, desc
