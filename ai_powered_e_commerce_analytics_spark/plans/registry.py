@@ -461,9 +461,44 @@ _R11_DRIVER_VERIFIED = {
 }
 
 
+# Queries verified GREEN by round 12's driver window (CORRECTNESS_r12 —
+# all 50 rows green, zero err: the eight oracle-gated r12 additions, the
+# three r12-touched PQ/IVF-PQ rows, all 27 stale-r8 rows, and 12 stale
+# r9 rows). After round 12 the oldest evidence anywhere is the 37-row
+# r9 band (VERDICT r12 next-round #1), which therefore leads the
+# round-13 window.
+_R12_DRIVER_VERIFIED = {
+    "bloom_pruned_part_revenue", "copurchase_pagerank", "copurchase_pairs",
+    "copurchase_rule_significance", "customer_rank_battery",
+    "customer_reorder_survival", "customer_revenue_pareto",
+    "customer_segment_scd2", "customers_1996_only", "customers_both_years",
+    "doc_pii_scan", "embedding_opq_rotation",
+    "embedding_pca_explained_variance", "embedding_pq_codebook",
+    "events_active_users", "events_funnel", "events_hourly_gapfill",
+    "events_hourly_rollup", "events_session_revenue",
+    "events_transition_matrix", "events_user_sessions",
+    "join_key_skew_profile", "lineitem_price_stats", "order_gaps_lag_lead",
+    "order_value_winsorized_stats", "referential_integrity_report",
+    "rfm_customer_segments", "rolling_weekly_revenue",
+    "running_revenue_per_customer", "salted_distinct_quantities",
+    "segment_reorder_survival", "session_path_topk",
+    "shipping_sla_percentiles", "simsearch_ivfpq_recall",
+    "simsearch_ivfpq_rerank", "simsearch_ivfpq_topk", "source_length_psi",
+    "table_profile_orders_hll", "tpch_q10_returned_revenue",
+    "tpch_q12_priority_pivot", "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_variety", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_wealthy_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_shipment_semi", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R12_DRIVER_VERIFIED:
+        return 12
     if name in _R11_DRIVER_VERIFIED:
         return 11
     if name in _R10_DRIVER_VERIFIED:
@@ -495,12 +530,23 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-12 window is therefore: the round-12 additions (never
-# checked), any query whose plan or oracle round 12 touched, then the
-# 27 remaining r8-verified rows (the oldest evidence left in the
-# registry — VERDICT r11 next-round #1), then the stalest r9 rows
-# filling to 50. After round 12 no row's driver evidence should
-# predate round 9.
+# The round-13 window is therefore: the round-13 additions (never
+# checked), any query whose plan or oracle round 13 touched, then the
+# 37 remaining r9-verified rows (the oldest evidence left in the
+# registry — VERDICT r12 next-round #1), filling to 50. After round 13
+# no row's driver evidence should predate round 10.
+#
+# touched_round EXEMPTION RULE (VERDICT r12 finding #2): a wrapper or
+# shared-helper sweep that is PROVEN plan-identical — the query's
+# AUDIT.json row (physical-plan feature counts) is unchanged before and
+# after the edit, and the executed plan is bit-identical under the
+# driver's configuration — is exempt from the "shared-helper rewrites
+# count" rule and need not bump touched_round. Anything short of that
+# proof (reasoning alone, "should be identical") must bump it. The r12
+# pin() routing sweep (semdedup, BPE vocab frame, graph loops) used
+# this exemption: pin() is the identity transformation when
+# spark.graft.checkpointDir is unset, which is the driver's
+# configuration, and the AUDIT rows were regenerated unchanged.
 def _staleness(q: QuerySpec) -> float:
     verified = _last_verified_round(q.name)
     if verified == 0:
