@@ -140,7 +140,12 @@ def main(argv: list[str] | None = None) -> int:
         "materialize, optionally OPQ-rotated), compact (fold append "
         "residue into a fresh bucketed generation behind the "
         "retention-grace manifest swap), health (served recall@k vs "
-        "exact L2 ground truth with the retrain-needed floor)",
+        "exact L2 ground truth with the retrain-needed floor). COST "
+        "NOTE: health's exact ground truth is one full corpus scan "
+        "per invocation (corpus x Q broadcast nested loop) — size the "
+        "query set with --max-queries and schedule it accordingly; "
+        "the cheap per-append leading indicator is the embedding-drift "
+        "monitor (embedding_drift_psi), not this check",
     )
     c.add_argument(
         "--action", required=True, choices=("build", "compact", "health")
@@ -154,8 +159,23 @@ def main(argv: list[str] | None = None) -> int:
         help="train/encode PQ in the OPQ-rotated space (build)",
     )
     c.add_argument("--recall-floor", type=float, default=0.5)
+    c.add_argument(
+        "--max-queries", type=int, default=None,
+        help="health: cap the query set at the first N standard query "
+        "ids (deterministic sample) — bounds the exact-ground-truth "
+        "cost, which is linear in Q on top of the corpus scan",
+    )
 
     args = p.parse_args(argv)
+
+    # per-action required args (ADVICE r12): fail at the parser with a
+    # usage message instead of an opaque downstream error (build without
+    # --table previously passed table=None into saveAsTable)
+    if args.cmd == "ann-index":
+        if args.action == "build" and not (args.sf_dir and args.table):
+            p.error("ann-index --action build requires --sf-dir and --table")
+        if args.action == "health" and not args.sf_dir:
+            p.error("ann-index --action health requires --sf-dir")
 
     import os
 
@@ -299,7 +319,10 @@ def _ann_index(spark, args) -> dict:
     from .plans.simsearch import KNN_QUERIES, _emb
 
     base = _emb(spark, args.sf_dir)
-    queries = base.where(F.col("vec_id") < KNN_QUERIES).select(
+    n_q = KNN_QUERIES
+    if args.max_queries is not None:
+        n_q = min(n_q, args.max_queries)
+    queries = base.where(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
     return check_index_health(

@@ -45,7 +45,6 @@ persisted-path twin of the oracle-gated recall query.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import threading
@@ -67,6 +66,11 @@ from ..plans.simsearch import (
 )
 from ..functions.core import pin
 from ..sources.bucketing import write_bucketed
+from ..sources.manifest import (
+    load_json_manifest,
+    local_path,
+    publish_json_manifest,
+)
 
 _MANIFEST = "_index.json"
 _AUTO_BUCKET_CONF = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -104,6 +108,14 @@ def build_ivfpq_index(
     preserves the L2 geometry ADC approximates, and raw-space probing
     keeps the centroid artifact shared between both index flavors);
     only the PQ stage sees rotated coordinates."""
+    # a REBUILD into an out_dir that already holds an index must not
+    # orphan the old generations: the old manifest's active codes dir
+    # and its pending_gc victims carry forward into the NEW manifest's
+    # pending_gc (same retention grace as compaction — a reader holding
+    # the pre-rebuild manifest finishes against intact files; the next
+    # compact_index sweeps them). Resetting pending_gc to [] here leaked
+    # old codes_g{N} dirs permanently (ADVICE r12).
+    prev = load_json_manifest(out_dir, _MANIFEST)
     if opq:
         from ..plans.simsearch import (
             _pq_state_from_sub,
@@ -120,8 +132,11 @@ def build_ivfpq_index(
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/rotation"
         )
+        # reuse the learned weights — apply_opq_rotation would otherwise
+        # re-run the covariance contraction + 48 Jacobi rounds for the
+        # same deterministic result (ADVICE r12)
         sub, cents = _pq_state_from_sub(
-            _sub_split(apply_opq_rotation(spark, sf_dir))
+            _sub_split(apply_opq_rotation(spark, sf_dir, vmat_flat=flat))
         )
     else:
         sub, cents = _pq_state(spark, sf_dir)
@@ -149,14 +164,31 @@ def build_ivfpq_index(
     spark.createDataFrame(
         cb_rows, "m int, cid long, cemb array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebook")
+    new_codes = f"{out_dir}/codes"
+    pending_gc: list[dict] = []
+    if prev is not None:
+        for victim in [
+            *prev.get("pending_gc", []),
+            {"table": prev["table"], "path": prev["codes_path"]},
+        ]:
+            # a victim whose directory this build just OVERWROTE (the
+            # gen-0 codes dir) is not stale — listing it would have the
+            # next compaction's sweep rmtree the LIVE generation
+            if _norm_location(victim["path"]) != _norm_location(new_codes):
+                pending_gc.append(victim)
+    # generation is a MONOTONIC counter per out_dir, not "which dir is
+    # live": a rebuild carries the old counter forward so the next
+    # compaction names a FRESH codes_g{N+1} dir instead of re-using a
+    # tombstoned generation's name right after sweeping it (a reader
+    # holding the old manifest would see the new files under its path)
     manifest = {
         "table": table,
         "base_table": table,
         "codes_path": f"{out_dir}/codes",
         "buckets": buckets,
         "nprobe": IVF_NPROBE,
-        "generation": 0,
-        "pending_gc": [],
+        "generation": int(prev.get("generation", 0)) if prev else 0,
+        "pending_gc": pending_gc,
         "opq": bool(opq),
     }
     _publish_manifest(out_dir, manifest)
@@ -176,11 +208,35 @@ def _load_rotation(spark: SparkSession, out_dir: str) -> list[float]:
 
 
 def _load_manifest(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, _MANIFEST)) as f:
-        return json.load(f)
+    """The index manifest (required — a missing one means no index was
+    built at ``out_dir``). I/O goes through the shared
+    ``sources/manifest.py`` helper, the single local-FS choke point
+    whose docstring carries the object-store port constraint."""
+    manifest = load_json_manifest(out_dir, _MANIFEST)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no ANN index manifest at {out_dir}/{_MANIFEST} — run "
+            "build_ivfpq_index (CLI: ann-index --action build) first"
+        )
+    return manifest
 
 
 _CODES_SCHEMA_SQL = "(vec_id BIGINT, m INT, pq_cid BIGINT, ivf_cid BIGINT)"
+
+
+def _norm_location(path: str) -> str:
+    """Normalized comparison form of a table/manifest location (scheme
+    stripped, absolute, trailing-slash-free) so catalog locations like
+    ``file:/tmp/idx/codes`` compare equal to manifest paths like
+    ``/tmp/idx/codes``."""
+    return os.path.abspath(local_path(path)).rstrip("/")
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            return (r["data_type"] or "").strip()
+    return None
 
 
 def _ensure_table(spark: SparkSession, manifest: dict) -> None:
@@ -190,9 +246,22 @@ def _ensure_table(spark: SparkSession, manifest: dict) -> None:
     are the durable truth, so any fresh session (the CLI, a serving
     job) reconstructs the catalog entry with the same bucket spec and
     external location. Plain ``spark.read.parquet`` would lose the
-    bucketing metadata and with it the pruned scan."""
+    bucketing metadata and with it the pruned scan.
+
+    An EXISTING catalog entry is trusted only if its location matches
+    the manifest's ``codes_path`` (ADVICE r12): a stale same-name table
+    from an earlier build or a different ``out_dir`` would otherwise
+    pass the name check and silently serve the wrong files — the
+    manifest is the durable truth, so the stale entry is dropped and
+    recreated at the right location (external table: the DROP touches
+    only catalog metadata, never the files)."""
     if spark.catalog.tableExists(manifest["table"]):
-        return
+        loc = _table_location(spark, manifest["table"])
+        if loc is not None and _norm_location(loc) == _norm_location(
+            manifest["codes_path"]
+        ):
+            return
+        spark.sql(f"DROP TABLE IF EXISTS {manifest['table']}")
     nb = int(manifest["buckets"])
     spark.sql(
         f"""CREATE TABLE {manifest["table"]} {_CODES_SCHEMA_SQL}
@@ -203,11 +272,7 @@ def _ensure_table(spark: SparkSession, manifest: dict) -> None:
 
 
 def _publish_manifest(out_dir: str, manifest: dict) -> None:
-    p = os.path.join(out_dir, _MANIFEST)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, p)  # atomic on POSIX: readers see old XOR new
+    publish_json_manifest(out_dir, _MANIFEST, manifest)
 
 
 def index_code_files(out_dir: str) -> list[str]:
@@ -238,14 +303,32 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     pre-swap manifest finishes its search against intact files; the
     NEXT compaction's sweep (step 1 below) is the earliest the
     superseded generation can disappear. Searches are bit-identical
-    across the swap: same rows, same bucket spec, same ADC math."""
+    across the swap: same rows, same bucket spec, same ADC math.
+
+    CONCURRENCY CONTRACT (ADVICE r12): at most ONE compactor at a time
+    — two concurrent compactions would both fold generation g and
+    publish racing g+1 manifests; serialize compaction in the
+    scheduler, the sketch stores' single-compactor contract. Concurrent
+    ``append_to_index`` calls ARE tolerated: an append that lands in
+    generation g after this compaction's scan has read it re-reads the
+    manifest when its write returns and re-appends the missed rows into
+    g+1 (see ``append_to_index``), so no rows are lost to the retention
+    sweep."""
     manifest = _load_manifest(out_dir)
     _ensure_table(spark, manifest)
     # 1. retention-grace sweep: drop what the PREVIOUS compaction
-    #    superseded (no current reader can hold a manifest that old)
+    #    superseded (no current reader can hold a manifest that old).
+    #    Never touch the LIVE generation's name or directory — a
+    #    rebuild's carried-forward victims can share the base table
+    #    name (build_ivfpq_index filters path collisions; the name
+    #    guard here covers the rebuilt-under-the-same-name case).
     for victim in manifest.get("pending_gc", []):
-        spark.sql(f"DROP TABLE IF EXISTS {victim['table']}")
-        shutil.rmtree(victim["path"], ignore_errors=True)
+        if victim["table"] != manifest["table"]:
+            spark.sql(f"DROP TABLE IF EXISTS {victim['table']}")
+        if _norm_location(victim["path"]) != _norm_location(
+            manifest["codes_path"]
+        ):
+            shutil.rmtree(local_path(victim["path"]), ignore_errors=True)
     # 2. fold the live rows into the next generation
     gen = int(manifest.get("generation", 0)) + 1
     base = manifest.get("base_table", manifest["table"])
@@ -389,15 +472,47 @@ def append_to_index(
     duplicates it — dedup upstream). Each append adds one file per
     touched bucket; a long-lived index periodically rewrites the table
     (the same economics as the sketch stores' compaction). Returns the
-    number of code rows appended."""
+    number of code rows appended.
+
+    SAFE AGAINST A CONCURRENT COMPACTION (ADVICE r12): an insert racing
+    ``compact_index`` can land in the OLD generation's files after the
+    compaction scan has read them — those rows would sit in the
+    tombstoned directory and vanish at the next retention sweep. So
+    after the write returns, the manifest generation is re-read; if it
+    advanced, the rows absent from the live generation (anti-join at
+    (vec_id, m) grain, which also covers a partial fold that caught
+    only some of a vector's M subspace rows) are re-appended into it,
+    looping until the generation is stable across one write. Appends
+    themselves may run concurrently (each lands its own files);
+    compaction stays single-writer per its own contract."""
     manifest = _load_manifest(out_dir)
     _ensure_table(spark, manifest)
     rows = encode_vectors(spark, out_dir, vecs).select(
         # insertInto is POSITIONAL: match the table's column order
         "vec_id", "m", "pq_cid", "ivf_cid"
     )
+    # pin: the encoded rows are re-used by the re-append check below —
+    # without it every retry would re-run the encode map
+    rows = pin(rows, eager=True)
     n = rows.count()
     rows.write.insertInto(manifest["table"], overwrite=False)
+    for _ in range(5):
+        after = _load_manifest(out_dir)
+        if after.get("generation", 0) == manifest.get("generation", 0):
+            break
+        manifest = after
+        _ensure_table(spark, manifest)
+        live = spark.table(manifest["table"]).select("vec_id", "m")
+        missing = rows.join(live, ["vec_id", "m"], "left_anti").select(
+            "vec_id", "m", "pq_cid", "ivf_cid"
+        )
+        missing.write.insertInto(manifest["table"], overwrite=False)
+    else:
+        raise RuntimeError(
+            "append_to_index: index generation kept advancing across 5 "
+            "re-append attempts — compaction is not honoring its "
+            "single-writer contract"
+        )
     return n
 
 

@@ -1819,7 +1819,9 @@ def embedding_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def apply_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def apply_opq_rotation(
+    spark: SparkSession, sf_dir: str, vmat_flat: list[float] | None = None
+) -> DataFrame:
     """(vec_id, emb) with the learned rotation + allocation applied:
     out[o] = Σ_d emb[d]·V[d][axis(o)] in a FIXED left-fold order (the
     4,096 weights inline as one literal array) — a deterministic pure
@@ -1829,15 +1831,24 @@ def apply_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim (768+) the literal array outgrows codegen constants — switch to
     a broadcast join on (in_dim, out_pos, w) rows with a (vec_id,
     out_pos) partial agg, the ``embedding_covariance`` contraction
-    class."""
-    V, alloc = opq_rotation(spark, sf_dir)
+    class.
+
+    ``vmat_flat`` — the :func:`opq_vmat_flat` weight vector — lets a
+    caller that already learned the rotation (the OPQ index builder,
+    which must also PERSIST the weights) reuse it instead of re-running
+    the distributed covariance contraction + 48 Jacobi rounds for the
+    same deterministic result (ADVICE r12); omitted, the rotation is
+    learned here."""
+    if vmat_flat is None:
+        V, alloc = opq_rotation(spark, sf_dir)
+        vmat_flat = opq_vmat_flat(V, alloc)
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("raw"),
     )
     return (
         e.withColumn(
-            "__vmat", F.array(*[F.lit(v) for v in opq_vmat_flat(V, alloc)])
+            "__vmat", F.array(*[F.lit(v) for v in vmat_flat])
         )
         .select("vec_id", opq_rotate_col("raw").alias("emb"))
     )

@@ -73,7 +73,6 @@ no-op.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from collections.abc import Callable, Sequence
@@ -81,18 +80,14 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.manifest import (
+    load_json_manifest,
+    local_path as _local,
+    publish_json_manifest,
+)
+
 _MANIFEST = "_compaction.json"
 _BASE_DIR = "_base"
-
-
-def _local(path: str) -> str:
-    """Strip a file: scheme — these stores are driven with local/POSIX
-    paths in this repo; an object-store deployment swaps this module's
-    manifest publish for a table-format commit (module docstring)."""
-    for prefix in ("file://", "file:"):
-        if path.startswith(prefix):
-            return path[len(prefix):]
-    return path
 
 
 def committed_batch_ids(checkpoint_dir: str) -> set[int]:
@@ -129,20 +124,14 @@ def last_committed_batch_id(checkpoint_dir: str) -> int:
 
 def load_manifest(out_dir: str) -> dict | None:
     """The store's compaction manifest ({"watermark": W, "base": name}),
-    or None for a never-compacted store."""
-    p = os.path.join(_local(out_dir), _MANIFEST)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    or None for a never-compacted store. I/O goes through the shared
+    ``sources/manifest.py`` helper (the single local-FS choke point —
+    its docstring carries the object-store port constraint)."""
+    return load_json_manifest(out_dir, _MANIFEST)
 
 
 def _publish_manifest(out_dir: str, manifest: dict) -> None:
-    p = os.path.join(_local(out_dir), _MANIFEST)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, p)  # atomic on POSIX: readers see old XOR new
+    publish_json_manifest(out_dir, _MANIFEST, manifest)
 
 
 def _batch_partitions(out_dir: str) -> dict[int, str]:

@@ -458,3 +458,160 @@ def test_codes_table_reregisters_from_manifest(spark, tmp_path):
         for r in spark.sql("DESCRIBE EXTENDED t_ann_codes_rereg").collect()
     )
     assert "Num Buckets 8" in desc and "ivf_cid" in desc, desc
+
+
+def test_stale_same_name_catalog_entry_is_not_trusted(spark, tmp_path):
+    """ADVICE r12: two indexes built under the SAME table name into
+    different out_dirs — the later build leaves the catalog entry
+    pointing at ITS files, so serving the earlier index by name alone
+    would silently read the wrong data. _ensure_table now verifies the
+    catalog location against the manifest's codes_path and recreates
+    the entry on mismatch (a sentinel appended only to index B must
+    never surface from index A's search)."""
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        append_to_index,
+    )
+
+    out_a = str(tmp_path / "idx_a")
+    out_b = str(tmp_path / "idx_b")
+    build_ivfpq_index(spark, SF_DIR, out_a, table="t_ann_codes_stale", buckets=8)
+    build_ivfpq_index(spark, SF_DIR, out_b, table="t_ann_codes_stale", buckets=8)
+    # sentinel only in B: a duplicate of query 0's vector under a fresh id
+    import pandas as pd
+
+    emb = (
+        pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        .sort_values("vec_id")["embedding"]
+        .iloc[0]
+    )
+    append_to_index(
+        spark,
+        out_b,
+        spark.createDataFrame(
+            [(900_000, [float(x) for x in emb])], "vec_id long, emb array<double>"
+        ),
+    )
+    q = _queries(spark).where(F.col("query_id") == 0)
+    # catalog entry currently points at B (the later build) — serving A
+    # must re-point it at A's files, where the sentinel does not exist
+    a_ids = {
+        int(r["neighbor_id"])
+        for r in ivfpq_search(spark, out_a, q, k=400).collect()
+    }
+    assert 900_000 not in a_ids and a_ids
+    b_ids = {
+        int(r["neighbor_id"])
+        for r in ivfpq_search(spark, out_b, q, k=400).collect()
+    }
+    assert 900_000 in b_ids
+
+
+def test_rebuild_carries_pending_gc_no_leak(spark, tmp_path):
+    """ADVICE r12: rebuilding into an out_dir that already holds a
+    compacted index must not leak the old generation dirs — they carry
+    into the new manifest's pending_gc (retention grace) and the next
+    compaction sweeps them; entries naming the live generation's path
+    or table are filtered so the sweep can never delete the new index."""
+    import os
+
+    from ai_powered_e_commerce_analytics_spark.operators.ann_index import (
+        append_to_index,
+        compact_index,
+    )
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(spark, SF_DIR, out, table="t_ann_codes_rebuild", buckets=8)
+    append_to_index(spark, out, _shifted_vectors(spark, n=2, id_base=500_000))
+    m1 = compact_index(spark, out)  # g1 live, g0 tombstoned
+    g1_path = m1["codes_path"]
+    assert os.path.isdir(g1_path)
+
+    m_re = build_ivfpq_index(
+        spark, SF_DIR, out, table="t_ann_codes_rebuild", buckets=8
+    )
+    # old g1 generation carried into pending_gc; nothing names the new
+    # live codes dir
+    carried = {v["path"] for v in m_re["pending_gc"]}
+    assert g1_path in carried
+    assert all(
+        os.path.abspath(p) != os.path.abspath(m_re["codes_path"])
+        for p in carried
+    )
+    expected = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, out, _queries(spark), k=25).collect()
+    )
+
+    m2 = compact_index(spark, out)  # sweeps the carried g1
+    assert not os.path.isdir(g1_path), "rebuild leaked the old generation"
+    post = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, out, _queries(spark), k=25).collect()
+    )
+    assert post == expected
+    # and the live generation is intact on disk
+    assert os.path.isdir(m2["codes_path"])
+
+
+def test_append_racing_compaction_reappends_into_new_generation(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium): an append that writes into generation g
+    AFTER a concurrent compaction scanned g would land its rows in the
+    tombstoned directory and lose them to the next retention sweep.
+    append_to_index now re-reads the manifest after its write and
+    re-appends rows missing from the live generation. Simulated race:
+    the append's FIRST manifest read is patched to return the stale g0
+    manifest while compaction has already published g1 — exactly the
+    interleaving where the insert lands in the dead generation."""
+    from ai_powered_e_commerce_analytics_spark.operators import ann_index
+
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(spark, SF_DIR, out, table="t_ann_codes_race", buckets=8)
+    stale = ann_index._load_manifest(out)  # generation 0
+    live = ann_index.compact_index(spark, out)  # generation 1 live
+    assert live["generation"] == 1
+
+    real_load = ann_index._load_manifest
+    calls = {"n": 0}
+
+    def racy_load(out_dir):
+        calls["n"] += 1
+        return dict(stale) if calls["n"] == 1 else real_load(out_dir)
+
+    # append two duplicates of query 0's own vector: their coarse cell
+    # is certainly probed by query 0, so the post-compaction search
+    # below must surface them
+    import pandas as pd
+
+    emb0 = (
+        pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        .sort_values("vec_id")["embedding"]
+        .iloc[0]
+    )
+    dup = spark.createDataFrame(
+        [(600_000 + i, [float(x) for x in emb0]) for i in range(2)],
+        "vec_id long, emb array<double>",
+    )
+    monkeypatch.setattr(ann_index, "_load_manifest", racy_load)
+    n = ann_index.append_to_index(spark, out, dup)
+    monkeypatch.undo()
+    assert n == 2 * 4 and calls["n"] >= 2
+
+    # the appended rows live in the g1 table (not only the tombstoned g0)
+    g1_ids = {
+        int(r["vec_id"])
+        for r in spark.table(live["table"])
+        .where(F.col("vec_id") >= 600_000)
+        .collect()
+    }
+    assert g1_ids == {600_000, 600_001}
+
+    # and they survive the next compaction's sweep of g0
+    ann_index.compact_index(spark, out)
+    q = _queries(spark).where(F.col("query_id") == 0)
+    ids = {
+        int(r["neighbor_id"])
+        for r in ann_index.ivfpq_search(spark, out, q, k=500).collect()
+    }
+    assert {600_000, 600_001} <= ids
