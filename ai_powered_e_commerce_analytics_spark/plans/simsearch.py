@@ -1628,6 +1628,233 @@ JOIN dims dj ON dj.d = p.j
 """
 
 
+# Standardized mean-shift reading bands (the source_length_psi
+# convention transplanted to embedding space), compared on EXACT micro
+# longs so a label can never flip on a float boundary: a dimension
+# whose current mean moved < 0.10 reference-σ is stable, < 0.25
+# moderate, else major.
+_DRIFT_GRID = 1_000_000
+_DRIFT_STABLE_MICRO = 100_000
+_DRIFT_MODERATE_MICRO = 250_000
+
+
+def drift_dim_sums(e: DataFrame) -> DataFrame:
+    """Per-dimension exact-long moment sums — (d, n, s, ss) with s and
+    ss on the ``COV_FP`` fixed-point grid — from a frame carrying the
+    quantized array column ``xfp``. The mergeable contraction every
+    drift comparison consumes: one posexplode + groupBy(dim) with
+    map-side combine, ≤ ``EMBED_DIM`` rows out of any corpus size, and
+    long addition means the sums merge under any bracketing (the
+    streamed covariance store's diagonal carries the identical
+    numbers — see :func:`drift_sums_from_cov_sums`)."""
+    return (
+        e.select(F.posexplode("xfp").alias("d", "x"))
+        .groupBy(F.col("d").cast("int").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+    )
+
+
+def drift_sums_from_cov_sums(sums: DataFrame) -> DataFrame:
+    """Adapt aggregated :func:`covariance_partials` sums — (i, j, v),
+    batch or read back from the streamed covariance store — into the
+    (d, n, s, ss) drift frame: the count row (-1,-1) is n, the per-dim
+    rows (d,-1) are s, and the DIAGONAL pairs (d,d) are exactly Σxfp²
+    = ss. Nothing is recomputed, so drift read from a snapshot of the
+    streamed store is bit-identical to drift computed from the rows the
+    store ingested."""
+    n_row = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    s = sums.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").cast("int").alias("d"), F.col("v").alias("s")
+    )
+    ss = sums.where((F.col("i") >= 0) & (F.col("i") == F.col("j"))).select(
+        F.col("i").cast("int").alias("d"), F.col("v").alias("ss")
+    )
+    return s.join(ss, "d").crossJoin(F.broadcast(n_row)).select(
+        "d", "n", "s", "ss"
+    )
+
+
+def drift_frame(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Per-dimension drift of ``cur`` against the frozen ``ref`` — both
+    (d, n, s, ss) frames from :func:`drift_dim_sums` — as the
+    standardized mean shift |mean_cur − mean_ref| / σ_ref plus the
+    variance ratio, micro-quantized with exact-long band thresholds.
+    Every emitted double is a deterministic IEEE expression on the
+    exact long sums (mean = (s/n)/FP, var = (ss/n)/FP² − mean², shift
+    and ratio one rounded quotient each), so DuckDB replays it
+    bit-identically. A zero-variance reference dimension cannot be
+    standardized; it reports NULL metrics under the explicit
+    ``degenerate`` band instead of an epsilon fudge."""
+    fp = float(COV_FP)
+    r = ref.select(
+        "d",
+        F.col("n").alias("n_ref"),
+        F.col("s").alias("s_r"),
+        F.col("ss").alias("ss_r"),
+    )
+    c = cur.select(
+        "d",
+        F.col("n").alias("n_cur"),
+        F.col("s").alias("s_c"),
+        F.col("ss").alias("ss_c"),
+    )
+    mean_r = (F.col("s_r").cast("double") / F.col("n_ref")) / F.lit(fp)
+    mean_c = (F.col("s_c").cast("double") / F.col("n_cur")) / F.lit(fp)
+    var_r = (
+        (F.col("ss_r").cast("double") / F.col("n_ref")) / F.lit(fp * fp)
+        - mean_r * mean_r
+    )
+    var_c = (
+        (F.col("ss_c").cast("double") / F.col("n_cur")) / F.lit(fp * fp)
+        - mean_c * mean_c
+    )
+    shift_micro = F.when(
+        var_r > 0,
+        F.round(
+            F.abs(mean_c - mean_r) / F.sqrt(var_r) * _DRIFT_GRID, 0
+        ).cast("long"),
+    )
+    ratio_micro = F.when(
+        var_r > 0, F.round(var_c / var_r * _DRIFT_GRID, 0).cast("long")
+    )
+    band = (
+        F.when(F.col("shift_micro").isNull(), F.lit("degenerate"))
+        .when(F.col("shift_micro") < _DRIFT_STABLE_MICRO, F.lit("stable"))
+        .when(F.col("shift_micro") < _DRIFT_MODERATE_MICRO, F.lit("moderate"))
+        .otherwise(F.lit("major"))
+    )
+    return (
+        r.join(c, "d")
+        .select(
+            F.col("d").alias("dim"),
+            "n_ref",
+            "n_cur",
+            mean_r.alias("mean_ref"),
+            mean_c.alias("mean_cur"),
+            shift_micro.alias("shift_micro"),
+            ratio_micro.alias("var_ratio_micro"),
+        )
+        .select(
+            "dim",
+            "n_ref",
+            "n_cur",
+            "mean_ref",
+            "mean_cur",
+            "shift_micro",
+            (F.col("shift_micro").cast("double") / _DRIFT_GRID).alias(
+                "mean_shift"
+            ),
+            "var_ratio_micro",
+            (F.col("var_ratio_micro").cast("double") / _DRIFT_GRID).alias(
+                "var_ratio"
+            ),
+            band.alias("drift_band"),
+        )
+    )
+
+
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor (VERDICT r12 #2) — the
+    cheap leading indicator for the ANN retrain loop: per-dimension
+    standardized mean shift + variance ratio of a CURRENT corpus slice
+    against a frozen REFERENCE slice, with the ``source_length_psi``
+    reading bands on exact micro longs. ``check_index_health`` measures
+    recall but needs exact ground truth (a corpus scan per check); an
+    upstream embedding-model bump moves these per-dimension moments
+    long before recall@k visibly decays (tests/test_embedding_drift.py
+    plants exactly that), so an operator crons THIS and reserves the
+    recall check for confirmation.
+
+    The oracle-gated form freezes a deterministic split — even vec_ids
+    are the reference population, odd the current — so DuckDB replays
+    both sides from the same table; the production path feeds
+    :func:`drift_frame` the index's persisted training sums as ``ref``
+    (operators/ann_index.build_ivfpq_index stores them) and fresh
+    moments from :func:`drift_dim_sums` — or a streamed covariance
+    store snapshot via :func:`drift_sums_from_cov_sums` — as ``cur``.
+
+    Plan: ONE corpus scan, posexplode, groupBy(grp, dim) with map-side
+    combine → ≤ 2·dim rows; the comparison join is dim-sized. Nothing
+    downstream of the first agg grows with the corpus. Reference
+    parity: the reference repo recomputes embedding statistics per
+    batch in pandas (utils/helpers.py) — here the moments are
+    mergeable longs, so the monitor costs one contraction at any
+    scale."""
+    xfp = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long"),
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"), xfp.alias("xfp")
+    )
+    sums = (
+        e.select("grp", F.posexplode("xfp").alias("d", "x"))
+        .groupBy("grp", F.col("d").cast("int").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+    )
+    ref = sums.where(F.col("grp") == 0).select("d", "n", "s", "ss")
+    cur = sums.where(F.col("grp") == 1).select("d", "n", "s", "ss")
+    return drift_frame(ref, cur)
+
+
+EMBEDDING_DRIFT_PSI_SQL = f"""
+WITH e AS (
+    SELECT vec_id % 2 AS grp,
+           list_transform(embedding::DOUBLE[],
+                          x -> round(x * {COV_FP})::BIGINT) AS xfp
+    FROM embeddings
+),
+sums AS (
+    SELECT grp, d.d::INTEGER AS d, count(*)::BIGINT AS n,
+           sum(xfp[d.d + 1])::BIGINT AS s,
+           sum(xfp[d.d + 1] * xfp[d.d + 1])::BIGINT AS ss
+    FROM e CROSS JOIN range(0, {EMBED_DIM}) d(d)
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT r.d AS dim, r.n AS n_ref, c.n AS n_cur,
+           (r.s::DOUBLE / r.n) / {float(COV_FP)} AS mean_ref,
+           (c.s::DOUBLE / c.n) / {float(COV_FP)} AS mean_cur,
+           (r.ss::DOUBLE / r.n) / {float(COV_FP) ** 2}
+           - ((r.s::DOUBLE / r.n) / {float(COV_FP)})
+             * ((r.s::DOUBLE / r.n) / {float(COV_FP)}) AS var_ref,
+           (c.ss::DOUBLE / c.n) / {float(COV_FP) ** 2}
+           - ((c.s::DOUBLE / c.n) / {float(COV_FP)})
+             * ((c.s::DOUBLE / c.n) / {float(COV_FP)}) AS var_cur
+    FROM sums r JOIN sums c ON r.d = c.d AND r.grp = 0 AND c.grp = 1
+),
+m AS (
+    SELECT dim, n_ref, n_cur, mean_ref, mean_cur,
+           CASE WHEN var_ref > 0 THEN
+               round(abs(mean_cur - mean_ref) / sqrt(var_ref)
+                     * {_DRIFT_GRID})::BIGINT END AS shift_micro,
+           CASE WHEN var_ref > 0 THEN
+               round(var_cur / var_ref * {_DRIFT_GRID})::BIGINT
+           END AS var_ratio_micro
+    FROM j
+)
+SELECT dim, n_ref, n_cur, mean_ref, mean_cur, shift_micro,
+       shift_micro::DOUBLE / {_DRIFT_GRID} AS mean_shift,
+       var_ratio_micro,
+       var_ratio_micro::DOUBLE / {_DRIFT_GRID} AS var_ratio,
+       CASE WHEN shift_micro IS NULL THEN 'degenerate'
+            WHEN shift_micro < {_DRIFT_STABLE_MICRO} THEN 'stable'
+            WHEN shift_micro < {_DRIFT_MODERATE_MICRO} THEN 'moderate'
+            ELSE 'major' END AS drift_band
+FROM m
+"""
+
+
 def pca_top_component(
     spark: SparkSession, sf_dir: str, *, iters: int = 1000
 ) -> dict:
@@ -2520,5 +2747,11 @@ SIMSEARCH_SPECS = [
         EMBEDDING_COVARIANCE_SQL,
         ("embedding-covariance-whitening",),
         touched_round=11,  # r11 addition: exact fixed-point cov contraction
+    ),
+    QuerySpec(
+        "embedding_drift_psi",
+        embedding_drift_psi,
+        EMBEDDING_DRIFT_PSI_SQL,
+        ("embedding-drift-monitor",),
     ),
 ]

@@ -1503,6 +1503,34 @@ def pca_top_component_from_store(
     )
 
 
+def drift_from_store(
+    spark: SparkSession, out_dir: str, ref: DataFrame
+) -> DataFrame:
+    """Embedding drift of the STREAMED corpus against a frozen
+    reference (VERDICT r12 #2, streaming leg): merge-on-read of the
+    covariance store's (i, j, v) sums, adapt the count / per-dim /
+    diagonal rows into per-dimension moment frames
+    (``plans/simsearch.drift_sums_from_cov_sums`` — nothing is
+    recomputed), and standardize against ``ref`` — a (d, n, s, ss)
+    frame, typically the ANN index's persisted ``stats`` artifact
+    (``spark.read.parquet(f"{index_dir}/stats")``). Because every sum
+    is an associative long, the streamed reading is bit-identical to a
+    batch recompute over the same rows through any batching and any
+    number of compactions — so the drift monitor an operator crons on
+    the INGEST STREAM needs no corpus rescan at all: the stream already
+    maintains the sufficient statistics."""
+    from ..plans.simsearch import drift_frame, drift_sums_from_cov_sums
+
+    from .sketch_store import live_store_frame
+
+    sums = (
+        live_store_frame(spark, out_dir)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return drift_frame(ref, drift_sums_from_cov_sums(sums))
+
+
 def opq_rotation_from_store(spark: SparkSession, out_dir: str):
     """OPQ rotation learned FROM THE STREAMED STORE: the same partial
     Jacobi + snake allocation as ``plans/simsearch.opq_rotation``, fed

@@ -175,6 +175,8 @@ HEADLINE = [
     "copurchase_rule_significance",
     "doc_pii_scan",
     "source_length_psi",
+    # round-13 additions (108 -> ...; r12-comparable subset = first 108)
+    "embedding_drift_psi",
 ]
 
 
