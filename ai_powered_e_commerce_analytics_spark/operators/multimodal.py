@@ -174,6 +174,117 @@ def sample_frames(
     return slim.mapInPandas(fn, FRAMES_SCHEMA)
 
 
+#: dHash geometry: a PHASH_COLS x PHASH_ROWS grayscale grid yields
+#: (PHASH_COLS - 1) * PHASH_ROWS = 60 horizontal-gradient bits — the
+#: SAME 60-bit / 4x15-band layout as plans/textops.dedup_simhash64, so
+#: its band-LSH pairing (pigeonhole-complete at Hamming <= 3) applies
+#: to perceptual hashes verbatim.
+PHASH_COLS = 16
+PHASH_ROWS = 4
+PHASH_BITS = (PHASH_COLS - 1) * PHASH_ROWS
+_PHASH_PIXELS = PHASH_COLS * PHASH_ROWS
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), nullable=False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _dhash_from_grid(grid: list[int]) -> int:
+    """dHash (difference hash) over a row-major PHASH_COLS x PHASH_ROWS
+    intensity grid: bit r*(COLS-1)+c is 1 iff pixel (r, c) is brighter
+    than its right neighbor. Gradient signs survive re-encoding,
+    resizing, and brightness/contrast scaling — the invariances that
+    make dHash the standard cheap perceptual hash."""
+    h = 0
+    for r in range(PHASH_ROWS):
+        base = r * PHASH_COLS
+        for c in range(PHASH_COLS - 1):
+            if grid[base + c] > grid[base + c + 1]:
+                h |= 1 << (r * (PHASH_COLS - 1) + c)
+    return h
+
+
+def _fake_grid(payload: bytes) -> list[int] | None:
+    """Deterministic decode stub: 'resize' the payload's UTF-8 text to
+    _PHASH_PIXELS sampled codepoints — pixel p is the codepoint at
+    character floor(p * n / pixels), mod 256. Genuinely resize-like:
+    stretching the text (repeating each character) resamples to a
+    near-identical grid, so planted 'resized copies' land within the
+    Hamming radius while byte-level content hashing misses them. The
+    sampling is pure integer arithmetic on character positions, so a
+    SQL oracle replays it exactly (unicode(substr(...)) in DuckDB)."""
+    s = (payload or b"").decode("utf-8", errors="replace")
+    n = len(s)
+    if n == 0:
+        return None
+    return [ord(s[(p * n) // _PHASH_PIXELS]) % 256 for p in range(_PHASH_PIXELS)]
+
+
+def _pil_grid(payload: bytes) -> list[int] | None:
+    """REAL perceptual grid: Pillow-decode, grayscale, resize to
+    PHASH_COLS x PHASH_ROWS. None for undecodable payloads."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = (
+            Image.open(BytesIO(payload or b""))
+            .convert("L")
+            .resize((PHASH_COLS, PHASH_ROWS))
+        )
+    except Exception:
+        return None
+    return list(img.getdata())
+
+
+def perceptual_hash(assets: DataFrame, *, decode: str = "fake") -> DataFrame:
+    """image(binary) → 60-bit dHash via Arrow-batched mapInPandas — the
+    perceptual twin of content hashing: re-encoded / resized / contrast-
+    scaled copies keep their gradient structure and land within a small
+    Hamming radius, while their bytes (and so md5) differ completely.
+    Feed the output to ``plans/textops.hamming_band_pairs`` for
+    candidate pairs without an all-pairs join.
+
+    Same decode gating as :func:`extract_features`: ``'pil'`` is the
+    real import-gated path, ``'auto'`` resolves by availability,
+    ``'fake'`` is the deterministic text-resample stub (SQL-replayable
+    — the oracle contract of ``multimodal_dedup_phash``), ``'strict'``
+    surfaces NotImplementedError. Undecodable payloads emit a NULL
+    phash rather than poisoning the task."""
+    if decode not in ("fake", "strict", "pil", "auto"):
+        raise ValueError("decode must be 'fake', 'strict', 'pil' or 'auto'")
+    if decode == "auto":
+        decode = "pil" if pil_available() else "fake"
+    if decode == "pil" and not pil_available():
+        raise ImportError(
+            "decode='pil' requires Pillow on driver and executors; "
+            "use decode='auto' to fall back to the deterministic stub"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid_fn = _pil_grid if decode == "pil" else _fake_grid
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image decoding requires PIL; not available in "
+                    "this environment (use decode='fake')"
+                )
+            hashes = []
+            for c in pdf["content"].tolist():
+                grid = grid_fn(c)
+                hashes.append(None if grid is None else _dhash_from_grid(grid))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "phash": hashes}
+            )
+
+    slim = assets.select("asset_id", "content")
+    return slim.mapInPandas(fn, PHASH_SCHEMA)
+
+
 def media_metadata_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only rollup — stays binary-free end-to-end: the content
     column never leaves the Parquet scan (check ReadSchema in explain)."""

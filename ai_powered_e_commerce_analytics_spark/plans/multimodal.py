@@ -22,6 +22,9 @@ from .spec import QuerySpec, t
 
 FRAME_EVERY_MS = 1000
 
+#: planted resized-copy assets live this far above the real ids
+PHASH_COPY_ID_BASE = 10_000_000
+
 _MEDIA_CASE_SQL = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
     "ELSE 'video' END"
@@ -143,7 +146,118 @@ FROM hashed
 """
 
 
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (VERDICT r12 #3): dHash-60 over
+    the decoded grayscale grid, banded into the SAME 4x15-bit LSH as
+    ``dedup_simhash64`` (``plans/textops.hamming_band_pairs`` is shared
+    code — pigeonhole-complete candidates at Hamming <= 3), then exact
+    popcount verification. This catches what
+    ``multimodal_dedup_content_hash`` structurally cannot: a re-encoded
+    or resized copy has entirely different BYTES (md5 misses it) but
+    near-identical luminance gradients (dHash bits flip only where the
+    resampling crosses a gradient boundary) — the planted resized-copy
+    test pins exactly that gap.
+
+    The hash runs through the REAL Pillow-gated mapInPandas operator
+    (``operators/multimodal.perceptual_hash``); under the registry's
+    oracle the deterministic 'fake' decode resamples each asset's text
+    to the 16x4 grid with pure integer character arithmetic, so DuckDB
+    replays grid, bits, and hash exactly (the
+    ``multimodal_dedup_content_hash`` precedent: derived assets keep
+    the oracle honest). Plan: one pure-map Python island (the hash),
+    then the banding's narrow shuffles — never an all-pairs join; the
+    oracle's brute-force O(n²) pair scan is the small-fixture truth the
+    banded plan must reproduce, which also re-proves candidate
+    completeness on every driver run.
+
+    The random fixture has no organic perceptual near-dups (0 pairs
+    would be a vacuous oracle), so the query PLANTS the resized copies
+    it exists to catch: every 10th image asset gets a companion whose
+    every character is doubled — the text analogue of a 2x upscale,
+    and under the floor-resampling decode an EXACT grid preserver
+    (floor(floor(2pn/64)/2) = floor(pn/64)), so each planted pair must
+    surface at Hamming 0 while its md5 differs. Both engines construct
+    the copies with the same split/double/join characters arithmetic;
+    bits beyond that are the organic (usually empty) pair set."""
+    from ..operators.multimodal import perceptual_hash
+    from .textops import hamming_band_pairs
+
+    imgs = _assets(spark, sf_dir).where(
+        (F.col("media_type") == "image") & (F.length("content") > 0)
+    )
+    d = t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 30 == 0)
+        & (F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+    )
+    doubled = F.expr(
+        "array_join(transform(split(coalesce(text, ''), ''),"
+        " x -> x || x), '')"
+    )
+    copies = d.select(
+        (F.col("doc_id") + PHASH_COPY_ID_BASE).alias("asset_id"),
+        F.encode(doubled, "UTF-8").alias("content"),
+    )
+    ph = perceptual_hash(
+        imgs.select("asset_id", "content").unionByName(copies),
+        decode="fake",
+    ).where(F.col("phash").isNotNull())
+    return hamming_band_pairs(ph, "asset_id", "phash").select(
+        F.col("id_a").alias("asset_a"),
+        F.col("id_b").alias("asset_b"),
+        "hamming",
+    )
+
+
+def _phash_sql(pixels: int = 64, cols: int = 16) -> str:
+    """The fake-decode dHash as DuckDB SQL over ``documents`` — grid,
+    gradient bits, and 60-bit pack in exact integer arithmetic."""
+    return f"""
+img AS (
+    SELECT doc_id AS asset_id, coalesce(text, '') AS s,
+           length(coalesce(text, '')) AS n
+    FROM documents
+    WHERE doc_id % 3 = 0 AND length(coalesce(text, '')) > 0
+    UNION ALL
+    SELECT doc_id + {PHASH_COPY_ID_BASE},
+           array_to_string(list_transform(
+               string_split(coalesce(text, ''), ''), x -> x || x), ''),
+           2 * length(coalesce(text, ''))
+    FROM documents
+    WHERE doc_id % 30 = 0 AND length(coalesce(text, '')) > 0
+),
+grid AS (
+    SELECT asset_id, p.p::INT AS p,
+           unicode(substr(s, 1 + ((p.p * n) // {pixels}), 1)) % 256 AS v
+    FROM img CROSS JOIN range(0, {pixels}) p(p)
+),
+bits AS (
+    SELECT a.asset_id,
+           ((a.p // {cols}) * {cols - 1} + (a.p % {cols}))::INT AS b,
+           CASE WHEN a.v > nx.v THEN 1 ELSE 0 END AS bit
+    FROM grid a JOIN grid nx
+      ON a.asset_id = nx.asset_id AND nx.p = a.p + 1
+    WHERE a.p % {cols} < {cols - 1}
+),
+sig AS (
+    SELECT asset_id, sum(bit * (1::BIGINT << b))::BIGINT AS phash
+    FROM bits GROUP BY 1
+)"""
+
+
+MULTIMODAL_DEDUP_PHASH_SQL = f"""
+WITH {_phash_sql()}
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 MULTIMODAL_SPECS = [
+    QuerySpec(
+        "multimodal_dedup_phash", multimodal_dedup_phash,
+        MULTIMODAL_DEDUP_PHASH_SQL, ("media-perceptual-dedup",),
+    ),
     QuerySpec(
         "multimodal_dedup_content_hash", multimodal_dedup_content_hash,
         MULTIMODAL_DEDUP_CONTENT_SQL, ("media-content-dedup",),

@@ -705,49 +705,58 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
-def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-signature simhash near-dup pairs — the scale form of
-    :func:`dedup_simhash` (which keeps 16 bits only for oracle-parity
-    demo; VERDICT r1 flagged 16-bit signatures as semantically collapsed).
-
-    60-bit signatures (full portable-hash width) spread real corpora to
-    ~one signature per distinct document, so the 16-bit trick of all-pairs
-    over distinct signatures stops working (|distinct| ~= |docs| makes it
-    quadratic again). Instead, candidates come from EXACT band LSH:
+def hamming_band_pairs(
+    items: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    band_bits: int = _S64_BAND_BITS,
+    n_bands: int = SIMHASH64_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Hamming-radius pair generation over ANY wide bit signature —
+    the band-LSH core of :func:`dedup_simhash64`, factored out (r13) so
+    the perceptual image hash (``plans/multimodal.multimodal_dedup_phash``)
+    and any future bit-signature near-dup reuse the identical machinery:
 
       1. distinct signatures (one shuffle, contracts exact dups);
-      2. each signature explodes to 4 x 15-bit band keys — narrow
-         (band, band_val, sig) rows;
+      2. each signature explodes to ``n_bands`` × ``band_bits``-bit
+         band keys — narrow (band, band_val, sig) rows;
       3. groupBy band bucket + in-bucket pairing (collect_list, no
-         self-join — same shape as the MinHash plan above);
-      4. popcount(xor) verify at Hamming <= 3. Pigeonhole over 4 bands
-         and radius 3 makes the candidate set COMPLETE: a missed pair
-         would need >= 4 differing bands => Hamming >= 4.
-      5. same-signature doc groups pair via the (s, s) self rows; doc
-         pairs expand through two hash joins, never a pair-level distinct.
+         self-join);
+      4. popcount(xor) verify at ``max_hamming``. Pigeonhole over the
+         default 4 bands and radius 3 makes the candidate set COMPLETE:
+         a missed pair would need ≥ 4 differing bands ⇒ Hamming ≥ 4;
+      5. same-signature item groups pair via the (s, s) self rows;
+         item pairs expand through two hash joins, never a pair-level
+         distinct.
 
-    Shuffle budget: bands are 4 narrow rows per distinct signature;
-    buckets are O(dups) sized; the corpus itself is touched only by the
-    signature map and the two expansion joins.
-    """
-    docs = _simhash_docs(t(spark, sf_dir, "documents"), bits=SIMHASH64_BITS)
-    usig = docs.select("simhash").distinct()
-    band_mask = (1 << _S64_BAND_BITS) - 1
+    ``items`` is (id_col, sig_col) with the signature in the low
+    ``n_bands * band_bits`` bits of a long. Returns
+    (id_a, id_b, hamming) with id_a < id_b. Shuffle budget: bands are
+    ``n_bands`` narrow rows per DISTINCT signature; buckets are
+    O(dups) sized; the corpus is touched only by the signature map and
+    the two expansion joins."""
+    docs = items.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
+    )
+    usig = docs.select("__sig").distinct()
+    band_mask = (1 << band_bits) - 1
     bands = usig.select(
-        "simhash",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * _S64_BAND_BITS)
+                    F.shiftright(F.col("__sig"), b * band_bits)
                     .bitwiseAND(F.lit(band_mask))
-                    for b in range(SIMHASH64_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band", "band_val"),
     )
     buckets = (
         bands.groupBy("band", "band_val")
-        .agg(F.collect_list("simhash").alias("sigs"))
+        .agg(F.collect_list("__sig").alias("sigs"))
         .where(F.size("sigs") > 1)
     )
     pair = F.explode(
@@ -775,27 +784,62 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("hamming"),
         )
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .where(F.col("hamming") <= max_hamming)
     )
     # Hamming-0 within-signature pairs: every signature self-pairs; the
     # expansion filter (id_a < id_b) drops singleton groups naturally.
     self_pairs = usig.select(
-        F.col("simhash").alias("s_a"),
-        F.col("simhash").alias("s_b"),
+        F.col("__sig").alias("s_a"),
+        F.col("__sig").alias("s_b"),
         F.lit(0).cast("long").alias("hamming"),
     )
     sig_pairs = verified.unionByName(self_pairs)
-    da = docs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
-    db = docs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"))
+    da = docs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("s_a"))
+    db = docs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("s_b"))
     return (
         sig_pairs.join(da, "s_a")
         .join(db, "s_b")
         .where((F.col("s_a") < F.col("s_b")) | (F.col("id_a") < F.col("id_b")))
         .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             "hamming",
         )
+    )
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-signature simhash near-dup pairs — the scale form of
+    :func:`dedup_simhash` (which keeps 16 bits only for oracle-parity
+    demo; VERDICT r1 flagged 16-bit signatures as semantically collapsed).
+
+    60-bit signatures (full portable-hash width) spread real corpora to
+    ~one signature per distinct document, so the 16-bit trick of all-pairs
+    over distinct signatures stops working (|distinct| ~= |docs| makes it
+    quadratic again). Instead, candidates come from EXACT band LSH:
+
+      1. distinct signatures (one shuffle, contracts exact dups);
+      2. each signature explodes to 4 x 15-bit band keys — narrow
+         (band, band_val, sig) rows;
+      3. groupBy band bucket + in-bucket pairing (collect_list, no
+         self-join — same shape as the MinHash plan above);
+      4. popcount(xor) verify at Hamming <= 3. Pigeonhole over 4 bands
+         and radius 3 makes the candidate set COMPLETE: a missed pair
+         would need >= 4 differing bands => Hamming >= 4.
+      5. same-signature doc groups pair via the (s, s) self rows; doc
+         pairs expand through two hash joins, never a pair-level distinct.
+
+    Shuffle budget: bands are 4 narrow rows per distinct signature;
+    buckets are O(dups) sized; the corpus itself is touched only by the
+    signature map and the two expansion joins. (r13: steps 1-5 factored
+    into :func:`hamming_band_pairs`, shared with the perceptual image
+    hash — identical expressions, plan unchanged.)
+    """
+    docs = _simhash_docs(t(spark, sf_dir, "documents"), bits=SIMHASH64_BITS)
+    return hamming_band_pairs(docs, "doc_id", "simhash").select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
 
 
@@ -1724,7 +1768,13 @@ TEXTOPS_SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, ("dedup-jaccard",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, ("dedup-minhash-lsh",)),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("dedup-simhash",)),
-    QuerySpec("dedup_simhash64", dedup_simhash64, DEDUP_SIMHASH64_SQL, ("dedup-simhash-banded",)),
+    QuerySpec(
+        "dedup_simhash64", dedup_simhash64, DEDUP_SIMHASH64_SQL,
+        ("dedup-simhash-banded",),
+        touched_round=13,  # r13: band-LSH core factored into
+        # hamming_band_pairs (shared with multimodal_dedup_phash) —
+        # identical expressions, but the shared-helper rule says re-verify
+    ),
     QuerySpec(
         "dedup_near_dup_survivors",
         dedup_near_dup_survivors,

@@ -177,6 +177,7 @@ HEADLINE = [
     "source_length_psi",
     # round-13 additions (108 -> ...; r12-comparable subset = first 108)
     "embedding_drift_psi",
+    "multimodal_dedup_phash",
 ]
 
 
