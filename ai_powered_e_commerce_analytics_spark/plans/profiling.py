@@ -1477,7 +1477,188 @@ FROM documents
 DOC_PII_SCAN_SQL = _pii_sql()
 
 
+# ---------------------------------------------------------------------------
+# LLM-annotator agreement (Cohen's kappa + per-class confusion, r13)
+# ---------------------------------------------------------------------------
+
+#: Two stub annotators = two lexicon variants (the two-prompt-seeds
+#: scenario of an LLM labeling pipeline): same 3-class rule
+#: (pos/neg/neu by which lexicon side counts more tokens), different
+#: lexicons — so they AGREE on clear documents and DIVERGE where their
+#: lexicons differ, which is exactly what a kappa monitor measures.
+_ANNOTATORS = {
+    "a": (("fast", "big"), ("slow", "small")),
+    "b": (("fast",), ("slow",)),
+}
+
+
+def _tok_count_sql_spark(tok: str) -> str:
+    return f"size(filter(split(coalesce(text, ''), ' '), x -> x = '{tok}'))"
+
+
+def _tok_count_sql_duck(tok: str) -> str:
+    return (
+        f"len(list_filter(string_split(coalesce(text, ''), ' '), "
+        f"x -> x = '{tok}'))"
+    )
+
+
+def _label_expr(pos: tuple, neg: tuple, count_sql) -> str:
+    p = " + ".join(count_sql(t_) for t_ in pos)
+    n = " + ".join(count_sql(t_) for t_ in neg)
+    return (
+        f"CASE WHEN ({p}) > ({n}) THEN 'pos' "
+        f"WHEN ({n}) > ({p}) THEN 'neg' ELSE 'neu' END"
+    )
+
+
+def sentiment_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement for LLM labels (VERDICT r12 #5): the
+    QA primitive every LLM-labeled dataset needs before its labels
+    train anything. Two deterministic stub annotators (lexicon
+    variants — the two-prompt-seeds scenario; the reference's real
+    annotator is the strict-JSON LLM call, main.py:52) label every
+    document pos/neg/neu; the output is the per-class confusion matrix
+    with marginals plus Cohen's kappa.
+
+    Exactness: contingency cells and marginals are exact long counts,
+    and kappa needs NO transcendental at all — with po_num = Σ diagonal
+    and pe_num = Σ_c row_c·col_c, kappa = (po − pe)/(1 − pe) reduces to
+    the INTEGER rational (po_num·N − pe_num) / (N² − pe_num), emitted
+    as exact longs plus ONE exactly-rounded division each for po, pe,
+    kappa — bit-identical across engines with no micro-grid needed (a
+    stronger discipline than the G-test's micro-nat quantization,
+    available because kappa is rational in the counts). Headroom: the
+    long products hold to N ≈ 3·10⁹ rows; past that the pe_num/N²
+    accumulators swap to DECIMAL(38,0) (the ship_delay_ols_slope
+    pattern) with the same expressions.
+
+    Plan: one corpus scan → per-row token-count CASE labels (pure map)
+    → groupBy(label_a, label_b) with map-side combine to ≤ 9 cells;
+    marginals and the kappa scalars are contraction-grain rollups of
+    those cells, fanned back with 1-row broadcasts. Nothing downstream
+    of the first agg is data-sized."""
+    (pa, na), (pb, nb) = _ANNOTATORS["a"], _ANNOTATORS["b"]
+    lab = t(spark, sf_dir, "documents").select(
+        F.expr(_label_expr(pa, na, _tok_count_sql_spark)).alias("label_a"),
+        F.expr(_label_expr(pb, nb, _tok_count_sql_spark)).alias("label_b"),
+    )
+    cells = lab.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rowt = cells.groupBy("label_a").agg(F.sum("n").alias("row_total"))
+    colt = cells.groupBy("label_b").agg(F.sum("n").alias("col_total"))
+    # pe_num = Σ_c row_c * col_c over classes present on BOTH sides (a
+    # class absent from one annotator has a zero marginal there, so its
+    # product contributes nothing — the inner join IS the coalesce-0)
+    pe_row = (
+        rowt.join(
+            colt, rowt["label_a"] == colt["label_b"], "inner"
+        )
+        .select((F.col("row_total") * F.col("col_total")).alias("rc"))
+        .agg(F.sum("rc").alias("pe_num"))
+    )
+    scal = (
+        cells.agg(
+            F.sum("n").alias("n_docs"),
+            F.sum(
+                F.when(F.col("label_a") == F.col("label_b"), F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("po_num"),
+        )
+        .crossJoin(F.broadcast(pe_row))
+        .select(
+            "n_docs",
+            "po_num",
+            "pe_num",
+            (F.col("po_num") * F.col("n_docs") - F.col("pe_num")).alias(
+                "kappa_num"
+            ),
+            (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")).alias(
+                "kappa_den"
+            ),
+        )
+    )
+    return (
+        cells.join(F.broadcast(rowt), "label_a")
+        .join(F.broadcast(colt), "label_b")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "label_a",
+            "label_b",
+            "n",
+            "row_total",
+            "col_total",
+            "n_docs",
+            "po_num",
+            "pe_num",
+            "kappa_num",
+            "kappa_den",
+            (F.col("po_num").cast("double") / F.col("n_docs").cast("double"))
+            .alias("po"),
+            (
+                F.col("pe_num").cast("double")
+                / (F.col("n_docs") * F.col("n_docs")).cast("double")
+            ).alias("pe"),
+            F.when(
+                F.col("kappa_den") != 0,
+                F.col("kappa_num").cast("double")
+                / F.col("kappa_den").cast("double"),
+            ).alias("kappa"),
+        )
+    )
+
+
+_LABEL_A_DUCK = _label_expr(*_ANNOTATORS["a"], _tok_count_sql_duck)
+_LABEL_B_DUCK = _label_expr(*_ANNOTATORS["b"], _tok_count_sql_duck)
+
+SENTIMENT_ANNOTATOR_KAPPA_SQL = f"""
+WITH lab AS (
+    SELECT {_LABEL_A_DUCK} AS label_a, {_LABEL_B_DUCK} AS label_b
+    FROM documents
+),
+cells AS (
+    SELECT label_a, label_b, count(*)::BIGINT AS n
+    FROM lab GROUP BY 1, 2
+),
+rowt AS (SELECT label_a, sum(n)::BIGINT AS row_total FROM cells GROUP BY 1),
+colt AS (SELECT label_b, sum(n)::BIGINT AS col_total FROM cells GROUP BY 1),
+pe AS (
+    SELECT sum(row_total * col_total)::BIGINT AS pe_num
+    FROM rowt JOIN colt ON rowt.label_a = colt.label_b
+),
+scal AS (
+    SELECT sum(n)::BIGINT AS n_docs,
+           sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)::BIGINT
+               AS po_num,
+           pe.pe_num,
+           (sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)::BIGINT
+            * sum(n)::BIGINT - pe.pe_num)::BIGINT AS kappa_num,
+           (sum(n)::BIGINT * sum(n)::BIGINT - pe.pe_num)::BIGINT
+               AS kappa_den
+    FROM cells CROSS JOIN pe
+    GROUP BY pe.pe_num
+)
+SELECT c.label_a, c.label_b, c.n, r.row_total, co.col_total,
+       s.n_docs, s.po_num, s.pe_num, s.kappa_num, s.kappa_den,
+       s.po_num::DOUBLE / s.n_docs::DOUBLE AS po,
+       s.pe_num::DOUBLE / (s.n_docs * s.n_docs)::DOUBLE AS pe,
+       CASE WHEN s.kappa_den <> 0
+            THEN s.kappa_num::DOUBLE / s.kappa_den::DOUBLE END AS kappa
+FROM cells c
+JOIN rowt r USING (label_a)
+JOIN colt co USING (label_b)
+CROSS JOIN scal s
+"""
+
+
 PROFILING_SPECS = [
+    QuerySpec(
+        "sentiment_annotator_kappa",
+        sentiment_annotator_kappa,
+        SENTIMENT_ANNOTATOR_KAPPA_SQL,
+        ("llm-annotator-agreement",),
+    ),
     QuerySpec(
         "doc_pii_scan",
         doc_pii_scan,

@@ -178,6 +178,7 @@ HEADLINE = [
     # round-13 additions (108 -> ...; r12-comparable subset = first 108)
     "embedding_drift_psi",
     "multimodal_dedup_phash",
+    "sentiment_annotator_kappa",
 ]
 
 
