@@ -179,6 +179,7 @@ HEADLINE = [
     "embedding_drift_psi",
     "multimodal_dedup_phash",
     "sentiment_annotator_kappa",
+    "unigram_lm_em_round",
 ]
 
 
