@@ -148,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
         "monitor (embedding_drift_psi), not this check",
     )
     c.add_argument(
-        "--action", required=True, choices=("build", "compact", "health")
+        "--action", required=True,
+        choices=("build", "compact", "health", "drift"),
     )
     c.add_argument("--out", required=True, help="index artifact dir")
     c.add_argument("--sf-dir", help="corpus dir (build / health)")
@@ -174,8 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ann-index":
         if args.action == "build" and not (args.sf_dir and args.table):
             p.error("ann-index --action build requires --sf-dir and --table")
-        if args.action == "health" and not args.sf_dir:
-            p.error("ann-index --action health requires --sf-dir")
+        if args.action in ("health", "drift") and not args.sf_dir:
+            p.error(f"ann-index --action {args.action} requires --sf-dir")
 
     import os
 
@@ -316,6 +317,35 @@ def _ann_index(spark, args) -> dict:
         )
     if args.action == "compact":
         return compact_index(spark, args.out)
+    if args.action == "drift":
+        # the cheap per-ingest leading indicator: one contraction over
+        # the corpus at --sf-dir vs the index's frozen training stats
+        from .operators.ann_index import check_index_drift
+        from .plans.simsearch import _emb as _emb_drift
+
+        bands: dict[str, int] = {}
+        max_shift = None
+        dims_major: list[int] = []
+        rows = check_index_drift(
+            spark, args.out,
+            _emb_drift(spark, args.sf_dir).select("vec_id", "emb"),
+        ).collect()
+        for r in rows:
+            bands[r["drift_band"]] = bands.get(r["drift_band"], 0) + 1
+            if r["drift_band"] == "major":
+                dims_major.append(int(r["dim"]))
+            sm = r["shift_micro"]
+            if sm is not None and (max_shift is None or sm > max_shift):
+                max_shift = int(sm)
+        return {
+            "bands": bands,
+            "max_shift_micro": max_shift,
+            "n_drifted": sum(
+                v for b, v in bands.items() if b in ("moderate", "major")
+            ),
+            "dims_major": sorted(dims_major),
+            "n_dims": len(rows),
+        }
     from .plans.simsearch import KNN_QUERIES, _emb
 
     base = _emb(spark, args.sf_dir)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import tokens
 from .spec import QuerySpec, t
@@ -193,11 +194,162 @@ FROM documents d JOIN topk k ON d.doc_id = k.doc_id
 """
 
 
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+HYBRID_TOP_K = 20   # fused results returned
+SEM_QUERY_VEC = 0   # fixture query: the embedding of doc 0
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + semantic retrieval fused by Reciprocal Rank
+    Fusion (Cormack/Clarke/Buettcher 2009) — THE production pattern for
+    RAG-style search: BM25 finds exact-term matches embeddings blur,
+    dense similarity finds paraphrases BM25 misses, and RRF combines
+    them using ONLY ranks (no score normalization across incomparable
+    scales): ``rrf(d) = Σ_legs 1/(K + rank_leg(d))`` with K = 60.
+
+    Legs: the existing ``bm25_rank_topk`` top-50 (fixed query terms)
+    and a dense leg ranking documents by rounded cosine between their
+    embedding and doc {SEM_QUERY_VEC}'s (the fixture contract: the
+    embeddings table's ``vec_id`` keys the same 0..N-1 corpus as
+    ``documents.doc_id``; a production deployment swaps in the ANN
+    index's ``ivfpq_search_rerank`` for this leg — same (id, rank)
+    contract, which is the point of fusing on ranks).
+
+    Determinism: ranks are row_numbers under total orders on exact or
+    micro-rounded values; each RRF term is ONE exactly-rounded division
+    ``1.0/(60.0 + rank)`` and the two terms add in a fixed order, so
+    the fused doubles are bit-identical across engines; fused ties
+    break by doc_id.
+
+    Plan: the BM25 corpus pass (its own docstring) + one embeddings
+    scan against a 1-row broadcast query + TakeOrderedAndProject to
+    K = 50 per leg; every window here orders a BOUNDED frame (≤ 50 or
+    ≤ 100 rows — the allocation-rank precedent), never the corpus. The
+    fuse join is K-row sized."""
+    from .simsearch import _dot
+
+    lex = bm25_rank_topk(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    q = e.where(F.col("vec_id") == SEM_QUERY_VEC).select(
+        F.col("emb").alias("qe"), F.col("norm").alias("qn")
+    )
+    cos = F.round(
+        _dot(F.col("emb"), F.col("qe")) / (F.col("norm") * F.col("qn")), 6
+    )
+    sem_top = (
+        e.where(F.col("vec_id") != SEM_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    ws = Window.orderBy(F.desc("cos"), "doc_id")
+    sem_r = sem_top.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    fused = (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (term("lex_rank") + term("sem_rank")).alias("rrf_score"),
+        )
+        .withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_score"), "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("fused_rank") <= HYBRID_TOP_K)
+    )
+    return fused
+
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, len(toks)::BIGINT AS dl,
+           {", ".join(f"{_tf_sql(i)} AS tf_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE doc_id IS NOT NULL)
+),
+stats AS (
+    SELECT count(doc_id)::DOUBLE AS n,
+           sum(dl)::DOUBLE / count(doc_id) AS avgdl,
+           {", ".join(f"sum((tf_{i} > 0)::INT)::DOUBLE AS df_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM toked
+),
+topk AS (
+    SELECT doc_id,
+           round({_BM25_ADDEND_SQL}, 6) AS score
+    FROM toked CROSS JOIN stats
+    ORDER BY round({_BM25_ADDEND_SQL}, 6) DESC, doc_id
+    LIMIT {BM25_TOP_K}
+),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+               AS lex_rank
+    FROM topk
+),
+emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+q AS (
+    SELECT emb AS qe, norm AS qn FROM emb WHERE vec_id = {SEM_QUERY_VEC}
+),
+sem AS (
+    SELECT doc_id, sem_rank FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY round(list_dot_product(emb, qe)
+                                  / (norm * qn), 6) DESC,
+                            vec_id)::BIGINT AS sem_rank
+        FROM emb CROSS JOIN q
+        WHERE vec_id <> {SEM_QUERY_VEC}
+    ) WHERE sem_rank <= {BM25_TOP_K}
+),
+fused AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           coalesce(1.0 / ({float(RRF_K)} + l.lex_rank::DOUBLE), 0.0)
+           + coalesce(1.0 / ({float(RRF_K)} + s.sem_rank::DOUBLE), 0.0)
+               AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score, fused_rank FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY rrf_score DESC, doc_id)::BIGINT AS fused_rank
+    FROM fused
+) WHERE fused_rank <= {HYBRID_TOP_K}
+"""
+
+
 RETRIEVAL_SPECS = [
     QuerySpec(
         "bm25_rank_topk",
         bm25_rank_topk,
         BM25_RANK_SQL,
         ("retrieval-bm25",),
+    ),
+    QuerySpec(
+        "hybrid_search_rrf",
+        hybrid_search_rrf,
+        HYBRID_SEARCH_RRF_SQL,
+        ("retrieval-hybrid-rrf",),
     ),
 ]

@@ -180,6 +180,7 @@ HEADLINE = [
     "multimodal_dedup_phash",
     "sentiment_annotator_kappa",
     "unigram_lm_em_round",
+    "hybrid_search_rrf",
 ]
 
 
