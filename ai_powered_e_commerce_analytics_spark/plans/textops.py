@@ -1753,7 +1753,148 @@ GROUP BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Repeated-span detection (ExactSubstr-style training-data dedup, r13)
+# ---------------------------------------------------------------------------
+
+#: Span shingle width. Production ExactSubstr dedup (Lee et al. 2022,
+#: "Deduplicating Training Data Makes Language Models Better") uses
+#: ~50-token spans; the fixture corpus draws from a ~40-word vocabulary
+#: where 5-token spans already isolate genuinely duplicated passages
+#: (the driver's planted near-dup documents) from coincidence.
+REPEAT_NGRAM_N = 5
+
+
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-span flagging — the sub-document
+    complement of the doc/chunk-level dedup family (Lee et al. 2022's
+    ExactSubstr): a span repeated ANYWHERE in the corpus (another doc
+    or the same one — boilerplate, licenses, templated passages) is
+    memorization fuel, and removing just the span keeps the rest of
+    the document trainable where whole-doc dedup would drop or keep it
+    wholesale. Emits, per document, the MERGED token spans covered by
+    ≥1 repeated ``REPEAT_NGRAM_N``-gram: (doc_id, span_start inclusive,
+    span_end exclusive, n_shingles in the span) — the removal mask a
+    cleaning pass applies with one ``slice``.
+
+    Plan: shingle rows (doc_id, pos, md5-of-span) are corpus-token
+    sized — the same grain the MinHash family already pays — and the
+    repeat test is ONE hash-keyed contraction (groupBy(h) with
+    map-side combine, count > 1) semi-joined back shuffle-on-hash;
+    span merging is the gaps-and-islands idiom under a per-doc_id
+    window (partitioned — no global sort). Nothing is pairwise:
+    a span repeated in k places costs k rows, never k² (the
+    suffix-array equivalence ExactSubstr exploits, expressed as a
+    hash contraction).
+
+    Determinism: md5 over the space-joined tokens matches DuckDB
+    byte-for-byte (the ``doc_fingerprint`` contract), positions and
+    island arithmetic are exact ints."""
+    n = REPEAT_NGRAM_N
+    toks = tokens("text")
+    sh = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda p: F.struct(
+                        p.cast("long").alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("toks", p + 1, F.lit(n))
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    repeated = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("h")
+    )
+    hits = sh.join(repeated, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "new_island",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        F.count("*").alias("n_shingles"),
+    ).select("doc_id", "span_start", "span_end", "n_shingles")
+
+
+DEDUP_REPEATED_SPANS_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, p.p::BIGINT AS pos,
+           md5(array_to_string(toks[p.p + 1 : p.p + {REPEAT_NGRAM_N}], ' '))
+               AS h
+    FROM (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id IS NOT NULL
+    ) CROSS JOIN range(0, 100000) p(p)
+    WHERE len(toks) >= {REPEAT_NGRAM_N}
+      AND p.p <= len(toks) - {REPEAT_NGRAM_N}
+),
+rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM sh JOIN rep USING (h)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN max(pos + {REPEAT_NGRAM_N}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR pos > max(pos + {REPEAT_NGRAM_N}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END::BIGINT AS new_island
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {REPEAT_NGRAM_N})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_shingles
+FROM isl GROUP BY doc_id, island
+"""
+
+
 TEXTOPS_SPECS = [
+    QuerySpec(
+        "dedup_repeated_ngram_spans",
+        dedup_repeated_ngram_spans,
+        DEDUP_REPEATED_SPANS_SQL,
+        ("dedup-repeated-span-exactsubstr",),
+    ),
     QuerySpec("doc_novelty_profile", doc_novelty_profile,
               DOC_NOVELTY_PROFILE_SQL, ("corpus-novelty-curve",),
               touched_round=11),  # r11 addition: first-occurrence shingles

@@ -181,6 +181,7 @@ HEADLINE = [
     "sentiment_annotator_kappa",
     "unigram_lm_em_round",
     "hybrid_search_rrf",
+    "dedup_repeated_ngram_spans",
 ]
 
 
