@@ -197,10 +197,23 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + PHASH_COPY_ID_BASE).alias("asset_id"),
         F.encode(doubled, "UTF-8").alias("content"),
     )
-    ph = perceptual_hash(
-        imgs.select("asset_id", "content").unionByName(copies),
-        decode="fake",
-    ).where(F.col("phash").isNotNull())
+    # The repartition is an exchange barrier (the _simhash_docs /
+    # MinHash idiom): the banding consumes the hash frame from three
+    # subtrees (distinct signatures + both expansion join sides), and
+    # the barrier lets the RUNTIME reuse one decode pass across them —
+    # the static explain still prints the subtree per consumer (the
+    # audit's 4 Python islands), but the FINAL adaptive plan after
+    # execution shows the barrier exchanges as ReusedExchange nodes
+    # (measured: 6 reuses at sf0.01), i.e. AQE stage reuse executes
+    # the mapInPandas decode once, not per consumer.
+    ph = (
+        perceptual_hash(
+            imgs.select("asset_id", "content").unionByName(copies),
+            decode="fake",
+        )
+        .where(F.col("phash").isNotNull())
+        .repartition("asset_id")
+    )
     return hamming_band_pairs(ph, "asset_id", "phash").select(
         F.col("id_a").alias("asset_a"),
         F.col("id_b").alias("asset_b"),
