@@ -1269,36 +1269,12 @@ aggregate(
 _UNI_LP_GRID = 1_000_000  # micro-nat quantization of piece log-probs
 
 
-def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One hard-EM round of a SentencePiece-style unigram-LM tokenizer
-    (VERDICT r12 #8 — the other production tokenizer family next to
-    BPE): seed a candidate vocabulary with every substring of length
-    1..{UNI_MAX_PIECE} of the corpus words weighted by occurrence,
-    Viterbi-segment every word under the seed log-probs (the E-step of
-    hard EM), and re-estimate piece probabilities from the Viterbi
-    counts (the M-step). Pieces the segmentation never uses drop out —
-    the prune step that shrinks SentencePiece's seed vocab toward the
-    final model. Emits one row per SURVIVING piece: seed count,
-    Viterbi count, totals, re-estimated probability and micro-nat
-    log-prob.
-
-    Determinism (the BPE/Lloyd discipline): seed and Viterbi counts
-    are exact long sums; log-probs quantize one ln() each to the 1e-6
-    grid on identical operands (the surprisal/PSI precedent); Viterbi
-    scores are exact micro-long SUMS, so any correct DP computes the
-    identical integers — Spark runs the DP as ONE JVM aggregate fold
-    per word (no joins, no Python) while the oracle unrolls it as
-    {UNI_MAX_WORD_LEN} CTE rounds, and the argmax tie-break (highest
-    score, then smallest start = longest piece) is a total order on
-    exact ints both engines evaluate identically.
-
-    Plan: the corpus is scanned ONCE (word-freq contraction); spans,
-    seed counts, the 1-row total, the DP fold, and the count rollup
-    are all vocabulary-grain. The piece table rides a broadcast join
-    into the span frame; per-word DP is O(len · {UNI_MAX_PIECE})
-    inside whole-stage codegen. At 100 TB the state is web-vocabulary
-    sized and fully distributed — per-round cost is independent of
-    corpus size, the same economics as ``bpe_merges_topn``."""
+def _uni_model(spark: SparkSession, sf_dir: str):
+    """The shared seed-model + Viterbi state both unigram queries
+    consume: ``(lp, viterbi)`` where ``lp`` is the seed piece table
+    (piece, seed_count, lp micro-nats) and ``viterbi`` is the per-word
+    frame (w, freq, n, sp, dp, ps) carrying the DP table and backtrace
+    spans. Construction is documented on :func:`unigram_lm_em_round`."""
     words = _uni_words(spark, sf_dir)
     spans = words.select(
         "w", "freq", "n", F.explode(F.expr(_UNI_SPANS_EXPR)).alias("s")
@@ -1339,10 +1315,45 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sp")
         )
     )
+    viterbi = word_sp.withColumn("dp", F.expr(_UNI_DP_EXPR)).withColumn(
+        "ps", F.expr(_UNI_BT_EXPR)
+    )
+    return lp, viterbi
+
+
+def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM round of a SentencePiece-style unigram-LM tokenizer
+    (VERDICT r12 #8 — the other production tokenizer family next to
+    BPE): seed a candidate vocabulary with every substring of length
+    1..{UNI_MAX_PIECE} of the corpus words weighted by occurrence,
+    Viterbi-segment every word under the seed log-probs (the E-step of
+    hard EM), and re-estimate piece probabilities from the Viterbi
+    counts (the M-step). Pieces the segmentation never uses drop out —
+    the prune step that shrinks SentencePiece's seed vocab toward the
+    final model. Emits one row per SURVIVING piece: seed count,
+    Viterbi count, totals, re-estimated probability and micro-nat
+    log-prob.
+
+    Determinism (the BPE/Lloyd discipline): seed and Viterbi counts
+    are exact long sums; log-probs quantize one ln() each to the 1e-6
+    grid on identical operands (the surprisal/PSI precedent); Viterbi
+    scores are exact micro-long SUMS, so any correct DP computes the
+    identical integers — Spark runs the DP as ONE JVM aggregate fold
+    per word (no joins, no Python) while the oracle unrolls it as
+    {UNI_MAX_WORD_LEN} CTE rounds, and the argmax tie-break (highest
+    score, then smallest start = longest piece) is a total order on
+    exact ints both engines evaluate identically.
+
+    Plan: the corpus is scanned ONCE (word-freq contraction); spans,
+    seed counts, the 1-row total, the DP fold, and the count rollup
+    are all vocabulary-grain. The piece table rides a broadcast join
+    into the span frame; per-word DP is O(len · {UNI_MAX_PIECE})
+    inside whole-stage codegen. At 100 TB the state is web-vocabulary
+    sized and fully distributed — per-round cost is independent of
+    corpus size, the same economics as ``bpe_merges_topn``."""
+    lp, viterbi = _uni_model(spark, sf_dir)
     segmented = (
-        word_sp.withColumn("dp", F.expr(_UNI_DP_EXPR))
-        .withColumn("ps", F.expr(_UNI_BT_EXPR))
-        .select(
+        viterbi.select(
             "w",
             "freq",
             F.explode(
@@ -1371,13 +1382,74 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_sql() -> str:
-    """DuckDB oracle for :func:`unigram_lm_em_round`: identical seed
-    vocabulary + log-probs, the Viterbi DP unrolled as
-    ``UNI_MAX_WORD_LEN`` argmax CTE rounds over the span frame, a
-    ``UNI_MAX_WORD_LEN``-step backtrace walk, and the same count
-    re-estimation. MATERIALIZED throughout — the accumulated dp table
-    is referenced by every later round (the Jacobi-chain lesson)."""
+def doc_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the trained unigram-LM piece model
+    — the CCNet-style LM quality filter (Wenzek et al. 2020 score
+    documents with a KenLM; here the LM is the corpus's own seed
+    unigram model from :func:`_uni_model`, so the filter is
+    self-contained): junk documents (unmodelable tokens, atypical
+    character sequences) segment into low-probability pieces and score
+    HIGH perplexity, which is the standard removal signal for
+    pretraining corpora.
+
+    Per doc: every token that exists in the word model (the
+    lowercase-alpha ≤ {UNI_MAX_WORD_LEN}-char population) contributes
+    its word's exact Viterbi log-prob (the DP table's final cell — an
+    exact micro-nat long) and its piece count; tokens outside the
+    model population are counted as ``n_oov`` (their own quality
+    signal) and excluded from the average. Emits (doc_id, n_scored,
+    n_oov, n_pieces, sum_logprob_micro, avg_logprob_per_piece, ppl)
+    with ppl = round(exp(−avg), 6) — the sums are exact longs, the
+    average is one exactly-rounded division, and the single libm
+    ``exp`` is 6-decimal-rounded on identical operands (the surprisal
+    precedent). Documents with zero scorable tokens are excluded
+    (nothing to average — the n_oov signal for them lives in
+    ``quality_filter_battery``'s alpha-ratio rule).
+
+    Plan: the word model is vocabulary-grain (one corpus contraction +
+    the in-row DP); doc scoring is ONE more corpus-token pass joined
+    against the broadcast (w, score, pieces) table and contracted per
+    doc — the same economics as ``tokenizer_vocab_coverage``."""
+    _, viterbi = _uni_model(spark, sf_dir)
+    wscore = viterbi.select(
+        "w",
+        F.expr("element_at(dp, n + 1).score").alias("score"),
+        F.size("ps").cast("long").alias("np"),
+    )
+    docw = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    matched = docw.join(F.broadcast(wscore), "w").groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("np").alias("n_pieces"),
+        F.sum("score").alias("sum_logprob_micro"),
+    )
+    n_all = docw.groupBy("doc_id").agg(F.count("*").alias("n_all"))
+    avg = (
+        F.col("sum_logprob_micro").cast("double") / F.col("n_pieces")
+    ) / F.lit(float(_UNI_LP_GRID))
+    return (
+        matched.join(n_all, "doc_id")
+        .select(
+            "doc_id",
+            "n_scored",
+            (F.col("n_all") - F.col("n_scored")).alias("n_oov"),
+            "n_pieces",
+            "sum_logprob_micro",
+            avg.alias("avg_logprob_per_piece"),
+            F.round(F.exp(-avg), 6).alias("ppl"),
+        )
+    )
+
+
+def _unigram_cte_parts() -> list[str]:
+    """The shared unrolled-CTE chain (words → spans → seed log-probs →
+    {UNI_MAX_WORD_LEN} Viterbi argmax rounds → backtrace → pieces)
+    both unigram oracles compose. MATERIALIZED throughout — the
+    accumulated dp table is referenced by every later round (the
+    Jacobi-chain lesson)."""
     parts = [f"""
 w0 AS MATERIALIZED (
     SELECT w, count(*)::BIGINT AS freq, length(w)::INT AS n
@@ -1445,11 +1517,19 @@ bt{k} AS MATERIALIZED (
         for k in range(1, UNI_MAX_WORD_LEN + 1)
     )
     parts.append(f"""
-pieces AS MATERIALIZED ({pieces_union}),
+pieces AS MATERIALIZED ({pieces_union})""")
+    return parts
+
+
+def _unigram_sql() -> str:
+    """DuckDB oracle for :func:`unigram_lm_em_round`: identical seed
+    vocabulary + log-probs, Viterbi, backtrace, and count
+    re-estimation over the shared chain."""
+    parts = _unigram_cte_parts() + [f"""
 cnt AS MATERIALIZED (
     SELECT piece, sum(freq)::BIGINT AS viterbi_count FROM pieces GROUP BY 1
 ),
-t1 AS (SELECT sum(viterbi_count)::BIGINT AS t1 FROM cnt)""")
+t1 AS (SELECT sum(viterbi_count)::BIGINT AS t1 FROM cnt)"""]
     return (
         "WITH " + ",".join(parts) + f"""
 SELECT c.piece, l.seed_count, c.viterbi_count, t1.t1 AS n_total,
@@ -1461,7 +1541,49 @@ FROM cnt c JOIN lp l USING (piece) CROSS JOIN t1
     )
 
 
+def _doc_unigram_ppl_sql() -> str:
+    """Oracle for :func:`doc_unigram_perplexity`: the shared chain's
+    final DP cells (dpa{UNI_MAX_WORD_LEN} at i = len(w)) and backtrace
+    piece counts joined onto the raw document token stream."""
+    parts = _unigram_cte_parts() + [f"""
+wscore AS MATERIALIZED (
+    SELECT w0.w, d.score, pc.np
+    FROM w0
+    JOIN dpa{UNI_MAX_WORD_LEN} d ON d.w = w0.w AND d.i = w0.n
+    JOIN (SELECT w, count(*)::BIGINT AS np FROM pieces GROUP BY w) pc
+      ON pc.w = w0.w
+),
+docw AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS w
+    FROM documents WHERE doc_id IS NOT NULL
+),
+matched AS (
+    SELECT doc_id, count(*)::BIGINT AS n_scored,
+           sum(np)::BIGINT AS n_pieces,
+           sum(score)::BIGINT AS sum_logprob_micro
+    FROM docw JOIN wscore USING (w) GROUP BY doc_id
+),
+alln AS (SELECT doc_id, count(*)::BIGINT AS n_all FROM docw GROUP BY doc_id)"""]
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT m.doc_id, m.n_scored, (a.n_all - m.n_scored)::BIGINT AS n_oov,
+       m.n_pieces, m.sum_logprob_micro,
+       (m.sum_logprob_micro::DOUBLE / m.n_pieces)
+           / {float(_UNI_LP_GRID)} AS avg_logprob_per_piece,
+       round(exp(-((m.sum_logprob_micro::DOUBLE / m.n_pieces)
+                   / {float(_UNI_LP_GRID)})), 6) AS ppl
+FROM matched m JOIN alln a USING (doc_id)
+"""
+    )
+
+
 PRETRAIN_SPECS = [
+    QuerySpec(
+        "doc_unigram_perplexity",
+        doc_unigram_perplexity,
+        _doc_unigram_ppl_sql(),
+        ("quality-lm-perplexity-filter",),
+    ),
     QuerySpec(
         "unigram_lm_em_round",
         unigram_lm_em_round,

@@ -182,6 +182,7 @@ HEADLINE = [
     "unigram_lm_em_round",
     "hybrid_search_rrf",
     "dedup_repeated_ngram_spans",
+    "doc_unigram_perplexity",
 ]
 
 

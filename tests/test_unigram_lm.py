@@ -18,7 +18,9 @@ from conftest import SF_DIR
 def _replay(word_freq: dict[str, int]):
     """Plain-Python mirror of the query: seed counts over all substrings
     of length 1..UNI_MAX_PIECE, micro-nat seed log-probs, Viterbi with
-    (max score, then smallest start) tie-break, piece counts."""
+    (max score, then smallest start) tie-break, piece counts. Also
+    returns each word's final Viterbi score and its piece count (the
+    doc-perplexity inputs)."""
     seed: Counter = Counter()
     for w, f in word_freq.items():
         n = len(w)
@@ -34,6 +36,8 @@ def _replay(word_freq: dict[str, int]):
         )
 
     counts: Counter = Counter()
+    wscore: dict[str, int] = {}
+    wpieces: dict[str, int] = {}
     for w, f in word_freq.items():
         n = len(w)
         best = [(0, -1)] + [None] * n
@@ -43,12 +47,16 @@ def _replay(word_freq: dict[str, int]):
                 cands.append((-(best[j][0] + lp(w[j:i])), j))
             ns, j = min(cands)
             best[i] = (-ns, j)
+        wscore[w] = best[n][0]
         pos = n
+        np = 0
         while pos > 0:
             j = best[pos][1]
             counts[w[j:pos]] += f
+            np += 1
             pos = j
-    return seed, counts
+        wpieces[w] = np
+    return seed, counts, wscore, wpieces
 
 
 def test_unigram_round_matches_python_replay(spark, tmp_path):
@@ -64,7 +72,7 @@ def test_unigram_round_matches_python_replay(spark, tmp_path):
     ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
 
     wf = Counter(w for s in docs for w in s.split())
-    seed, counts = _replay(dict(wf))
+    seed, counts, _, _ = _replay(dict(wf))
     t1 = sum(counts.values())
 
     rows = unigram_lm_em_round(spark, sf).collect()
@@ -115,3 +123,64 @@ def test_unigram_prefers_frequent_whole_pieces(spark, tmp_path):
     assert got.get("join") == 22 and got.get("scan") == 2
     # nothing was segmented below the whole words
     assert set(got) == {"join", "scan"}
+
+
+# ------------------------------------------------------- doc perplexity
+
+
+def test_doc_perplexity_matches_python_replay(spark, tmp_path):
+    from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
+        doc_unigram_perplexity,
+    )
+
+    docs = [
+        "abab abc cab 42!",      # one OOV token ('42!')
+        "abab abab xyz",
+        "cab abc abab zq",
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    wf = Counter(
+        w for s in docs for w in s.split() if w.isalpha() and w.islower()
+    )
+    _, _, wscore, wpieces = _replay(dict(wf))
+
+    got = {r["doc_id"]: r for r in doc_unigram_perplexity(spark, sf).collect()}
+    assert set(got) == {0, 1, 2}
+    for i, s in enumerate(docs):
+        toks = s.split()
+        scored = [w for w in toks if w in wscore]
+        r = got[i]
+        assert r["n_scored"] == len(scored)
+        assert r["n_oov"] == len(toks) - len(scored)
+        assert r["sum_logprob_micro"] == sum(wscore[w] for w in scored)
+        assert r["n_pieces"] == sum(wpieces[w] for w in scored)
+        avg = (r["sum_logprob_micro"] / r["n_pieces"]) / 1e6
+        assert r["avg_logprob_per_piece"] == avg
+        assert abs(r["ppl"] - math.exp(-avg)) <= 1e-6
+    assert got[0]["n_oov"] == 1
+
+
+def test_doc_perplexity_ranks_junk_above_natural(spark, tmp_path):
+    """The filter's raison d'etre: a document of corpus-typical words
+    scores LOW perplexity; a document of one-off gibberish words
+    segments into rare pieces and scores HIGH."""
+    from ai_powered_e_commerce_analytics_spark.plans.pretrain import (
+        doc_unigram_perplexity,
+    )
+
+    natural = "join hash row scan merge join hash row scan merge"
+    docs = [natural] * 6 + ["zqxv kwjy vvqz xjqk pzwq"]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in doc_unigram_perplexity(spark, sf).collect()
+    }
+    junk, natural_ppl = got[6], got[0]
+    assert junk > 2 * natural_ppl, (junk, natural_ppl)
