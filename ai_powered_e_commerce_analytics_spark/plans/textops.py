@@ -526,6 +526,55 @@ FROM ({_LSH_VERIFIED_SQL})
 """
 
 
+#: Contrastive-pair thresholds: candidates at or above the corpus
+#: near-dup threshold are POSITIVES; candidates below this floor are
+#: HARD NEGATIVES (bucket-mates — superficially similar n-gram
+#: profiles — that exact verification says are NOT duplicates, the
+#: most informative negatives for contrastive training). The
+#: ambiguous band between the two is excluded as 'boundary'.
+CONTRASTIVE_NEG_TAU = 0.05
+
+
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair mining for contrastive embedding models (the
+    SimCSE/E5-style data prep a retrieval stack runs over its own
+    corpus): POSITIVES are verified near-duplicate pairs (Jaccard ≥
+    the dedup threshold — paraphrase-grade supervision for free), and
+    HARD NEGATIVES are LSH candidate pairs the exact verification
+    REJECTS (same MinHash band bucket — so lexically confusable — yet
+    Jaccard < {CONTRASTIVE_NEG_TAU}): random negatives are trivially
+    separable and teach nothing, while bucket-mate rejects are
+    precisely the confusions a contrastive loss must learn to split.
+    Pairs in the ambiguous [{CONTRASTIVE_NEG_TAU}, threshold) band are
+    labeled 'boundary' and excluded from the emitted set (training on
+    maybe-duplicates poisons both classes).
+
+    Plan: ENTIRELY a reading of the shared LSH verified-pair frame
+    (``_lsh_verified_pairs`` — the same one compute the dedup,
+    efficiency, and threshold-sweep queries probe): O(candidate) rows,
+    a per-row CASE, and a filter. The corpus-side cost was already
+    paid by the banding; mining adds nothing data-sized."""
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    pair_type = (
+        F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.lit("positive"))
+        .when(F.col("jaccard") < CONTRASTIVE_NEG_TAU, F.lit("hard_negative"))
+        .otherwise(F.lit("boundary"))
+    )
+    return (
+        pairs.select("doc_a", "doc_b", "jaccard", pair_type.alias("pair_type"))
+        .where(F.col("pair_type") != "boundary")
+    )
+
+
+CONTRASTIVE_PAIR_MINING_SQL = f"""
+SELECT doc_a, doc_b, jaccard,
+       CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 'positive'
+            ELSE 'hard_negative' END AS pair_type
+FROM ({_LSH_VERIFIED_SQL})
+WHERE jaccard >= {JACCARD_THRESHOLD} OR jaccard < {CONTRASTIVE_NEG_TAU}
+"""
+
+
 def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-tuning telemetry: for each Jaccard threshold 0.1..0.9, how
     many verified candidate pairs would count as near-duplicates — the
@@ -1894,6 +1943,12 @@ TEXTOPS_SPECS = [
         dedup_repeated_ngram_spans,
         DEDUP_REPEATED_SPANS_SQL,
         ("dedup-repeated-span-exactsubstr",),
+    ),
+    QuerySpec(
+        "contrastive_pair_mining",
+        contrastive_pair_mining,
+        CONTRASTIVE_PAIR_MINING_SQL,
+        ("contrastive-pair-mining",),
     ),
     QuerySpec("doc_novelty_profile", doc_novelty_profile,
               DOC_NOVELTY_PROFILE_SQL, ("corpus-novelty-curve",),

@@ -503,3 +503,38 @@ def test_join_key_skew_profile_plan_reuses_contraction(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contrastive_pair_mining_consistency(spark):
+    """Contrastive mining is a labeled reading of the SAME verified
+    candidate frame the dedup family shares: positives == the dedup
+    query's pairs, hard negatives are bucket-mates the verification
+    rejected, and the ambiguous boundary band is excluded."""
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        CONTRASTIVE_NEG_TAU,
+        JACCARD_THRESHOLD,
+        contrastive_pair_mining,
+        dedup_minhash_lsh,
+        lsh_candidate_efficiency,
+    )
+    from conftest import SF_DIR
+
+    rows = contrastive_pair_mining(spark, SF_DIR).collect()
+    assert rows
+    pos = {(r["doc_a"], r["doc_b"]) for r in rows if r["pair_type"] == "positive"}
+    neg = {(r["doc_a"], r["doc_b"]) for r in rows if r["pair_type"] == "hard_negative"}
+    assert pos and neg and not (pos & neg)
+    for r in rows:
+        if r["pair_type"] == "positive":
+            assert r["jaccard"] >= JACCARD_THRESHOLD
+        else:
+            assert r["jaccard"] < CONTRASTIVE_NEG_TAU
+    # positives are exactly the dedup query's verified near-dup pairs
+    dedup_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert pos == dedup_pairs
+    # mined pairs + boundary band partition the candidate set
+    eff = lsh_candidate_efficiency(spark, SF_DIR).collect()[0]
+    assert len(pos) + len(neg) <= eff["n_candidates"]
+    assert len(pos) == eff["n_verified"]
