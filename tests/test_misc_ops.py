@@ -538,3 +538,52 @@ def test_contrastive_pair_mining_consistency(spark):
     eff = lsh_candidate_efficiency(spark, SF_DIR).collect()[0]
     assert len(pos) + len(neg) <= eff["n_candidates"]
     assert len(pos) == eff["n_verified"]
+
+
+def test_hamming_band_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness of the shared band-LSH pairing: on a
+    deterministic adversarial signature set (clusters at radius 0-3,
+    decoys at radius 4-5, random far points), the helper's pairs equal
+    the brute-force popcount pairs at Hamming <= 3 EXACTLY — nothing
+    missed (completeness) and nothing extra (the verify stage)."""
+    import hashlib
+
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        SIMHASH_MAX_HAMMING,
+        hamming_band_pairs,
+    )
+
+    def h60(seed: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(seed.encode()).digest()[:8], "big"
+        ) & ((1 << 60) - 1)
+
+    sigs = []
+    # 5 cluster seeds; neighbors at every radius 0..5 with bit flips
+    # spread across bands (positions chosen to straddle band borders)
+    for c in range(5):
+        base = h60(f"cluster{c}")
+        sigs.append(base)
+        flips = [1, 14, 16, 29, 31, 44]  # one per half-band region
+        for r in range(1, 6):
+            v = base
+            for k in range(r):
+                v ^= 1 << flips[(c + k) % len(flips)]
+            sigs.append(v)
+    sigs += [h60(f"far{i}") for i in range(20)]
+    # duplicates: same signature, distinct ids
+    sigs.append(sigs[0])
+    items = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(items, "id", "sig").collect()
+    }
+    want = {}
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= SIMHASH_MAX_HAMMING:
+                want[(a, b)] = d
+    assert got == want and want, (len(got), len(want))
