@@ -208,3 +208,21 @@ def test_drift_from_streamed_store_matches_batch(spark, tmp_path):
     )
     batch = sorted(tuple(r) for r in drift_frame(ref, cur).collect())
     assert streamed == batch and len(streamed) == EMBED_DIM
+
+
+def test_degenerate_reference_dimension_reports_not_fudges(spark):
+    """A zero-variance reference dimension cannot be standardized: the
+    frame reports NULL metrics under the explicit 'degenerate' band
+    instead of an epsilon fudge or a crash."""
+    ref = spark.createDataFrame(
+        [(0, 10, 100, 2000), (1, 10, 50, 250)], "d int, n long, s long, ss long"
+    )
+    # dim 1: mean = 5/FP, ss/n = 25/FP^2 -> var = 0 (constant column)
+    cur = spark.createDataFrame(
+        [(0, 4, 44, 500), (1, 4, 24, 144)], "d int, n long, s long, ss long"
+    )
+    rows = {r["d"] if "d" in r else r["dim"]: r for r in drift_frame(ref, cur).collect()}
+    assert rows[1]["drift_band"] == "degenerate"
+    assert rows[1]["shift_micro"] is None and rows[1]["var_ratio_micro"] is None
+    assert rows[0]["drift_band"] in ("stable", "moderate", "major")
+    assert rows[0]["shift_micro"] is not None

