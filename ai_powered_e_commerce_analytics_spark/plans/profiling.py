@@ -1517,7 +1517,11 @@ def sentiment_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     QA primitive every LLM-labeled dataset needs before its labels
     train anything. Two deterministic stub annotators (lexicon
     variants — the two-prompt-seeds scenario; the reference's real
-    annotator is the strict-JSON LLM call, main.py:52) label every
+    annotator is the strict-JSON LLM call,
+    etl_pipeline/src/etl_pipeline/transform/data_transformer.py:29,
+    whose null-fill fallback at :100 is why the kappa monitor exists:
+    two prompt/model versions silently disagreeing is exactly what a
+    labeled dataset must measure before training on it) label every
     document pos/neg/neu; the output is the per-class confusion matrix
     with marginals plus Cohen's kappa.
 
