@@ -1408,8 +1408,14 @@ def doc_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the word model is vocabulary-grain (one corpus contraction +
     the in-row DP); doc scoring is ONE more corpus-token pass joined
-    against the broadcast (w, score, pieces) table and contracted per
-    doc — the same economics as ``tokenizer_vocab_coverage``."""
+    against the (w, score, pieces) table and contracted per doc — the
+    same economics as ``tokenizer_vocab_coverage``. The score-table
+    join carries NO compile-time broadcast hint (the
+    ``dedup_near_dup_survivors`` rationale): a web corpus's vocabulary
+    runs to tens of millions of words, past safe broadcast size — AQE
+    still picks the broadcast at runtime whenever the vocab genuinely
+    fits, and the fallback shuffle join on ``w`` is safe at every
+    scale."""
     _, viterbi = _uni_model(spark, sf_dir)
     wscore = viterbi.select(
         "w",
@@ -1421,7 +1427,7 @@ def doc_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id").isNotNull())
         .select("doc_id", F.explode(tokens("text")).alias("w"))
     )
-    matched = docw.join(F.broadcast(wscore), "w").groupBy("doc_id").agg(
+    matched = docw.join(wscore, "w").groupBy("doc_id").agg(
         F.count("*").alias("n_scored"),
         F.sum("np").alias("n_pieces"),
         F.sum("score").alias("sum_logprob_micro"),

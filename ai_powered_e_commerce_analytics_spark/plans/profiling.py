@@ -1492,15 +1492,14 @@ _ANNOTATORS = {
 }
 
 
+# both count over a PRE-SPLIT ``toks`` column, so the text tokenizes
+# once per row, not once per lexicon entry
 def _tok_count_sql_spark(tok: str) -> str:
-    return f"size(filter(split(coalesce(text, ''), ' '), x -> x = '{tok}'))"
+    return f"size(filter(toks, x -> x = '{tok}'))"
 
 
 def _tok_count_sql_duck(tok: str) -> str:
-    return (
-        f"len(list_filter(string_split(coalesce(text, ''), ' '), "
-        f"x -> x = '{tok}'))"
-    )
+    return f"len(list_filter(toks, x -> x = '{tok}'))"
 
 
 def _label_expr(pos: tuple, neg: tuple, count_sql) -> str:
@@ -1543,9 +1542,15 @@ def sentiment_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     those cells, fanned back with 1-row broadcasts. Nothing downstream
     of the first agg is data-sized."""
     (pa, na), (pb, nb) = _ANNOTATORS["a"], _ANNOTATORS["b"]
-    lab = t(spark, sf_dir, "documents").select(
-        F.expr(_label_expr(pa, na, _tok_count_sql_spark)).alias("label_a"),
-        F.expr(_label_expr(pb, nb, _tok_count_sql_spark)).alias("label_b"),
+    lab = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
+        )
+        .select(
+            F.expr(_label_expr(pa, na, _tok_count_sql_spark)).alias("label_a"),
+            F.expr(_label_expr(pb, nb, _tok_count_sql_spark)).alias("label_b"),
+        )
     )
     cells = lab.groupBy("label_a", "label_b").agg(
         F.count("*").cast("long").alias("n")
@@ -1617,9 +1622,12 @@ _LABEL_A_DUCK = _label_expr(*_ANNOTATORS["a"], _tok_count_sql_duck)
 _LABEL_B_DUCK = _label_expr(*_ANNOTATORS["b"], _tok_count_sql_duck)
 
 SENTIMENT_ANNOTATOR_KAPPA_SQL = f"""
-WITH lab AS (
+WITH toked AS (
+    SELECT string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+lab AS (
     SELECT {_LABEL_A_DUCK} AS label_a, {_LABEL_B_DUCK} AS label_b
-    FROM documents
+    FROM toked
 ),
 cells AS (
     SELECT label_a, label_b, count(*)::BIGINT AS n
