@@ -117,3 +117,67 @@ def test_cli_compact_sketches_store(spark, tmp_path):
             checkpoint=ckpt),
     )
     assert again["folded"] == 0
+
+
+def test_cli_ann_index_lifecycle_and_drift(spark, tmp_path):
+    """The ann-index subcommand's four actions compose: build ->
+    drift (zero against own corpus) -> compact -> health (recall +
+    retrain flag), plus the per-action arg validation at the parser."""
+    import pytest
+
+    from ai_powered_e_commerce_analytics_spark.__main__ import main
+    from conftest import SF_DIR
+
+    out = str(tmp_path / "idx")
+    built = _run(
+        spark,
+        _ns(
+            cmd="ann-index", action="build", out=out, sf_dir=SF_DIR,
+            table="t_cli_ann", buckets=8, opq=False, recall_floor=0.5,
+            max_queries=None,
+        ),
+    )
+    assert built["table"] == "t_cli_ann" and built["generation"] == 0
+
+    drift = _run(
+        spark,
+        _ns(
+            cmd="ann-index", action="drift", out=out, sf_dir=SF_DIR,
+            table=None, buckets=8, opq=False, recall_floor=0.5,
+            max_queries=None,
+        ),
+    )
+    assert drift["bands"] == {"stable": drift["n_dims"]}
+    assert drift["max_shift_micro"] == 0 and drift["n_drifted"] == 0
+
+    compacted = _run(
+        spark,
+        _ns(
+            cmd="ann-index", action="compact", out=out, sf_dir=None,
+            table=None, buckets=8, opq=False, recall_floor=0.5,
+            max_queries=None,
+        ),
+    )
+    assert compacted["generation"] == 1
+
+    health = _run(
+        spark,
+        _ns(
+            cmd="ann-index", action="health", out=out, sf_dir=SF_DIR,
+            table=None, buckets=8, opq=False, recall_floor=0.0,
+            max_queries=3,
+        ),
+    )
+    assert health["n_queries"] == 3
+    assert 0.0 <= health["recall"] <= 1.0
+    assert health["retrain_needed"] is False
+
+    # parser-level validation: missing per-action args exit with usage
+    for argv in (
+        ["ann-index", "--action", "build", "--out", out],
+        ["ann-index", "--action", "health", "--out", out],
+        ["ann-index", "--action", "drift", "--out", out],
+    ):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert e.value.code == 2
