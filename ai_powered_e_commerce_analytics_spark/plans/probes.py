@@ -143,9 +143,44 @@ def _opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(spark, sf_dir)
 
 
+def _bt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Bradley-Terry query's ONLY distributed work is the pairwise
+    # judgment contraction (the MM rounds run driver-side on the
+    # <=|sources|^2 collected rows and the returned frame is a
+    # driver-built createDataFrame, which audits as an empty plan)
+    from .spec import t
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    j = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(
+            (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.n_chars") != F.col("b.n_chars"))
+        )
+        .select(
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+    return j.groupBy(
+        F.least("winner", "loser").alias("s_lo"),
+        F.greatest("winner", "loser").alias("s_hi"),
+    ).agg(F.count("*").alias("n"))
+
+
 #: query name -> callable(spark, sf_dir) -> one pre-checkpoint round
 PLAN_PROBES = {
     "bpe_merges_topn": _bpe_probe,
+    "llm_judge_bradley_terry": _bt_probe,
     "embedding_opq_rotation": _opq_probe,
     "embedding_pca_explained_variance": _opq_probe,
     "embedding_kcenter_coreset": _kcenter_probe,

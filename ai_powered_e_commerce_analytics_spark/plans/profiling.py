@@ -1664,12 +1664,206 @@ CROSS JOIN scal s
 """
 
 
+# ---------------------------------------------------------------------------
+# Bradley-Terry aggregation of pairwise LLM judgments (r13)
+# ---------------------------------------------------------------------------
+
+BT_ROUNDS = 8
+_BT_GRID = 1_000_000
+
+
+def _bt_mm(items, sym_rows, wins, rounds=BT_ROUNDS):
+    """Driver-side Bradley-Terry MM iteration (Hunter 2004) on micro
+    fixed point, built EXCLUSIVELY from IEEE exactly-rounded ops whose
+    expression trees the DuckDB oracle replays verbatim (the
+    ``_opq_jacobi`` discipline): per round, the pair term
+    ``round(n·1e12 / (p_i + p_j))`` sums exactly (longs are
+    order-free), the update ``round(W_i·1e12 / S_i)`` divides once,
+    and the mean-1e6 renormalization ``round(p_i·K·1e6 / Σp)`` pins
+    the scale the likelihood leaves free. ``floor(x + 0.5)`` mirrors
+    both engines' half-away ``round`` on the strictly positive
+    operands here. Corpus-independent: |items|² driver work."""
+    import math
+
+    kkc = float(len(items)) * 1_000_000.0
+    p = {i: _BT_GRID for i in items}
+    for _ in range(rounds):
+        s: dict = {}
+        for i, j, n in sym_rows:
+            t = math.floor(float(n) * 1e12 / float(p[i] + p[j]) + 0.5)
+            s[i] = s.get(i, 0) + t
+        q = {
+            i: math.floor(float(wins.get(i, 0)) * 1e12 / float(s[i]) + 0.5)
+            for i in items
+        }
+        total = sum(q.values())
+        p = {
+            i: math.floor(float(q[i]) * kkc / float(total) + 0.5)
+            for i in items
+        }
+    return p
+
+
+def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength scores from pairwise judgments — the
+    aggregation primitive of every LLM-as-judge / RLHF-preference
+    pipeline (pairwise win/lose → per-item latent strength, the model
+    behind Chatbot-Arena-style ELO boards; Hunter 2004's MM iteration).
+    Items here are the corpus SOURCES; the deterministic stub judge
+    compares each adjacent document pair from different sources and
+    declares the longer text the winner (ties excluded) — the stand-in
+    for the reference's real pairwise LLM call, exactly as the
+    sentiment stub stands in for its classification call. Emits one
+    leaderboard row per source: wins, comparisons, and the converged
+    strength (mean-normalized to 1.0).
+
+    Determinism: the win/pair counts are exact longs from one
+    contraction; the MM fixed point runs driver-side on micro
+    fixed-point longs (see :func:`_bt_mm`) and the oracle replays the
+    identical ``BT_ROUNDS`` rounds as unrolled CTEs — bit-identical
+    because every round's state is an exact long vector and every
+    float op is exactly-rounded on identical operands.
+
+    Plan: ONE corpus self-join on the adjacent key (doc_id + 1 — an
+    equi-join, never a cross product) contracted to ≤ |sources|² pair
+    rows + |sources| win rows; the driver sees only that contraction
+    (the ``pca_top_component`` / ``opq_rotation`` class), so the
+    iteration cost is corpus-independent at any scale."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    j = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(
+            (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.n_chars") != F.col("b.n_chars"))
+        )
+        .select(
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+    pairs = (
+        j.groupBy(
+            F.least("winner", "loser").alias("s_lo"),
+            F.greatest("winner", "loser").alias("s_hi"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    win_rows = j.groupBy("winner").agg(F.count("*").alias("w")).collect()
+    wins = {r["winner"]: int(r["w"]) for r in win_rows}
+    sym = []
+    for r in pairs:
+        sym.append((r["s_lo"], r["s_hi"], int(r["n"])))
+        sym.append((r["s_hi"], r["s_lo"], int(r["n"])))
+    items = sorted({i for i, _, _ in sym})
+    p = _bt_mm(items, sym, wins)
+    n_comp = {i: 0 for i in items}
+    for i, _, n in sym:
+        n_comp[i] += n
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                wins.get(i, 0),
+                n_comp[i],
+                p[i],
+                float(p[i]) / 1_000_000.0,
+            )
+            for i in items
+        ],
+        "source string, n_wins long, n_comparisons long, "
+        "bt_micro long, bt_score double",
+    )
+
+
+def _bt_sql() -> str:
+    """Oracle: identical judgments/contraction, the MM rounds unrolled
+    (sum-of-longs round terms are order-free, so DuckDB's unordered
+    aggregation lands on the same integers as the driver loop)."""
+    parts = [f"""
+j AS MATERIALIZED (
+    SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
+                ELSE b.source END AS winner,
+           CASE WHEN a.n_chars > b.n_chars THEN b.source
+                ELSE a.source END AS loser
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+),
+pr AS MATERIALIZED (
+    SELECT least(winner, loser) AS s_lo, greatest(winner, loser) AS s_hi,
+           count(*)::BIGINT AS n
+    FROM j GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+    SELECT s_lo AS i, s_hi AS jj, n FROM pr
+    UNION ALL
+    SELECT s_hi, s_lo, n FROM pr
+),
+wins AS MATERIALIZED (
+    SELECT winner AS i, count(*)::BIGINT AS w FROM j GROUP BY 1
+),
+items AS MATERIALIZED (SELECT DISTINCT i FROM sym),
+kk AS (SELECT count(*)::DOUBLE * 1000000.0 AS c FROM items),
+bp0 AS MATERIALIZED (SELECT i, 1000000::BIGINT AS p FROM items)"""]
+    for k in range(1, BT_ROUNDS + 1):
+        parts.append(f"""
+bs{k} AS MATERIALIZED (
+    SELECT sym.i,
+           sum(round(sym.n::DOUBLE * 1000000000000.0
+                     / (pi.p + pj.p)::DOUBLE))::BIGINT AS s
+    FROM sym
+    JOIN bp{k - 1} pi ON pi.i = sym.i
+    JOIN bp{k - 1} pj ON pj.i = sym.jj
+    GROUP BY sym.i
+),
+bq{k} AS MATERIALIZED (
+    SELECT it.i,
+           round(coalesce(w.w, 0)::DOUBLE * 1000000000000.0
+                 / s.s::DOUBLE)::BIGINT AS p
+    FROM items it
+    LEFT JOIN wins w ON w.i = it.i
+    JOIN bs{k} s ON s.i = it.i
+),
+bt{k} AS (SELECT sum(p)::BIGINT AS total FROM bq{k}),
+bp{k} AS MATERIALIZED (
+    SELECT q.i, round(q.p::DOUBLE * kk.c / t.total::DOUBLE)::BIGINT AS p
+    FROM bq{k} q CROSS JOIN bt{k} t CROSS JOIN kk
+)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT it.i AS source, coalesce(w.w, 0)::BIGINT AS n_wins,
+       nc.n_comparisons, p.p AS bt_micro,
+       p.p::DOUBLE / 1000000.0 AS bt_score
+FROM items it
+JOIN bp{BT_ROUNDS} p ON p.i = it.i
+JOIN (SELECT i, sum(n)::BIGINT AS n_comparisons FROM sym GROUP BY 1) nc
+  ON nc.i = it.i
+LEFT JOIN wins w ON w.i = it.i
+"""
+    )
+
+
 PROFILING_SPECS = [
     QuerySpec(
         "sentiment_annotator_kappa",
         sentiment_annotator_kappa,
         SENTIMENT_ANNOTATOR_KAPPA_SQL,
         ("llm-annotator-agreement",),
+    ),
+    QuerySpec(
+        "llm_judge_bradley_terry",
+        llm_judge_bradley_terry,
+        _bt_sql(),
+        ("llm-judge-bradley-terry",),
     ),
     QuerySpec(
         "doc_pii_scan",

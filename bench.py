@@ -183,6 +183,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "dedup_repeated_ngram_spans",
     "doc_unigram_perplexity",
+    "llm_judge_bradley_terry",
     # contrastive_pair_mining is registry-gated but not benched: it is
     # a labeled CASE/filter reading of the SAME _lsh_verified_pairs
     # compute dedup_minhash_lsh already times (the
