@@ -1855,6 +1855,163 @@ FROM m
 """
 
 
+# |Δcorrelation| reading bands on exact micro longs (correlation is
+# dimensionless, so absolute thresholds are meaningful at any scale)
+_CORR_STABLE_MICRO = 50_000    # < 0.05: stable
+_CORR_MODERATE_MICRO = 150_000  # < 0.15: moderate; else major
+
+
+def _corr_frame(cov: DataFrame) -> DataFrame:
+    """(i, j, corr) from a covariance frame — corr = cov/sqrt(v_i·v_j)
+    with the variances read off the frame's own diagonal; one IEEE
+    expression on identical operands, so both engines land on the same
+    doubles."""
+    diag = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    return (
+        cov.join(F.broadcast(diag.select(F.col("d").alias("i"),
+                                         F.col("var").alias("v_i"))), "i")
+        .join(F.broadcast(diag.select(F.col("d").alias("j"),
+                                      F.col("var").alias("v_j"))), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov") / F.sqrt(F.col("v_i") * F.col("v_j"))
+            ).alias("corr"),
+        )
+    )
+
+
+def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-structure drift — the OFF-DIAGONAL complement of
+    :func:`embedding_drift_psi`: per-dimension moments are blind to a
+    ROTATION of the embedding space (an upstream model update can leave
+    every mean and variance in place while scrambling which dimensions
+    co-vary — tests/test_embedding_drift.py plants exactly that with a
+    Givens rotation), but the pairwise correlation matrix moves
+    immediately. Compares each dimension pair's correlation between the
+    frozen reference population (even vec_ids) and the current one
+    (odd), banded on |Δcorr| micro longs (< 0.05 stable, < 0.15
+    moderate, else major) — correlation is dimensionless, so the
+    thresholds transfer across corpora unchanged.
+
+    Production path: both covariance matrices come for free — the
+    reference from the index build (``embedding_covariance`` over the
+    training corpus, or the persisted OPQ input), the current side from
+    the streamed covariance store (``read_streamed_covariance``) — so
+    the monitor is a 2,080-row join, no corpus rescan.
+
+    Determinism: the two covariances are the exact fixed-point
+    contraction (associative long sums); corr = cov/sqrt(v_i·v_j) and
+    Δ are IEEE expressions on identical operands, micro-rounded once.
+    Plan: ONE corpus scan feeding two group-filtered covariance
+    contractions (2,080 rows each), then pair-grain joins — nothing
+    downstream of the first agg is data-sized."""
+    xfp = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long"),
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"), xfp.alias("xfp")
+    )
+    covs = []
+    for g in (0, 1):
+        sums = (
+            covariance_partials(e.where(F.col("grp") == g).select("xfp"))
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+        )
+        covs.append(_corr_frame(covariance_from_sums(sums)))
+    ref, cur = covs
+    dmicro = F.round(
+        F.abs(F.col("corr_cur") - F.col("corr_ref")) * _DRIFT_GRID, 0
+    ).cast("long")
+    band = (
+        F.when(F.col("dcorr_micro") < _CORR_STABLE_MICRO, F.lit("stable"))
+        .when(F.col("dcorr_micro") < _CORR_MODERATE_MICRO, F.lit("moderate"))
+        .otherwise(F.lit("major"))
+    )
+    return (
+        ref.select("i", "j", F.col("corr").alias("corr_ref"))
+        .join(
+            cur.select("i", "j", F.col("corr").alias("corr_cur")),
+            ["i", "j"],
+        )
+        .select(
+            "i",
+            "j",
+            F.round("corr_ref", 6).alias("corr_ref"),
+            F.round("corr_cur", 6).alias("corr_cur"),
+            dmicro.alias("dcorr_micro"),
+        )
+        .select(
+            "i", "j", "corr_ref", "corr_cur", "dcorr_micro",
+            (F.col("dcorr_micro").cast("double") / _DRIFT_GRID).alias(
+                "dcorr"
+            ),
+            band.alias("drift_band"),
+        )
+    )
+
+
+def _corr_drift_sql() -> str:
+    def cov_cte(tag: str, parity: int) -> str:
+        return f"""
+e{tag} AS (
+    SELECT list_transform(embedding::DOUBLE[],
+                          x -> round(x * {COV_FP})::BIGINT) AS xfp
+    FROM embeddings WHERE vec_id % 2 = {parity}
+),
+pairs{tag} AS (
+    SELECT i.i::INTEGER AS i, j.j::INTEGER AS j,
+           sum(xfp[i.i + 1] * xfp[j.j + 1])::BIGINT AS sxy,
+           count(*)::BIGINT AS n
+    FROM e{tag} CROSS JOIN range(0, {EMBED_DIM}) i(i)
+           CROSS JOIN range(0, {EMBED_DIM}) j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+),
+dims{tag} AS (
+    SELECT i.i::INTEGER AS d, sum(xfp[i.i + 1])::BIGINT AS s
+    FROM e{tag} CROSS JOIN range(0, {EMBED_DIM}) i(i)
+    GROUP BY 1
+),
+cov{tag} AS MATERIALIZED (
+    SELECT p.i, p.j,
+           (p.sxy::DOUBLE / p.n) / {float(COV_FP) ** 2}
+           - ((di.s::DOUBLE / p.n) / {float(COV_FP)})
+             * ((dj.s::DOUBLE / p.n) / {float(COV_FP)}) AS cov
+    FROM pairs{tag} p
+    JOIN dims{tag} di ON di.d = p.i
+    JOIN dims{tag} dj ON dj.d = p.j
+),
+corr{tag} AS MATERIALIZED (
+    SELECT c.i, c.j, c.cov / sqrt(vi.cov * vj.cov) AS corr
+    FROM cov{tag} c
+    JOIN cov{tag} vi ON vi.i = c.i AND vi.j = c.i
+    JOIN cov{tag} vj ON vj.i = c.j AND vj.j = c.j
+)"""
+
+    return f"""
+WITH {cov_cte("r", 0)},
+{cov_cte("c", 1)}
+SELECT r.i, r.j,
+       round(r.corr, 6) AS corr_ref,
+       round(c.corr, 6) AS corr_cur,
+       round(abs(c.corr - r.corr) * {_DRIFT_GRID})::BIGINT AS dcorr_micro,
+       round(abs(c.corr - r.corr) * {_DRIFT_GRID})::BIGINT::DOUBLE
+           / {_DRIFT_GRID} AS dcorr,
+       CASE WHEN round(abs(c.corr - r.corr) * {_DRIFT_GRID})::BIGINT
+                 < {_CORR_STABLE_MICRO} THEN 'stable'
+            WHEN round(abs(c.corr - r.corr) * {_DRIFT_GRID})::BIGINT
+                 < {_CORR_MODERATE_MICRO} THEN 'moderate'
+            ELSE 'major' END AS drift_band
+FROM corrr r JOIN corrc c ON c.i = r.i AND c.j = r.j
+"""
+
+
 def pca_top_component(
     spark: SparkSession, sf_dir: str, *, iters: int = 1000
 ) -> dict:
@@ -2753,5 +2910,11 @@ SIMSEARCH_SPECS = [
         embedding_drift_psi,
         EMBEDDING_DRIFT_PSI_SQL,
         ("embedding-drift-monitor",),
+    ),
+    QuerySpec(
+        "embedding_corr_drift",
+        embedding_corr_drift,
+        _corr_drift_sql(),
+        ("embedding-rotation-drift-monitor",),
     ),
 ]

@@ -226,3 +226,91 @@ def test_degenerate_reference_dimension_reports_not_fudges(spark):
     assert rows[1]["shift_micro"] is None and rows[1]["var_ratio_micro"] is None
     assert rows[0]["drift_band"] in ("stable", "moderate", "major")
     assert rows[0]["shift_micro"] is not None
+
+
+def test_rotation_class_drift_invisible_to_moments_caught_by_corr(spark):
+    """The off-diagonal complement (embedding_corr_drift): negating one
+    dimension — the simplest orthogonal transform — preserves every
+    per-dimension mean and variance EXACTLY (symmetric marginal), so
+    the moments monitor reads all-stable; but every correlation
+    involving that dimension flips sign, and the correlation monitor
+    flags the planted rho=1 pair at the maximum possible drift."""
+    import hashlib
+
+    from ai_powered_e_commerce_analytics_spark.plans.simsearch import (
+        _corr_frame,
+        covariance_from_sums,
+        covariance_partials,
+    )
+
+    def h(i, d):
+        return (
+            int.from_bytes(hashlib.md5(f"{i}:{d}".encode()).digest()[:4], "big")
+            % 1000
+        ) / 1000.0 - 0.4995
+
+    n = 64
+    clean = []
+    for i in range(n):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        v = [0.0] * EMBED_DIM
+        v[0] = sign * (1.0 + (i // 2) / n)  # symmetric marginal, var > 0
+        v[1] = v[0]                          # rho(0,1) = 1 by construction
+        for d in range(2, EMBED_DIM):
+            v[d] = h(i, d)
+        clean.append(v)
+    drifted = [[-row[0]] + row[1:] for row in clean]
+
+    def frames(rows):
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            "vec_id long, embedding array<double>",
+        ).select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long"),
+            ).alias("xfp")
+        )
+        sums = covariance_partials(df).groupBy("i", "j").agg(
+            F.sum("v").alias("v")
+        )
+        return drift_dim_sums(df), _corr_frame(covariance_from_sums(sums))
+
+    dims_clean, corr_clean = frames(clean)
+    dims_drift, corr_drift = frames(drifted)
+
+    # 1. the per-dimension moments monitor sees NOTHING: negating a
+    # symmetric marginal leaves every mean and variance bit-identical
+    moments = drift_frame(dims_clean, dims_drift).collect()
+    assert all(r["drift_band"] == "stable" for r in moments), moments
+    assert all(r["shift_micro"] == 0 for r in moments)
+    assert all(r["var_ratio_micro"] == 1_000_000 for r in moments)
+
+    # 2. the correlation monitor flags it at maximum drift: the planted
+    # rho(0,1)=1 pair flips to -1 (|delta| = 2)
+    pairs = {
+        (r["i"], r["j"]): r
+        for r in corr_clean.select(
+            "i", "j", F.col("corr").alias("corr_ref")
+        )
+        .join(
+            corr_drift.select("i", "j", F.col("corr").alias("corr_cur")),
+            ["i", "j"],
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.abs(F.col("corr_cur") - F.col("corr_ref")) * 1_000_000, 0
+            )
+            .cast("long")
+            .alias("dmicro"),
+        )
+        .collect()
+    }
+    assert pairs[(0, 1)]["dmicro"] == 2_000_000  # rho 1 -> -1
+    # dims >= 2 keep their structure: nothing there crosses moderate
+    quiet = [
+        r["dmicro"] for (i, j), r in pairs.items() if i >= 2 and j >= 2
+    ]
+    assert quiet and max(quiet) == 0
