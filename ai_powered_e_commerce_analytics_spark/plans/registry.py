@@ -494,9 +494,44 @@ _R12_DRIVER_VERIFIED = {
 }
 
 
+# Queries verified GREEN by round 13's driver window (CORRECTNESS_r13 —
+# all 50 rows green, zero err: the eleven oracle-gated r13 additions,
+# the r13-touched dedup_simhash64, all 37 stale-r9 rows, and 1 stale r10
+# filler). After round 13 the oldest evidence anywhere is the 45-row r10
+# band (VERDICT r13 next-round #1), which therefore leads the round-14
+# window.
+_R13_DRIVER_VERIFIED = {
+    "bm25_rank_topk", "cms_heavy_hitters", "contrastive_pair_mining",
+    "copurchase_item_similarity", "copurchase_triangles",
+    "cube_orders_by_status_priority", "customer_l_diversity",
+    "daily_revenue_ewma", "decontaminate_exact_substring",
+    "dedup_cluster_size_histogram", "dedup_repeated_ngram_spans",
+    "dedup_simhash64", "doc_unigram_perplexity", "doc_unigram_surprisal",
+    "embedding_corr_drift", "embedding_dim_stats", "embedding_drift_psi",
+    "embedding_quantize_error", "events_dedup_within_window",
+    "hybrid_search_rrf", "kmeans_lloyd_clusters", "lang_id_confusion",
+    "llm_judge_bradley_terry", "monthly_first_vs_repeat",
+    "monthly_revenue_mom", "multimodal_dedup_content_hash",
+    "multimodal_dedup_phash", "neardup_threshold_sweep",
+    "order_value_mad_outliers", "order_value_outliers_zscore",
+    "order_value_percentiles", "quality_filter_battery",
+    "quality_filter_funnel", "retention_cohorts",
+    "rollup_revenue_by_flag_status", "semantic_dedup_semdedup",
+    "sentiment_annotator_kappa", "sliding_wau_hll_union",
+    "source_kl_divergence", "source_temperature_mix",
+    "term_cooccurrence_pmi", "text_quality", "tpch_q11_important_parts",
+    "tpch_q13_order_count_distribution", "tpch_q15_top_supplier",
+    "tpch_q20_excess_share_suppliers", "tpch_q21_sole_late_supplier",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "unigram_lm_em_round",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R13_DRIVER_VERIFIED:
+        return 13
     if name in _R12_DRIVER_VERIFIED:
         return 12
     if name in _R11_DRIVER_VERIFIED:
@@ -530,11 +565,12 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-13 window is therefore: the round-13 additions (never
-# checked), any query whose plan or oracle round 13 touched, then the
-# 37 remaining r9-verified rows (the oldest evidence left in the
-# registry — VERDICT r12 next-round #1), filling to 50. After round 13
-# no row's driver evidence should predate round 10.
+# The round-14 window is therefore: the round-14 additions (never
+# checked), any query whose plan or oracle round 14 touched, then the
+# 45 remaining r10-verified rows (the oldest evidence left in the
+# registry — VERDICT r13 next-round #1), filling to 50. After round 14
+# no row's driver evidence should predate round 11, which requires the
+# round-14 new+touched budget to stay at ≤ 5.
 #
 # touched_round EXEMPTION RULE (VERDICT r12 finding #2): a wrapper or
 # shared-helper sweep that is PROVEN plan-identical — the query's
