@@ -1750,20 +1750,25 @@ def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loser"),
         )
     )
-    pairs = (
-        j.groupBy(
-            F.least("winner", "loser").alias("s_lo"),
-            F.greatest("winner", "loser").alias("s_hi"),
-        )
-        .agg(F.count("*").alias("n"))
-        .collect()
+    # ONE action at (winner, loser) grain (VERDICT r13 finding #2: the
+    # adjacent-key corpus join used to execute twice — once for the
+    # unordered pair counts, once for the win totals). Both statistics
+    # are exact-long derivations of this ≤ |sources|² contraction, so
+    # they fold driver-side from a single collect.
+    wl_rows = (
+        j.groupBy("winner", "loser").agg(F.count("*").alias("n")).collect()
     )
-    win_rows = j.groupBy("winner").agg(F.count("*").alias("w")).collect()
-    wins = {r["winner"]: int(r["w"]) for r in win_rows}
+    wins: dict[str, int] = {}
+    und: dict[tuple[str, str], int] = {}
+    for r in wl_rows:
+        w, l, n = r["winner"], r["loser"], int(r["n"])
+        wins[w] = wins.get(w, 0) + n
+        key = (min(w, l), max(w, l))
+        und[key] = und.get(key, 0) + n
     sym = []
-    for r in pairs:
-        sym.append((r["s_lo"], r["s_hi"], int(r["n"])))
-        sym.append((r["s_hi"], r["s_lo"], int(r["n"])))
+    for (s_lo, s_hi), n in sorted(und.items()):
+        sym.append((s_lo, s_hi, n))
+        sym.append((s_hi, s_lo, n))
     items = sorted({i for i, _, _ in sym})
     p = _bt_mm(items, sym, wins)
     n_comp = {i: 0 for i in items}
@@ -1864,6 +1869,10 @@ PROFILING_SPECS = [
         llm_judge_bradley_terry,
         _bt_sql(),
         ("llm-judge-bradley-terry",),
+        touched_round=14,  # r14: single-collect rewrite (VERDICT r13
+        # #2) — one (winner, loser)-grain action; wins + symmetric
+        # pair counts fold driver-side. Values identical by long
+        # arithmetic; the corpus join now executes once.
     ),
     QuerySpec(
         "doc_pii_scan",

@@ -1903,12 +1903,32 @@ def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streamed covariance store (``read_streamed_covariance``) — so
     the monitor is a 2,080-row join, no corpus rescan.
 
-    Determinism: the two covariances are the exact fixed-point
+    Determinism: the per-group sums are the exact fixed-point
     contraction (associative long sums); corr = cov/sqrt(v_i·v_j) and
     Δ are IEEE expressions on identical operands, micro-rounded once.
-    Plan: ONE corpus scan feeding two group-filtered covariance
-    contractions (2,080 rows each), then pair-grain joins — nothing
-    downstream of the first agg is data-sized."""
+
+    Plan (VERDICT r13 finding #1 closed): ONE corpus scan, ONE
+    shuffle. The pair explosion carries BOTH coordinates (xi, xj), so
+    a single groupBy(grp, i, j) yields sxy, si, sj, sxx, sjj, n — cov
+    AND both variances per pair with zero joins. The previous shape
+    (two ``covariance_partials`` contractions, one per group filter)
+    scanned the corpus twice; a post-agg grp filter would not have
+    fixed it because Catalyst pushes grouping-key predicates below the
+    Aggregate and re-splits the scan, and the join-based
+    ``covariance_from_sums``/``_corr_frame`` derivation defeats
+    exchange reuse the same way (each of its ~8 references to the sums
+    frame carries a different pushed key filter, so every reference
+    re-scans). The ref/cur split therefore happens in a conditional
+    pivot aggregate over the 4,160 already-contracted corr rows —
+    max(when(grp=…)) over exactly one row per (grp, i, j) is the
+    identity, so the doubles reach the Δ expression bit-unchanged.
+
+    Operand identity with the previous plan (and so with the
+    unchanged oracle): si summed inside the (grp, i, j) group equals
+    the per-dim sum (every input row of the group emits every pair
+    exactly once), n equals the group's row count, sxx equals the
+    diagonal sxy of dim i — so cov, var_i, var_j are the same IEEE
+    expressions on the same operands as the join-based derivation."""
     xfp = F.transform(
         "embedding",
         lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long"),
@@ -1916,15 +1936,50 @@ def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 2).alias("grp"), xfp.alias("xfp")
     )
-    covs = []
-    for g in (0, 1):
-        sums = (
-            covariance_partials(e.where(F.col("grp") == g).select("xfp"))
-            .groupBy("i", "j")
-            .agg(F.sum("v").alias("v"))
-        )
-        covs.append(_corr_frame(covariance_from_sums(sums)))
-    ref, cur = covs
+    # SQL-expression lambdas, not nested Python-lambda HOFs (the
+    # covariance_partials capture pitfall); array[] is 0-based.
+    prods = F.expr(f"""
+        flatten(transform(sequence(0, {EMBED_DIM - 1}), i ->
+            transform(sequence(i, {EMBED_DIM - 1}), j ->
+                struct(cast(i as int) as i, cast(j as int) as j,
+                       xfp[i] as xi, xfp[j] as xj))))
+    """)
+    pairs = e.select("grp", F.explode(prods).alias("t")).select(
+        "grp",
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+        F.col("t.xi").alias("xi"), F.col("t.xj").alias("xj"),
+    )
+    sums = pairs.groupBy("grp", "i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum("xi").alias("si"),
+        F.sum("xj").alias("sj"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("sjj"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fp = float(COV_FP)
+    mean_i = (F.col("si").cast("double") / F.col("n")) / F.lit(fp)
+    mean_j = (F.col("sj").cast("double") / F.col("n")) / F.lit(fp)
+    cov = (
+        (F.col("sxy").cast("double") / F.col("n")) / F.lit(fp * fp)
+        - mean_i * mean_j
+    )
+    var_i = (
+        (F.col("sxx").cast("double") / F.col("n")) / F.lit(fp * fp)
+        - mean_i * mean_i
+    )
+    var_j = (
+        (F.col("sjj").cast("double") / F.col("n")) / F.lit(fp * fp)
+        - mean_j * mean_j
+    )
+    corr = sums.select(
+        "grp", "i", "j",
+        (cov / F.sqrt(var_i * var_j)).alias("corr"),
+    )
+    both = corr.groupBy("i", "j").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("corr"))).alias("corr_ref"),
+        F.max(F.when(F.col("grp") == 1, F.col("corr"))).alias("corr_cur"),
+    )
     dmicro = F.round(
         F.abs(F.col("corr_cur") - F.col("corr_ref")) * _DRIFT_GRID, 0
     ).cast("long")
@@ -1934,11 +1989,7 @@ def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("major"))
     )
     return (
-        ref.select("i", "j", F.col("corr").alias("corr_ref"))
-        .join(
-            cur.select("i", "j", F.col("corr").alias("corr_cur")),
-            ["i", "j"],
-        )
+        both
         .select(
             "i",
             "j",
@@ -2916,5 +2967,8 @@ SIMSEARCH_SPECS = [
         embedding_corr_drift,
         _corr_drift_sql(),
         ("embedding-rotation-drift-monitor",),
+        touched_round=14,  # r14: one-scan rewrite (VERDICT r13 #1) —
+        # single groupBy(grp,i,j) carries sxy/si/sj/sxx/sjj/n, zero
+        # joins; oracle unchanged (identical IEEE operands).
     ),
 ]
