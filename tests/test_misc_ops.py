@@ -587,3 +587,54 @@ def test_hamming_band_pairs_complete_vs_bruteforce(spark):
             if d <= SIMHASH_MAX_HAMMING:
                 want[(a, b)] = d
     assert got == want and want, (len(got), len(want))
+
+
+def test_hamming_band_pairs_skew_guard(spark):
+    """Degenerate-band tripwire (VERDICT r13 next-round #5): signatures
+    engineered to share ONE band value (low 15 bits constant — the
+    constant-sky-region dHash shape) must raise the loud bucket-size
+    error when the bucket exceeds max_bucket_sigs, and must pass
+    UNCHANGED at the boundary (n_sigs == cap): pairing behavior below
+    the cap is the identity."""
+    import pytest
+
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        hamming_band_pairs,
+    )
+
+    # 12 distinct 60-bit sigs, identical band 0 (low 15 bits), high
+    # bits far apart so no pair verifies at Hamming <= 3.
+    sigs = [(0b101010101010101) | (i * 0x1F1F1 << 15) for i in range(1, 13)]
+    items = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    with pytest.raises(Exception, match="degenerate band bucket"):
+        hamming_band_pairs(
+            items, "id", "sig", max_bucket_sigs=11
+        ).collect()
+    # boundary: bucket size == cap passes; far-apart sigs verify to 0 pairs
+    assert (
+        hamming_band_pairs(items, "id", "sig", max_bucket_sigs=12).count()
+        == 0
+    )
+
+
+def test_band_bucket_profile_reports_skew(spark):
+    """The count-only bucket profile reports the degenerate bucket
+    (largest first) WITHOUT tripping the pairing guard — it is the
+    measure-first companion used to size max_bucket_sigs."""
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        band_bucket_profile,
+    )
+
+    shared = 0b111000111000111
+    sigs = [shared | (i * 0x2D2D3 << 15) for i in range(1, 9)]
+    sigs += [0x5A5A5 << 30, 0x33CC3 << 30]  # singletons elsewhere
+    items = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    rows = band_bucket_profile(items, "id", "sig").collect()
+    assert rows, "profile must surface the shared band-0 bucket"
+    top = rows[0]
+    assert top["band"] == 0 and top["band_val"] == shared
+    assert top["n_sigs"] == 8
