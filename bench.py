@@ -185,6 +185,8 @@ HEADLINE = [
     "doc_unigram_perplexity",
     "llm_judge_bradley_terry",
     "embedding_corr_drift",
+    # round-14 additions
+    "retrieval_ndcg_mrr",
     # contrastive_pair_mining is registry-gated but not benched: it is
     # a labeled CASE/filter reading of the SAME _lsh_verified_pairs
     # compute dedup_minhash_lsh already times (the
