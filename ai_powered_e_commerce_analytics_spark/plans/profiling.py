@@ -1704,6 +1704,34 @@ def _bt_mm(items, sym_rows, wins, rounds=BT_ROUNDS):
     return p
 
 
+def _bt_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic stub judge shared by the BT leaderboard and
+    its calibration twin: each adjacent document pair from different
+    sources, longer text wins, ties excluded — (winner, loser) rows.
+    One corpus equi-join on doc_id + 1, never a cross product."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(
+            (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.n_chars") != F.col("b.n_chars"))
+        )
+        .select(
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+
+
 def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strength scores from pairwise judgments — the
     aggregation primitive of every LLM-as-judge / RLHF-preference
@@ -1729,32 +1757,13 @@ def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows + |sources| win rows; the driver sees only that contraction
     (the ``pca_top_component`` / ``opq_rotation`` class), so the
     iteration cost is corpus-independent at any scale."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    a, b = d.alias("a"), d.alias("b")
-    j = (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .where(
-            (F.col("a.source") != F.col("b.source"))
-            & (F.col("a.n_chars") != F.col("b.n_chars"))
-        )
-        .select(
-            F.when(
-                F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source")
-            )
-            .otherwise(F.col("b.source"))
-            .alias("winner"),
-            F.when(
-                F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source")
-            )
-            .otherwise(F.col("a.source"))
-            .alias("loser"),
-        )
-    )
+    j = _bt_judgments(spark, sf_dir)
     # ONE action at (winner, loser) grain (VERDICT r13 finding #2: the
     # adjacent-key corpus join used to execute twice — once for the
     # unordered pair counts, once for the win totals). Both statistics
     # are exact-long derivations of this ≤ |sources|² contraction, so
-    # they fold driver-side from a single collect.
+    # they fold driver-side from a single collect. The same contraction
+    # feeds llm_judge_calibration.
     wl_rows = (
         j.groupBy("winner", "loser").agg(F.count("*").alias("n")).collect()
     )
@@ -1790,10 +1799,11 @@ def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bt_sql() -> str:
-    """Oracle: identical judgments/contraction, the MM rounds unrolled
-    (sum-of-longs round terms are order-free, so DuckDB's unordered
-    aggregation lands on the same integers as the driver loop)."""
+def _bt_sql_parts() -> list:
+    """The shared CTE prefix of the BT oracle family: judgments →
+    contraction → BT_ROUNDS unrolled MM rounds ending at
+    ``bp{BT_ROUNDS}`` (the converged micro scores). Reused verbatim by
+    :func:`_bt_sql` and :func:`_bt_calibration_sql`."""
     parts = [f"""
 j AS MATERIALIZED (
     SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
@@ -1843,8 +1853,15 @@ bp{k} AS MATERIALIZED (
     SELECT q.i, round(q.p::DOUBLE * kk.c / t.total::DOUBLE)::BIGINT AS p
     FROM bq{k} q CROSS JOIN bt{k} t CROSS JOIN kk
 )""")
+    return parts
+
+
+def _bt_sql() -> str:
+    """Oracle: identical judgments/contraction, the MM rounds unrolled
+    (sum-of-longs round terms are order-free, so DuckDB's unordered
+    aggregation lands on the same integers as the driver loop)."""
     return (
-        "WITH " + ",".join(parts) + f"""
+        "WITH " + ",".join(_bt_sql_parts()) + f"""
 SELECT it.i AS source, coalesce(w.w, 0)::BIGINT AS n_wins,
        nc.n_comparisons, p.p AS bt_micro,
        p.p::DOUBLE / 1000000.0 AS bt_score
@@ -1857,6 +1874,158 @@ LEFT JOIN wins w ON w.i = it.i
     )
 
 
+# Reliability-diagram buckets on the BT score GAP (micro): 0.2-wide
+# bins, the last open-ended — [0, .2), [.2, .4), [.4, .6), [.6, .8),
+# [.8, inf). Gap is on the mean-1e6-normalized score scale, so the
+# binning transfers across corpora like the drift bands do.
+CALIB_GAP_BUCKET_MICRO = 200_000
+CALIB_MAX_BUCKET = 4
+
+
+def llm_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the Bradley-Terry judge model — the
+    missing piece of the LLM-judge QA story after the leaderboard
+    (``llm_judge_bradley_terry``) and annotator agreement
+    (``sentiment_annotator_kappa``): per score-gap bucket, does the
+    model's predicted win probability p_f/(p_f + p_u) of the
+    BT-favored side match the judge's OBSERVED win rate? A calibrated
+    judge tracks the diagonal; systematic over-confidence in the
+    high-gap buckets is the classic LLM-judge failure mode this
+    monitor exists to catch.
+
+    Emits one row per non-empty gap bucket: exact pair/comparison/win
+    counts, the exact micro sum of predicted wins, and predicted vs
+    observed as ONE unrounded IEEE division each on identical longs
+    (no round() call — the quotient of identical operands is already
+    bit-identical across engines).
+
+    Plan: the identical (winner, loser)-grain contraction the BT query
+    collects (ONE corpus join; ≤ |sources|² rows), then driver-side
+    micro-long folding — corpus-independent like the MM iteration.
+
+    Registry note: implemented + oracle-tested r14
+    (tests/test_profiling_ops.py drives _bt_calibration_sql through
+    DuckDB against this function); REGISTERS in r15 — the r14 driver
+    window is exactly full (1 new + 4 touched + the 45-row r10 band,
+    VERDICT r13 next-round #1/#7: rotation health beats registry
+    growth)."""
+    import math
+
+    wl_rows = (
+        _bt_judgments(spark, sf_dir)
+        .groupBy("winner", "loser")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    wl = {(r["winner"], r["loser"]): int(r["n"]) for r in wl_rows}
+    wins: dict = {}
+    und: dict = {}
+    for (w, l), n in wl.items():
+        wins[w] = wins.get(w, 0) + n
+        key = (min(w, l), max(w, l))
+        und[key] = und.get(key, 0) + n
+    sym = []
+    for (s_lo, s_hi), n in sorted(und.items()):
+        sym.append((s_lo, s_hi, n))
+        sym.append((s_hi, s_lo, n))
+    items = sorted({i for i, _, _ in sym})
+    p = _bt_mm(items, sym, wins)
+    acc: dict = {}
+    for (lo, hi), n_total in sorted(und.items()):
+        p_lo, p_hi = p[lo], p[hi]
+        # favored = higher converged score; exact tie -> lexicographic
+        # min (= lo), mirrored by the oracle's CASE WHEN p_hi > p_lo
+        fav, unfav, p_f = (
+            (hi, lo, p_hi) if p_hi > p_lo else (lo, hi, p_lo)
+        )
+        gap = abs(p_lo - p_hi)
+        b = min(gap // CALIB_GAP_BUCKET_MICRO, CALIB_MAX_BUCKET)
+        pw = math.floor(
+            float(n_total) * float(p_f) * 1_000_000.0
+            / float(p_lo + p_hi) + 0.5
+        )
+        a = acc.setdefault(b, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_total
+        a[2] += wl.get((fav, unfav), 0)
+        a[3] += pw
+    return spark.createDataFrame(
+        [
+            (
+                b,
+                n_pairs,
+                n_comp,
+                fav_wins,
+                pred_micro,
+                float(pred_micro) / (float(n_comp) * 1_000_000.0),
+                float(fav_wins) / float(n_comp),
+            )
+            for b, (n_pairs, n_comp, fav_wins, pred_micro) in sorted(
+                acc.items()
+            )
+        ],
+        "gap_bucket long, n_pairs long, n_comparisons long, "
+        "fav_wins long, pred_wins_micro long, "
+        "predicted double, observed double",
+    )
+
+
+def _bt_calibration_sql() -> str:
+    """Oracle: the shared BT prefix (judgments → contraction → MM
+    rounds) + the bucket fold replayed relationally. Every count and
+    the predicted-wins micro sum are exact longs; predicted/observed
+    are the same single divisions the driver emits."""
+    g = CALIB_GAP_BUCKET_MICRO
+    return (
+        "WITH " + ",".join(_bt_sql_parts()) + f""",
+ord AS MATERIALIZED (
+    SELECT winner, loser, count(*)::BIGINT AS n FROM j GROUP BY 1, 2
+),
+fav AS (
+    SELECT pr.s_lo, pr.s_hi, pr.n AS n_total,
+           plo.p AS p_lo, phi.p AS p_hi,
+           CASE WHEN phi.p > plo.p THEN pr.s_hi ELSE pr.s_lo END AS fav,
+           CASE WHEN phi.p > plo.p THEN pr.s_lo ELSE pr.s_hi END AS unfav,
+           CASE WHEN phi.p > plo.p THEN phi.p ELSE plo.p END AS p_f,
+           abs(plo.p - phi.p)::BIGINT AS gap_micro
+    FROM pr
+    JOIN bp{BT_ROUNDS} plo ON plo.i = pr.s_lo
+    JOIN bp{BT_ROUNDS} phi ON phi.i = pr.s_hi
+),
+bucketed AS (
+    SELECT least(gap_micro // {g}, {CALIB_MAX_BUCKET})::BIGINT
+               AS gap_bucket,
+           f.n_total,
+           coalesce(o.n, 0)::BIGINT AS fav_wins,
+           round(f.n_total::DOUBLE * f.p_f::DOUBLE * 1000000.0
+                 / (f.p_lo + f.p_hi)::DOUBLE)::BIGINT AS pw_micro
+    FROM fav f
+    LEFT JOIN ord o ON o.winner = f.fav AND o.loser = f.unfav
+),
+cal AS (
+    SELECT gap_bucket, count(*)::BIGINT AS n_pairs,
+           sum(n_total)::BIGINT AS n_comparisons,
+           sum(fav_wins)::BIGINT AS fav_wins,
+           sum(pw_micro)::BIGINT AS pred_wins_micro
+    FROM bucketed GROUP BY 1
+)
+SELECT gap_bucket, n_pairs, n_comparisons, fav_wins, pred_wins_micro,
+       pred_wins_micro::DOUBLE / (n_comparisons::DOUBLE * 1000000.0)
+           AS predicted,
+       fav_wins::DOUBLE / n_comparisons::DOUBLE AS observed
+FROM cal
+ORDER BY gap_bucket
+"""
+    )
+
+
+# r15 REGISTRATION QUEUE: QuerySpec("llm_judge_calibration",
+# llm_judge_calibration, _bt_calibration_sql(),
+# ("llm-judge-calibration",)) — implemented + oracle-tested r14
+# (tests/test_bradley_terry.py drives the DuckDB oracle bit-exact);
+# held out of the registry because the r14 driver window is exactly
+# full (VERDICT r13 #1: the 45-row r10 band + 1 new + 4 touched = 50;
+# #7: skip the stretch if rotation health would suffer).
 PROFILING_SPECS = [
     QuerySpec(
         "sentiment_annotator_kappa",

@@ -78,3 +78,60 @@ def test_bt_query_fixture_invariants(spark):
     # win-rate source outranks the worst
     by_wr = sorted(rows, key=lambda r: r["n_wins"] / r["n_comparisons"])
     assert by_wr[-1]["bt_micro"] > by_wr[0]["bt_micro"]
+
+
+def test_calibration_matches_duckdb_oracle(spark):
+    """llm_judge_calibration vs its unrolled-MM DuckDB oracle,
+    bit-exact on every column — the same gate the driver runs, exercised
+    in-suite because the QuerySpec registers in r15 (the r14 driver
+    window is exactly full; see the function's registry note)."""
+    import duckdb
+    import numpy as np
+
+    from ai_powered_e_commerce_analytics_spark.plans.profiling import (
+        _bt_calibration_sql,
+        llm_judge_calibration,
+    )
+
+    sdf = llm_judge_calibration(spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    odf = con.execute(_bt_calibration_sql()).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.shape == b.shape and a.shape[0] >= 3
+    for c in cols:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+
+
+def test_calibration_invariants(spark):
+    """Reliability-diagram semantics: predicted is the BT model's own
+    win probability for the favored side, so it must rise with the gap
+    bucket and stay in [0.5, 1]; counts must conserve against the BT
+    leaderboard's comparison totals (each unordered pair counted once
+    here, twice in the per-source totals)."""
+    from ai_powered_e_commerce_analytics_spark.plans.profiling import (
+        llm_judge_bradley_terry,
+        llm_judge_calibration,
+    )
+
+    rows = sorted(
+        llm_judge_calibration(spark, SF_DIR).collect(),
+        key=lambda r: r["gap_bucket"],
+    )
+    assert rows
+    preds = [r["predicted"] for r in rows]
+    assert all(0.5 <= p <= 1.0 for p in preds), preds
+    assert preds == sorted(preds), preds  # monotone in the gap
+    for r in rows:
+        assert 0.0 <= r["observed"] <= 1.0
+        assert r["n_comparisons"] >= r["n_pairs"] >= 1
+        assert 0 <= r["fav_wins"] <= r["n_comparisons"]
+    bt = llm_judge_bradley_terry(spark, SF_DIR).collect()
+    assert sum(r["n_comparisons"] for r in rows) * 2 == sum(
+        r["n_comparisons"] for r in bt
+    )
