@@ -396,36 +396,19 @@ _RECIP_MICRO = tuple(
 _GAINS = (0, 1, 3, 7)  # 2^rel - 1 for rel 0..3
 
 
-def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@10 and MRR@10 for the lexical leg, the dense leg, and the
-    RRF fusion of :func:`hybrid_search_rrf`, against the planted
-    AND-relevance judgments above — one row per leg. This is the
-    closed-loop complement of the recall monitors in plans/simsearch:
-    recall checks the ANN index retrieves the true neighbors; this
-    checks the RANKING retrieves the relevant documents, and is the
-    number that justifies running two legs at all.
-
-    Determinism: rel is an exact int from two threshold comparisons on
-    6-dp-rounded doubles; gains/discounts/reciprocals are shared
-    integer literals; DCG/IDCG are order-free long sums; nDCG and MRR
-    are ONE exactly-rounded division each on identical operands.
-
-    Plan: the BM25 corpus pass (toked exchange reused between the
-    scoring probe and the top-K leg), one embeddings scan vs a 1-row
-    broadcast query, TakeOrderedAndProject per leg, then every window
-    and join downstream runs on bounded frames (≤ 50-row legs, ≤ 30
-    judged leg rows, 10-row ideal) — nothing after the two corpus
-    passes is data-sized. IDCG's ideal top-10 is its own
-    TakeOrderedAndProject over the judged frame."""
+def _retrieval_leg_frames(spark: SparkSession, sf_dir: str):
+    """(scored, semall, lex_r, sem_r): the corpus-wide BM25 score and
+    cosine frames plus the two top-50 rank lists — rankings identical
+    to ``hybrid_search_rrf``'s legs. Shared by the quality eval
+    (``retrieval_ndcg_mrr``) and the rank-agreement monitor
+    (``retrieval_rank_overlap_rbo``). Every frame ends in a doc_id
+    repartition barrier whose consumers read the SAME column set, so
+    the exchanges are reused and each corpus pass runs once (the
+    toked-barrier pattern — see the §3a9 note: TakeOrderedAndProject
+    has no exchange for ReuseExchange to match, the barriers restore
+    reusability)."""
     from .simsearch import _dot
 
-    # Exchange barriers (the toked-barrier pattern, see _bm25_scored):
-    # scored feeds the judgment join AND the lexical top-K, semall the
-    # judgment join AND the dense top-K, each rank frame the legrows
-    # union AND the fuse — every pair of consumers reads the IDENTICAL
-    # column set, so the repartition exchanges are reused at runtime
-    # and each corpus pass executes once. The barriers double as the
-    # join partitioning (doc_id), so the judgment SMJ adds no exchange.
     scored = (
         _bm25_scored(spark, sf_dir)
         .select("doc_id", "score")
@@ -447,24 +430,6 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
         .repartition("doc_id")
     )
-    # Judgments: corpus-wide, LEFT join so the query doc itself (no
-    # dense candidate by the leg contract) judges rel=0 — both engines.
-    cc = F.coalesce(F.col("cos"), F.lit(-1.0))
-    rel = (
-        F.when(
-            (F.col("score") >= REL_BM25_MIN) & (cc >= REL_COS_MIN),
-            F.lit(1)
-            + (F.col("score") >= REL_BM25_HI).cast("int")
-            + (cc >= REL_COS_HI).cast("int"),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    judged = scored.join(semall, "doc_id", "left").select(
-        "doc_id", rel.alias("rel")
-    )
-
-    # The three rank lists — identical rankings to hybrid_search_rrf.
     lex50 = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
     lex_r = lex50.select(
         "doc_id",
@@ -481,6 +446,54 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sem_rank"),
     ).repartition("doc_id")
+    return scored, semall, lex_r, sem_r
+
+
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 and MRR@10 for the lexical leg, the dense leg, and the
+    RRF fusion of :func:`hybrid_search_rrf`, against the planted
+    AND-relevance judgments above — one row per leg. This is the
+    closed-loop complement of the recall monitors in plans/simsearch:
+    recall checks the ANN index retrieves the true neighbors; this
+    checks the RANKING retrieves the relevant documents, and is the
+    number that justifies running two legs at all.
+
+    Determinism: rel is an exact int from two threshold comparisons on
+    6-dp-rounded doubles; gains/discounts/reciprocals are shared
+    integer literals; DCG/IDCG are order-free long sums; nDCG and MRR
+    are ONE exactly-rounded division each on identical operands.
+
+    Plan: the BM25 corpus pass (toked exchange reused between the
+    scoring probe and the top-K leg), one embeddings scan vs a 1-row
+    broadcast query, TakeOrderedAndProject per leg, then every window
+    and join downstream runs on bounded frames (≤ 50-row legs, ≤ 30
+    judged leg rows, 10-row ideal) — nothing after the two corpus
+    passes is data-sized. IDCG's ideal top-10 is its own
+    TakeOrderedAndProject over the judged frame."""
+    # Exchange barriers (the toked-barrier pattern, see _bm25_scored):
+    # scored feeds the judgment join AND the lexical top-K, semall the
+    # judgment join AND the dense top-K, each rank frame the legrows
+    # union AND the fuse — every pair of consumers reads the IDENTICAL
+    # column set, so the repartition exchanges are reused at runtime
+    # and each corpus pass executes once. The barriers double as the
+    # join partitioning (doc_id), so the judgment SMJ adds no exchange.
+    scored, semall, lex_r, sem_r = _retrieval_leg_frames(spark, sf_dir)
+    # Judgments: corpus-wide, LEFT join so the query doc itself (no
+    # dense candidate by the leg contract) judges rel=0 — both engines.
+    cc = F.coalesce(F.col("cos"), F.lit(-1.0))
+    rel = (
+        F.when(
+            (F.col("score") >= REL_BM25_MIN) & (cc >= REL_COS_MIN),
+            F.lit(1)
+            + (F.col("score") >= REL_BM25_HI).cast("int")
+            + (cc >= REL_COS_HI).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    judged = scored.join(semall, "doc_id", "left").select(
+        "doc_id", rel.alias("rel")
+    )
     term = lambda c: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(c).cast("double")),
         F.lit(0.0),
@@ -576,6 +589,169 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-agreement monitor: overlap@d + truncated RBO between two
+# serving lists (r14, registers r15 with llm_judge_calibration).
+#
+# Rank-Biased Overlap (Webber/Moffat/Zobel 2010): a top-weighted,
+# ground-truth-FREE agreement measure between two rankings —
+# rbo_p = (1 − p) · Σ_d p^(d−1) · overlap@d / d, truncated at the
+# serving depth (50; the untruncated residual is bounded by p^50 ≈
+# 0.5%, documented rather than extrapolated). Production reading: the
+# drift monitor between two index GENERATIONS' serving lists (or a
+# canary vs prod ranker) when no judged relevance exists —
+# check_index_health's recall needs ground truth, RBO doesn't; p=0.9
+# concentrates ~86% of the weight in the top 20, so tail-only shuffles
+# don't page anyone. The fixture contract compares the two hybrid
+# legs (lex vs sem — the same deterministic stand-in role the stub
+# judge plays for the LLM call), whose agreement is exactly what
+# hybrid_search_rrf's value proposition depends on.
+RBO_P = 0.9
+_RBO_W_NANO = tuple(
+    int(1_000_000_000.0 * (1.0 - RBO_P) * RBO_P ** (d - 1) / d + 0.5)
+    for d in range(1, BM25_TOP_K + 1)
+)
+
+
+def retrieval_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth overlap and cumulative truncated RBO between the
+    lexical and dense top-50 lists — one row per depth d ∈ [1, 50]:
+    how many documents the two rankings share in their top-d
+    (``n_common``), the overlap fraction, and the running
+    rank-biased-overlap sum.
+
+    Determinism: a common document first counts at depth
+    m = max(lex_rank, sem_rank) — exact longs; n_common@d is a
+    cumulative long sum over the 50-row depth frame; the RBO weights
+    (1−p)·p^(d−1)/d are driver-computed NANO-grid integer literals
+    shared verbatim with the oracle (the nDCG discount-table
+    discipline), so every rbo_cum_nano is an exact long and the
+    emitted fractions are one IEEE division each on identical
+    operands.
+
+    Plan: the two leg rank frames (shared ``_retrieval_leg_frames``
+    barriers — corpus passes run once), a ≤50-row inner join, a ≤50-row
+    count contraction, then windows over the literal 50-row depth
+    frame. Nothing downstream of the leg TakeOrderedAndProjects is
+    data-sized."""
+    _, _, lex_r, sem_r = _retrieval_leg_frames(spark, sf_dir)
+    m = lex_r.join(sem_r, "doc_id").select(
+        F.greatest("lex_rank", "sem_rank").alias("m")
+    )
+    counts = m.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    depths = spark.range(1, BM25_TOP_K + 1).select(
+        F.col("id").alias("depth")
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _RBO_W_NANO])
+    wd = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per = (
+        depths.join(counts, depths.depth == counts.m, "left")
+        .select(
+            "depth", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c_at")
+        )
+        .withColumn("n_common", F.sum("c_at").over(wd))
+        .withColumn(
+            "contrib_nano",
+            F.col("n_common")
+            * F.element_at(w_arr, F.col("depth").cast("int")),
+        )
+        .withColumn("rbo_cum_nano", F.sum("contrib_nano").over(wd))
+    )
+    return per.select(
+        "depth",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("depth").cast("double"))
+        .alias("overlap_frac"),
+        "rbo_cum_nano",
+        (F.col("rbo_cum_nano").cast("double") / F.lit(1_000_000_000.0))
+        .alias("rbo_cum"),
+    ).orderBy("depth")
+
+
+_RBO_W_VALUES_SQL = ", ".join(
+    f"({d + 1}, {w})" for d, w in enumerate(_RBO_W_NANO)
+)
+
+RETRIEVAL_RANK_OVERLAP_RBO_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, len(toks)::BIGINT AS dl,
+           {", ".join(f"{_tf_sql(i)} AS tf_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE doc_id IS NOT NULL)
+),
+stats AS (
+    SELECT count(doc_id)::DOUBLE AS n,
+           sum(dl)::DOUBLE / count(doc_id) AS avgdl,
+           {", ".join(f"sum((tf_{i} > 0)::INT)::DOUBLE AS df_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+    FROM toked
+),
+lexall AS MATERIALIZED (
+    SELECT doc_id, round({_BM25_ADDEND_SQL}, 6) AS score
+    FROM toked CROSS JOIN stats
+),
+emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+q AS (
+    SELECT emb AS qe, norm AS qn FROM emb WHERE vec_id = {SEM_QUERY_VEC}
+),
+semall AS MATERIALIZED (
+    SELECT vec_id AS doc_id,
+           round(list_dot_product(emb, qe) / (norm * qn), 6) AS cos
+    FROM emb CROSS JOIN q WHERE vec_id <> {SEM_QUERY_VEC}
+),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+               AS lex_rank
+    FROM lexall
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+),
+sem AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT
+               AS sem_rank
+    FROM semall
+    ORDER BY cos DESC, doc_id LIMIT {BM25_TOP_K}
+),
+m AS (
+    SELECT greatest(l.lex_rank, s.sem_rank) AS m
+    FROM lex l JOIN sem s USING (doc_id)
+),
+counts AS (SELECT m, count(*)::BIGINT AS c FROM m GROUP BY m),
+w(depth, w_nano) AS (VALUES {_RBO_W_VALUES_SQL}),
+per AS (
+    SELECT d.range + 1 AS depth, coalesce(c.c, 0)::BIGINT AS c_at
+    FROM range(0, {BM25_TOP_K}) d
+    LEFT JOIN counts c ON c.m = d.range + 1
+),
+cum AS (
+    SELECT depth,
+           sum(c_at) OVER (ORDER BY depth)::BIGINT AS n_common
+    FROM per
+)
+SELECT c.depth::BIGINT AS depth, c.n_common,
+       c.n_common::DOUBLE / c.depth::DOUBLE AS overlap_frac,
+       sum(c.n_common * w.w_nano) OVER (ORDER BY c.depth)::BIGINT
+           AS rbo_cum_nano,
+       (sum(c.n_common * w.w_nano) OVER (ORDER BY c.depth))::DOUBLE
+           / 1000000000.0 AS rbo_cum
+FROM cum c JOIN w ON w.depth = c.depth
+ORDER BY depth
+"""
+
+# r15 REGISTRATION QUEUE (with llm_judge_calibration):
+# QuerySpec("retrieval_rank_overlap_rbo", retrieval_rank_overlap_rbo,
+# RETRIEVAL_RANK_OVERLAP_RBO_SQL, ("retrieval-rank-agreement",)) —
+# implemented + cross-engine-tested r14; held out of the registry
+# because the r14 driver window is exactly full (VERDICT r13 #1).
 
 
 _DISC_VALUES_SQL = ", ".join(

@@ -90,3 +90,58 @@ def test_ndcg_mrr_exact_micro_consistency(spark, sf_dir):
         else:
             assert r["mrr_micro"] == _RECIP_MICRO[r["first_rel_rank"] - 1]
         assert 0 <= r["dcg_micro"] <= r["idcg_micro"]
+
+
+def test_rbo_matches_duckdb_oracle(spark, sf_dir):
+    """retrieval_rank_overlap_rbo vs its DuckDB oracle, bit-exact on
+    every column — exercised in-suite because the QuerySpec registers
+    in r15 (r14 window full; see the registration-queue comment)."""
+    import duckdb
+    import numpy as np
+
+    from ai_powered_e_commerce_analytics_spark.plans.retrieval import (
+        RETRIEVAL_RANK_OVERLAP_RBO_SQL,
+        retrieval_rank_overlap_rbo,
+    )
+
+    sdf = retrieval_rank_overlap_rbo(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for tb in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tb} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tb}.parquet')"
+        )
+    odf = con.execute(RETRIEVAL_RANK_OVERLAP_RBO_SQL).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values("depth").reset_index(drop=True)
+    b = odf[cols].sort_values("depth").reset_index(drop=True)
+    assert a.shape == b.shape == (50, 5)
+    for c in cols:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+
+
+def test_rbo_invariants(spark, sf_dir):
+    """RBO semantics: n_common is a monotone cumulative count bounded
+    by depth; rbo_cum is monotone and bounded by the truncated maximum
+    1 - p^50; the nano weight table itself sums to that bound on the
+    identical-lists reading (sum of d * w_d = (1-p) * sum p^(d-1))."""
+    from ai_powered_e_commerce_analytics_spark.plans.retrieval import (
+        _RBO_W_NANO,
+        RBO_P,
+        retrieval_rank_overlap_rbo,
+    )
+
+    rows = sorted(
+        retrieval_rank_overlap_rbo(spark, sf_dir).collect(),
+        key=lambda r: r["depth"],
+    )
+    assert [r["depth"] for r in rows] == list(range(1, 51))
+    prev_n, prev_rbo = 0, 0
+    trunc_max = 1.0 - RBO_P ** 50
+    for r in rows:
+        assert prev_n <= r["n_common"] <= r["depth"]
+        assert prev_rbo <= r["rbo_cum"] <= trunc_max + 1e-6
+        prev_n, prev_rbo = r["n_common"], r["rbo_cum"]
+    # identical-lists bound of the literal weight table (rounding-level)
+    ident = sum(d * w for d, w in enumerate(_RBO_W_NANO, start=1))
+    assert abs(ident / 1e9 - trunc_max) < 1e-6
