@@ -145,3 +145,72 @@ def test_rbo_invariants(spark, sf_dir):
     # identical-lists bound of the literal weight table (rounding-level)
     ident = sum(d * w for d, w in enumerate(_RBO_W_NANO, start=1))
     assert abs(ident / 1e9 - trunc_max) < 1e-6
+
+
+def test_ndcg_mrr_independent_python_replay(spark, sf_dir):
+    """Recompute nDCG@10 / MRR@10 in plain Python from the raw leg
+    frames (scores, cosines, ranks collected independently) using
+    textbook float math — the engine's exact-long-grid result must
+    agree to ~1e-5, catching any error in the literal discount tables
+    or the aggregation wiring that cross-engine parity alone cannot
+    (both engines share the tables)."""
+    import math
+
+    from ai_powered_e_commerce_analytics_spark.plans.retrieval import (
+        REL_BM25_HI,
+        REL_BM25_MIN,
+        REL_COS_HI,
+        REL_COS_MIN,
+        _retrieval_leg_frames,
+        retrieval_ndcg_mrr,
+    )
+
+    scored, semall, lex_r, sem_r = _retrieval_leg_frames(spark, sf_dir)
+    score = {r["doc_id"]: r["score"] for r in scored.collect()}
+    cos = {r["doc_id"]: r["cos"] for r in semall.collect()}
+
+    def rel(d):
+        s, c = score[d], cos.get(d, -1.0)
+        if s >= REL_BM25_MIN and c >= REL_COS_MIN:
+            return 1 + (s >= REL_BM25_HI) + (c >= REL_COS_HI)
+        return 0
+
+    lex = [r["doc_id"] for r in sorted(lex_r.collect(),
+                                       key=lambda r: r["lex_rank"])]
+    sem = [r["doc_id"] for r in sorted(sem_r.collect(),
+                                       key=lambda r: r["sem_rank"])]
+    lr = {d: i + 1 for i, d in enumerate(lex)}
+    sr = {d: i + 1 for i, d in enumerate(sem)}
+    rrf = {
+        d: (1.0 / (60 + lr[d]) if d in lr else 0.0)
+        + (1.0 / (60 + sr[d]) if d in sr else 0.0)
+        for d in set(lex) | set(sem)
+    }
+    fused = [d for d, _ in sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+    def dcg(docs):
+        return sum(
+            (2 ** rel(d) - 1) / math.log2(i + 2)
+            for i, d in enumerate(docs[:10])
+        )
+
+    idcg = sum(
+        (2 ** r - 1) / math.log2(i + 2)
+        for i, r in enumerate(sorted((rel(d) for d in score), reverse=True)[:10])
+    )
+
+    def mrr(docs):
+        for i, d in enumerate(docs[:10]):
+            if rel(d) >= 1:
+                return 1.0 / (i + 1)
+        return 0.0
+
+    expect = {
+        "lex": (dcg(lex) / idcg, mrr(lex)),
+        "sem": (dcg(sem) / idcg, mrr(sem)),
+        "fused": (dcg(fused) / idcg, mrr(fused)),
+    }
+    got = {r["leg"]: r for r in retrieval_ndcg_mrr(spark, sf_dir).collect()}
+    for leg, (nd, mr) in expect.items():
+        assert abs(got[leg]["ndcg"] - nd) < 1e-5, (leg, got[leg]["ndcg"], nd)
+        assert abs(got[leg]["mrr"] - mr) < 1e-5, (leg, got[leg]["mrr"], mr)
