@@ -1732,6 +1732,36 @@ def _bt_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_collect_fold(spark: SparkSession, sf_dir: str):
+    """ONE collect of the (winner, loser)-grain contraction plus the
+    driver-side folds every BT reading derives from — shared by the
+    leaderboard and the calibration twin so a future change to the
+    fold (tie handling, the micro grid) cannot desynchronize them.
+    Returns (wl, wins, und, sym, items, p): the directed pair counts,
+    per-item win totals, unordered pair counts, the symmetrized rows,
+    the sorted item list, and the converged micro scores."""
+    wl_rows = (
+        _bt_judgments(spark, sf_dir)
+        .groupBy("winner", "loser")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    wl = {(r["winner"], r["loser"]): int(r["n"]) for r in wl_rows}
+    wins: dict = {}
+    und: dict = {}
+    for (w, l), n in wl.items():
+        wins[w] = wins.get(w, 0) + n
+        key = (min(w, l), max(w, l))
+        und[key] = und.get(key, 0) + n
+    sym = []
+    for (s_lo, s_hi), n in sorted(und.items()):
+        sym.append((s_lo, s_hi, n))
+        sym.append((s_hi, s_lo, n))
+    items = sorted({i for i, _, _ in sym})
+    p = _bt_mm(items, sym, wins)
+    return wl, wins, und, sym, items, p
+
+
 def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strength scores from pairwise judgments — the
     aggregation primitive of every LLM-as-judge / RLHF-preference
@@ -1762,24 +1792,9 @@ def llm_judge_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adjacent-key corpus join used to execute twice — once for the
     # unordered pair counts, once for the win totals). Both statistics
     # are exact-long derivations of this ≤ |sources|² contraction, so
-    # they fold driver-side from a single collect. The same contraction
-    # feeds llm_judge_calibration.
-    wl_rows = (
-        j.groupBy("winner", "loser").agg(F.count("*").alias("n")).collect()
-    )
-    wins: dict[str, int] = {}
-    und: dict[tuple[str, str], int] = {}
-    for r in wl_rows:
-        w, l, n = r["winner"], r["loser"], int(r["n"])
-        wins[w] = wins.get(w, 0) + n
-        key = (min(w, l), max(w, l))
-        und[key] = und.get(key, 0) + n
-    sym = []
-    for (s_lo, s_hi), n in sorted(und.items()):
-        sym.append((s_lo, s_hi, n))
-        sym.append((s_hi, s_lo, n))
-    items = sorted({i for i, _, _ in sym})
-    p = _bt_mm(items, sym, wins)
+    # they fold driver-side from a single collect — the shared
+    # _bt_collect_fold, same fold the calibration twin reads.
+    wl, wins, und, sym, items, p = _bt_collect_fold(spark, sf_dir)
     n_comp = {i: 0 for i in items}
     for i, _, n in sym:
         n_comp[i] += n
@@ -1911,25 +1926,7 @@ def llm_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth)."""
     import math
 
-    wl_rows = (
-        _bt_judgments(spark, sf_dir)
-        .groupBy("winner", "loser")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    wl = {(r["winner"], r["loser"]): int(r["n"]) for r in wl_rows}
-    wins: dict = {}
-    und: dict = {}
-    for (w, l), n in wl.items():
-        wins[w] = wins.get(w, 0) + n
-        key = (min(w, l), max(w, l))
-        und[key] = und.get(key, 0) + n
-    sym = []
-    for (s_lo, s_hi), n in sorted(und.items()):
-        sym.append((s_lo, s_hi, n))
-        sym.append((s_hi, s_lo, n))
-    items = sorted({i for i, _, _ in sym})
-    p = _bt_mm(items, sym, wins)
+    wl, _, und, _, _, p = _bt_collect_fold(spark, sf_dir)
     acc: dict = {}
     for (lo, hi), n_total in sorted(und.items()):
         p_lo, p_hi = p[lo], p[hi]

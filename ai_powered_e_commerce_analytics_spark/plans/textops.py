@@ -778,7 +778,6 @@ def _band_rows(
 
 def band_bucket_profile(
     items: DataFrame,
-    id_col: str,
     sig_col: str,
     *,
     band_bits: int = _S64_BAND_BITS,
@@ -858,11 +857,19 @@ def hamming_band_pairs(
     )
     usig = docs.select("__sig").distinct()
     bands = _band_rows(usig, band_bits, n_bands)
-    # The guard is fused INTO the sigs column (when/raise_error) so it
-    # cannot be pruned and fires between the agg and the pair
-    # explosion: collect_list at the cap is ~32 KB per bucket — far
-    # from list-buffer memory trouble — while the explosion it gates
-    # is quadratic. n_sigs counts in the same agg, no extra pass.
+    # Guard ordering matters: the size check must complete BEFORE any
+    # collect_list starts buffering, because collect_list on the
+    # degenerate bucket is itself unbounded (a 50M-signature bucket is
+    # a ~400 MB single-task array — the agg would OOM before a
+    # post-agg check ever ran). So: (1) a count-only agg at bucket
+    # grain — map-side combined, skew-safe at any bucket size; (2) the
+    # counts join back onto the band rows (sort-merge spills if the
+    # bucket-grain frame is large, never buffers a bucket) with the
+    # raise_error fused INTO the signature column so it cannot be
+    # pruned and fires per-row ahead of the downstream agg; (3) only
+    # buckets the guard passed (and non-singletons) reach collect_list,
+    # so its buffer is bounded by max_bucket_sigs (~32 KB at the
+    # default cap).
     oversize_msg = F.concat_ws(
         " ",
         F.lit("hamming_band_pairs: degenerate band bucket — band"),
@@ -879,12 +886,11 @@ def hamming_band_pairs(
             "band_bucket_profile()." % max_bucket_sigs
         ),
     )
-    buckets = (
-        bands.groupBy("band", "band_val")
-        .agg(
-            F.count("*").alias("n_sigs"),
-            F.collect_list("__sig").alias("sigs_raw"),
-        )
+    sizes = bands.groupBy("band", "band_val").agg(
+        F.count("*").alias("n_sigs")
+    )
+    guarded = (
+        bands.join(sizes, ["band", "band_val"])
         .where(F.col("n_sigs") > 1)
         .select(
             "band",
@@ -893,9 +899,12 @@ def hamming_band_pairs(
                 F.col("n_sigs") > F.lit(max_bucket_sigs),
                 F.raise_error(oversize_msg),
             )
-            .otherwise(F.col("sigs_raw"))
-            .alias("sigs"),
+            .otherwise(F.col("__sig"))
+            .alias("__sig"),
         )
+    )
+    buckets = guarded.groupBy("band", "band_val").agg(
+        F.collect_list("__sig").alias("sigs")
     )
     pair = F.explode(
         F.filter(

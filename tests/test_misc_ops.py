@@ -602,12 +602,23 @@ def test_hamming_band_pairs_skew_guard(spark):
         hamming_band_pairs,
     )
 
-    # 12 distinct 60-bit sigs, identical band 0 (low 15 bits), high
-    # bits far apart so no pair verifies at Hamming <= 3.
-    sigs = [(0b101010101010101) | (i * 0x1F1F1 << 15) for i in range(1, 13)]
+    # 12 distinct 60-bit sigs, identical band 0 (low 15 bits) and
+    # pairwise-DISTINCT values in bands 1-3 (multiplier chosen so every
+    # 15-bit slice differs — verified below via the profile), so band 0
+    # is the ONLY non-singleton bucket and the raise can come from
+    # nowhere else; high bits far apart so no pair verifies at
+    # Hamming <= 3.
+    sigs = [(0b101010101010101) | (i * 0x100001F1F1 << 15) & ((1 << 60) - 1)
+            for i in range(1, 13)]
     items = spark.createDataFrame(
         [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
     )
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        band_bucket_profile,
+    )
+
+    prof = band_bucket_profile(items, "sig").collect()
+    assert [(r["band"], r["n_sigs"]) for r in prof] == [(0, 12)], prof
     with pytest.raises(Exception, match="degenerate band bucket"):
         hamming_band_pairs(
             items, "id", "sig", max_bucket_sigs=11
@@ -633,7 +644,7 @@ def test_band_bucket_profile_reports_skew(spark):
     items = spark.createDataFrame(
         [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
     )
-    rows = band_bucket_profile(items, "id", "sig").collect()
+    rows = band_bucket_profile(items, "sig").collect()
     assert rows, "profile must surface the shared band-0 bucket"
     top = rows[0]
     assert top["band"] == 0 and top["band_val"] == shared
