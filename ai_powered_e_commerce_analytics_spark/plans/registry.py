@@ -527,9 +527,44 @@ _R13_DRIVER_VERIFIED = {
 }
 
 
+# Queries verified GREEN by round 14's driver window (CORRECTNESS_r14 —
+# all 50 rows green, zero err: the one oracle-gated r14 addition
+# (retrieval_ndcg_mrr), the four r14-touched rows (embedding_corr_drift,
+# llm_judge_bradley_terry, dedup_simhash64, multimodal_dedup_phash), and
+# all 45 stale-r10 rows). After round 14 the oldest evidence anywhere is
+# the 47-row r11 band (VERDICT r14 next-round #1) — the core relational
+# family among them — which therefore leads the round-15 window.
+_R14_DRIVER_VERIFIED = {
+    "approx_distinct_customers", "boilerplate_shingle_ratio",
+    "copurchase_association_rules", "cross_source_neardup_matrix",
+    "customer_k_anonymity", "customer_order_value_quartiles",
+    "daily_revenue_anomalies", "dataset_card_documents",
+    "dedup_components", "dedup_containment", "dedup_edit_distance_verify",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_near_dup_survivors", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash64", "dedup_survivors_cc", "doc_bigram_surprisal",
+    "doc_fingerprint", "doc_repetition_stats", "embedding_corr_drift",
+    "embedding_dedup_components", "embedding_knn_bruteforce",
+    "embedding_knn_partial_topk", "embedding_lsh_buckets",
+    "embedding_norms", "incremental_daily_revenue",
+    "join_size_estimate_events_orders", "lang_id_heuristic",
+    "llm_judge_bradley_terry", "lsh_candidate_efficiency",
+    "minhash_estimate_error", "multimodal_dedup_phash",
+    "nation_revenue_hhi", "order_value_histogram",
+    "order_value_percentiles_approx", "order_value_quantile_bins",
+    "part_name_er_pairs", "part_price_size_skyline", "retrieval_ndcg_mrr",
+    "simsearch_ivf_recall", "simsearch_ivf_topk",
+    "simsearch_lsh_bucket_join", "stratified_sample_documents",
+    "table_profile_orders", "tfidf_top_terms", "token_stats_by_source",
+    "weighted_sample_aes",
+}
+
+
 def _last_verified_round(name: str) -> int:
     """Most recent driver round whose CORRECTNESS file holds a green row
     for this query name, or 0 if never driver-checked."""
+    if name in _R14_DRIVER_VERIFIED:
+        return 14
     if name in _R13_DRIVER_VERIFIED:
         return 13
     if name in _R12_DRIVER_VERIFIED:
@@ -565,12 +600,15 @@ def _last_verified_round(name: str) -> int:
 #   2. plan touched since last driver verification    -> key 1
 #   3. by last-verified round ascending (oldest first) -> key 2 + round
 #
-# The round-14 window is therefore: the round-14 additions (never
-# checked), any query whose plan or oracle round 14 touched, then the
-# 45 remaining r10-verified rows (the oldest evidence left in the
-# registry — VERDICT r13 next-round #1), filling to 50. After round 14
-# no row's driver evidence should predate round 11, which requires the
-# round-14 new+touched budget to stay at ≤ 5.
+# The round-15 window is therefore: the round-15 additions (never
+# checked — the two r14-queued registrations llm_judge_calibration and
+# retrieval_rank_overlap_rbo plus dedup_against_corpus_index), any query
+# whose plan or oracle round 15 touched, then the 47 remaining
+# r11-verified rows (the oldest evidence left in the registry — VERDICT
+# r14 next-round #1 — including the whole core relational/KPI family),
+# filling to 50. After round 15 no row's driver evidence should predate
+# round 12, which requires the round-15 new+touched budget to stay at
+# ≤ 3.
 #
 # touched_round EXEMPTION RULE (VERDICT r12 finding #2): a wrapper or
 # shared-helper sweep that is PROVEN plan-identical — the query's
