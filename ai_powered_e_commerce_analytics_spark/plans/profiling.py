@@ -1919,11 +1919,10 @@ def llm_judge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-long folding — corpus-independent like the MM iteration.
 
     Registry note: implemented + oracle-tested r14
-    (tests/test_profiling_ops.py drives _bt_calibration_sql through
-    DuckDB against this function); REGISTERS in r15 — the r14 driver
-    window is exactly full (1 new + 4 touched + the 45-row r10 band,
-    VERDICT r13 next-round #1/#7: rotation health beats registry
-    growth)."""
+    (tests/test_bradley_terry.py drives _bt_calibration_sql through
+    DuckDB against this function); registered r15 per VERDICT r14
+    next-round #2 — held out of r14 because that driver window was
+    exactly full (1 new + 4 touched + the 45-row r10 band)."""
     import math
 
     wl, _, und, _, _, p = _bt_collect_fold(spark, sf_dir)
@@ -2016,14 +2015,16 @@ ORDER BY gap_bucket
     )
 
 
-# r15 REGISTRATION QUEUE: QuerySpec("llm_judge_calibration",
-# llm_judge_calibration, _bt_calibration_sql(),
-# ("llm-judge-calibration",)) — implemented + oracle-tested r14
-# (tests/test_bradley_terry.py drives the DuckDB oracle bit-exact);
-# held out of the registry because the r14 driver window is exactly
-# full (VERDICT r13 #1: the 45-row r10 band + 1 new + 4 touched = 50;
-# #7: skip the stretch if rotation health would suffer).
 PROFILING_SPECS = [
+    QuerySpec(
+        "llm_judge_calibration",
+        llm_judge_calibration,
+        _bt_calibration_sql(),
+        ("llm-judge-calibration",),
+        # Implemented + oracle-tested r14 (tests/test_bradley_terry.py,
+        # bit-exact DuckDB replay); registered r15 per VERDICT r14
+        # next-round #2 after being queued for window-budget reasons.
+    ),
     QuerySpec(
         "sentiment_annotator_kappa",
         sentiment_annotator_kappa,

@@ -747,11 +747,6 @@ FROM cum c JOIN w ON w.depth = c.depth
 ORDER BY depth
 """
 
-# r15 REGISTRATION QUEUE (with llm_judge_calibration):
-# QuerySpec("retrieval_rank_overlap_rbo", retrieval_rank_overlap_rbo,
-# RETRIEVAL_RANK_OVERLAP_RBO_SQL, ("retrieval-rank-agreement",)) —
-# implemented + cross-engine-tested r14; held out of the registry
-# because the r14 driver window is exactly full (VERDICT r13 #1).
 
 
 _DISC_VALUES_SQL = ", ".join(
@@ -887,5 +882,14 @@ RETRIEVAL_SPECS = [
         retrieval_ndcg_mrr,
         RETRIEVAL_NDCG_MRR_SQL,
         ("retrieval-quality-eval",),
+    ),
+    QuerySpec(
+        "retrieval_rank_overlap_rbo",
+        retrieval_rank_overlap_rbo,
+        RETRIEVAL_RANK_OVERLAP_RBO_SQL,
+        ("retrieval-rank-agreement",),
+        # Implemented + cross-engine-tested r14
+        # (tests/test_retrieval.py); registered r15 per VERDICT r14
+        # next-round #2 after being queued for window-budget reasons.
     ),
 ]

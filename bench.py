@@ -187,6 +187,12 @@ HEADLINE = [
     "embedding_corr_drift",
     # round-14 additions
     "retrieval_ndcg_mrr",
+    # round-15 registrations (implemented r14, queued for window budget)
+    "retrieval_rank_overlap_rbo",
+    # llm_judge_calibration is registry-gated but not benched: it is a
+    # driver-side bucket fold off the SAME single (winner, loser)-grain
+    # contraction llm_judge_bradley_terry already times — zero new
+    # corpus work (the contrastive_pair_mining exclusion rationale).
     # contrastive_pair_mining is registry-gated but not benched: it is
     # a labeled CASE/filter reading of the SAME _lsh_verified_pairs
     # compute dedup_minhash_lsh already times (the
