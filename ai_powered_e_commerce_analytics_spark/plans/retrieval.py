@@ -469,7 +469,21 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and join downstream runs on bounded frames (≤ 50-row legs, ≤ 30
     judged leg rows, 10-row ideal) — nothing after the two corpus
     passes is data-sized. IDCG's ideal top-10 is its own
-    TakeOrderedAndProject over the judged frame."""
+    TakeOrderedAndProject over the judged frame.
+
+    Empty-judgment guard (ADVICE r14 #2): if NO document clears the
+    AND-relevance thresholds (possible on a new corpus — REL_* are
+    fixture-tuned), idcg_micro is 0 and the ndcg division FAILS LOUDLY
+    with Spark's ANSI ``DIVIDE_BY_ZERO`` ArithmeticException — this
+    session runs ANSI mode (the Spark 4 default; nothing in the engine
+    disables it), under which ``x / 0`` raises instead of emitting
+    NULL/NaN rows. Verified behavior, pinned by
+    tests/test_retrieval.py::test_ndcg_empty_judgments_fails_loudly on
+    an engineered zero-relevance corpus. The remedy on a new corpus is
+    retuning REL_BM25_* / REL_COS_* — a silent NaN diagonal was the
+    failure mode this note rules out. (Documented rather than wrapped
+    in F.when: a when-guard would alter the executed plan of a
+    driver-verified query for an error path ANSI already covers.)"""
     # Exchange barriers (the toked-barrier pattern, see _bm25_scored):
     # scored feeds the judgment join AND the lexical top-K, semall the
     # judgment join AND the dense top-K, each rank frame the legrows

@@ -851,7 +851,22 @@ def hamming_band_pairs(
     constant signature region upstream, or an explicit larger cap.
     Size it from measurements with :func:`band_bucket_profile`, which
     reads the same buckets with a count-only agg (skew-safe). Below
-    the cap the guard is the identity — pairing output is unchanged."""
+    the cap the guard is the identity — pairing output is unchanged.
+
+    Guard cost adjudication (ADVICE r14 #3): ``bands`` feeds both the
+    count-only ``sizes`` agg and the guard join with no exchange
+    barrier of its own, so the band EXPLODE runs twice. Measured in
+    the final AQE plan (dedup_simhash64, this session): the corpus
+    FileScan appears ONCE and the distinct-signature exchange is
+    ReusedExchange'd by both consumers — the duplicated work is only
+    the post-exchange Generate over the compact distinct-sig frame
+    (``n_bands`` narrow rows per distinct signature, map-side, no
+    shuffle, no scan). A repartition("band", "band_val") barrier would
+    trade that cheap re-map for a REAL extra exchange on the band rows
+    and a touched-plan re-verification of two driver-green queries —
+    cost exceeds benefit at 4 bands; revisit if n_bands grows enough
+    that the explode dominates the bucket shuffle it feeds. §3a10
+    re-anchored both consumers post-guard with no regression."""
     docs = items.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     )

@@ -214,3 +214,65 @@ def test_ndcg_mrr_independent_python_replay(spark, sf_dir):
     for leg, (nd, mr) in expect.items():
         assert abs(got[leg]["ndcg"] - nd) < 1e-5, (leg, got[leg]["ndcg"], nd)
         assert abs(got[leg]["mrr"] - mr) < 1e-5, (leg, got[leg]["mrr"], mr)
+
+
+def test_ndcg_plan_shape_one_pass_per_corpus(spark, sf_dir):
+    """VERDICT r14 #6: the §3a9 exchange-reuse fix is load-bearing —
+    the doc_id repartition barriers in _retrieval_leg_frames only
+    restore ReuseExchange while every pair of consumers reads the
+    IDENTICAL column set. Pin the FINAL AQE plan's per-table FileScan
+    counts (1 documents scan for the shared tokenization; 2 embeddings
+    scans = the corpus cosine pass + the 1-row query-vector probe) so
+    a future column-set divergence that silently doubles a corpus pass
+    fails loudly here instead of only in the bench tail. NOTE: the
+    executedPlan string carries an `== Initial Plan ==` section that
+    re-prints the whole pre-AQE tree without reuse — count in the
+    final section only."""
+    from ai_powered_e_commerce_analytics_spark.plans.retrieval import (
+        retrieval_ndcg_mrr,
+    )
+
+    df = retrieval_ndcg_mrr(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    final = executed.split("== Initial Plan ==")[0]
+    scans = [ln for ln in final.splitlines() if "FileScan" in ln]
+    doc_scans = sum("documents" in ln for ln in scans)
+    emb_scans = sum("embeddings" in ln for ln in scans)
+    assert doc_scans == 1, (doc_scans, scans)
+    assert emb_scans == 2, (emb_scans, scans)
+    # and the reuse that makes those counts possible is present
+    assert final.count("ReusedExchange") >= 4, final
+
+
+def test_ndcg_empty_judgments_fails_loudly(spark, tmp_path):
+    """ADVICE r14 #2: when NO document clears the AND-relevance
+    thresholds (a new corpus where the fixture-tuned REL_* constants
+    match nothing), idcg_micro is 0 and the query must fail LOUDLY —
+    this session runs Spark 4's default ANSI mode, under which the
+    ndcg division raises DIVIDE_BY_ZERO instead of emitting NaN/NULL
+    rows that could silently disagree with the DuckDB oracle.
+    Engineered corpus: documents without any BM25 query term (all
+    scores 0 < REL_BM25_MIN -> rel 0 everywhere)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from ai_powered_e_commerce_analytics_spark.plans.retrieval import (
+        retrieval_ndcg_mrr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "plain words only nothing relevant here", "en", "web", 37)
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    embs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) + 1.0 for j in range(8)], 0)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    embs.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        retrieval_ndcg_mrr(spark, str(tmp_path)).collect()
