@@ -2050,7 +2050,143 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def doc_band_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH band-key rows ``(id_col, band, band_sig)`` for a
+    document frame — the shared key grain of the batch LSH dedup
+    (:func:`dedup_minhash_lsh`), the streaming near-dup dedup
+    (streaming/jobs.near_dedup_stream), and the PERSISTED corpus
+    band-key index (operators/corpus_index.py): all three route
+    through :func:`shingle_hashes` + :func:`minhash_band_sig_cols`, so
+    a document produces byte-identical keys no matter which surface
+    computes them, and "seen before" means the same thing everywhere.
+
+    Shingle-less documents (empty/short/null text) emit NO rows —
+    they cannot near-duplicate by LSH and are accepted by key-based
+    dedup by construction (the stream's ``short:{id}`` self-keys are
+    the same semantics). The ``repartition(id_col)`` is the standard
+    HOF barrier: without it CollapseProject inlines the shingle map
+    into each of the 12 minhash expressions (see dedup_minhash_lsh
+    step 1 — measured ~10x blowup)."""
+    hashed = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .where(F.col(id_col).isNotNull())
+        .withColumn("hs", shingle_hashes(text_col))
+        .where(F.coalesce(F.size("hs"), F.lit(0)) > 0)
+        .select(id_col, "hs")
+        .repartition(id_col)
+    )
+    sig = hashed.select(id_col, *minhash_band_sig_cols("hs"))
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+        ).alias("band", "band_sig"),
+    )
+
+
+#: Fixture split for the oracle-gated corpus-index twin: documents with
+#: ``doc_id % CORPUS_INDEX_NEW_MOD == 0`` play the "incoming batch",
+#: the rest play the already-ingested corpus whose band keys the
+#: persisted index holds.
+CORPUS_INDEX_NEW_MOD = 3
+
+
+def dedup_against_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the FULL-HISTORY ingest dedup (VERDICT r14
+    next-round #4): an incoming batch of documents is checked against
+    the band keys of everything the corpus has EVER accepted — not
+    just a watermark window — and a document is accepted iff none of
+    its LSH band keys appears in that history. One row per incoming
+    document: ``(doc_id, n_band_hits, accepted)`` with n_band_hits =
+    how many of its bands collide with history (0..LSH_BANDS).
+
+    This is the oracle-gated contract for
+    operators/corpus_index.dedup_against_index, which runs the same
+    key-match against the PERSISTED index instead of recomputing
+    history: there the history side is a pre-built (kb, band,
+    band_sig) parquet layout probed with a broadcast batch +
+    dynamic-partition-pruned scan, so per-batch cost is O(new-batch ×
+    matching buckets), never a history recompute. Here both sides
+    derive from the documents table (doc_id mod split) so DuckDB can
+    replay it exactly.
+
+    Plan/scale: each document's shingle-md5 + minhash work runs ONCE
+    (the mod split partitions the corpus between the two branches);
+    band keys are narrow rows; the match is an equi-join at
+    (band, band_sig) grain contracted to ≤ LSH_BANDS rows per incoming
+    doc before the count — no pair explosion, no all-pairs anywhere.
+    In-batch near-dups (new vs new) are deliberately NOT counted —
+    that is the streaming layer's windowed-state job; this operator
+    answers "is it new vs HISTORY"."""
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % CORPUS_INDEX_NEW_MOD == 0
+    hist_keys = (
+        doc_band_keys(docs.where(~is_new))
+        .select("band", "band_sig")
+        .distinct()
+    )
+    new_keys = doc_band_keys(docs.where(is_new))
+    hits = (
+        new_keys.join(hist_keys, ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").cast("long").alias("n_band_hits"))
+    )
+    new_docs = docs.where(is_new & F.col("doc_id").isNotNull()).select(
+        "doc_id"
+    )
+    n_hits = F.coalesce(F.col("n_band_hits"), F.lit(0).cast("long"))
+    return new_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_hits.alias("n_band_hits"),
+        (n_hits == 0).alias("accepted"),
+    )
+
+
+_BAND_CASE_SQL = " ".join(
+    f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS)
+)
+
+DEDUP_AGAINST_CORPUS_INDEX_SQL = f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+             WHERE doc_id IS NOT NULL),
+sh AS (SELECT doc_id,
+              list_transform(sh, s -> {portable_hash64_sql("s")} % {1 << 30})
+                  AS hs
+       FROM sh0 WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_BAND_SIGS_SQL} FROM sh),
+bands AS (
+    SELECT doc_id, u.band,
+           CASE u.band {_BAND_CASE_SQL} END AS band_sig
+    FROM sig CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) u
+),
+hist AS (SELECT DISTINCT band, band_sig FROM bands
+         WHERE doc_id % {CORPUS_INDEX_NEW_MOD} <> 0),
+hits AS (
+    SELECT n.doc_id, count(DISTINCT n.band)::BIGINT AS n_band_hits
+    FROM bands n JOIN hist h
+      ON n.band = h.band AND n.band_sig = h.band_sig
+    WHERE n.doc_id % {CORPUS_INDEX_NEW_MOD} = 0
+    GROUP BY n.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_band_hits, 0)::BIGINT AS n_band_hits,
+       coalesce(h.n_band_hits, 0) = 0 AS accepted
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id % {CORPUS_INDEX_NEW_MOD} = 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 TEXTOPS_SPECS = [
+    QuerySpec(
+        "dedup_against_corpus_index",
+        dedup_against_corpus_index,
+        DEDUP_AGAINST_CORPUS_INDEX_SQL,
+        ("dedup-against-corpus-history",),
+        # r15 (VERDICT r14 next-round #4): the batch-twin contract of
+        # the persisted band-key corpus index.
+    ),
     QuerySpec(
         "dedup_repeated_ngram_spans",
         dedup_repeated_ngram_spans,

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
+from ..functions.core import pin
 from ..operators.enrich import (
     StubLLMClient,
     assign_item_ids,
@@ -186,6 +187,7 @@ def near_dedup_stream(
     event_time: str | None = None,
     watermark: str = "2 hours",
     keep_text: bool = False,
+    static_index: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate filter: MinHash band keys as the dedup
     key within the watermark (state-bounded streaming LSH).
@@ -213,6 +215,14 @@ def near_dedup_stream(
     band rows, so its band-0 row always supplies the text downstream —
     the payload crosses the stateful shuffle once per doc, never
     ``LSH_BANDS`` times.
+
+    ``static_index`` (optional): a ``(band, band_sig)``-bearing frame
+    of the corpus's FULL ingest history
+    (operators/corpus_index.load_corpus_index) applied as a stateless
+    stream-static anti-join BEFORE the stateful dedup — historical
+    near-dups are dropped without ever entering (or re-seeding) LSH
+    state. Resolved at stream start; see documents_ingest_stream for
+    the live-manifest completion of this check.
 
     SHORT-DOC GUARD: a doc with fewer than ``SHINGLE_K`` words (or
     null/empty text) has an EMPTY shingle-hash array — every minhash
@@ -246,6 +256,30 @@ def near_dedup_stream(
         *payload,
         *minhash_band_sig_cols("hs"),
     )
+    if static_index is not None:
+        # Full-history pre-filter (VERDICT r14 #4): drop any doc whose
+        # band keys hit the persisted corpus index BEFORE the stateful
+        # dedup, so known-historical duplicates never enter LSH state.
+        # LSH_BANDS stateless stream-static LEFT joins on the per-band
+        # key column, then keep only all-miss rows. The static frame is
+        # resolved at stream START — within-run arrivals are covered by
+        # the watermark state, and the foreachBatch-side check against
+        # the LIVE manifest (documents_ingest_stream) closes the
+        # past-watermark same-run gap; this layer exists to keep state
+        # lean. Index keys are history-side only, so a match is never a
+        # self-match.
+        for b in range(LSH_BANDS):
+            ik = (
+                static_index.where(F.col("band") == b)
+                .select(F.col("band_sig").alias(f"__isig{b}"))
+                .distinct()
+            )
+            banded = banded.join(
+                ik, banded[f"band{b}"] == ik[f"__isig{b}"], "left"
+            )
+        banded = banded.where(
+            " AND ".join(f"__isig{b} IS NULL" for b in range(LSH_BANDS))
+        ).drop(*[f"__isig{b}" for b in range(LSH_BANDS)])
     bands = banded.select(
         *carried,
         *payload,
@@ -285,6 +319,8 @@ def documents_ingest_stream(
     archive_dir: str | None = None,
     available_now: bool = True,
     quality_gate: bool = False,
+    corpus_index_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Deployable ingestion job for a document corpus: stream JSON files
     of ``(doc_id, text, ts)`` rows, optionally drop rule-battery
@@ -313,6 +349,31 @@ def documents_ingest_stream(
     replay rewrites identical content in place and the corpus never
     gains duplicate rows. Readers ``spark.read.parquet(out_dir)`` as
     usual; partition discovery surfaces ``batch_id`` as a column.
+
+    ``corpus_index_dir`` (VERDICT r14 next-round #4) plugs in the
+    persisted band-key index (operators/corpus_index.py) and closes
+    the watermark gap — WITHOUT it, dedup is only as old as the
+    window, and a near-duplicate arriving after its original's state
+    expired enters the corpus. Three hooks, all O(batch):
+
+    1. **Static pre-filter** (in-plan, before the stateful dedup):
+       the index as of stream START anti-joins each doc's band keys —
+       known-historical dups never enter LSH state.
+    2. **Live check** (foreachBatch): each batch's surviving band rows
+       anti-join the index at its CURRENT manifest — catches dups of
+       docs accepted by THIS run's earlier batches after their
+       watermark state expired (the case the static frame cannot see).
+       The batch's own append token is excluded, so an at-least-once
+       replay does not drop its own documents as self-duplicates.
+    3. **Append**: accepted docs' band keys are appended under token
+       ``batch_{id}`` — idempotent per token (overwrite), so replays
+       rewrite identical content. Corpus partition first, keys second:
+       a crash between the two replays the whole batch and both writes
+       are overwrite-idempotent.
+
+    The index must exist (operators/corpus_index.init_corpus_index).
+    In-window duplicates are still the stateful operator's job; the
+    index only answers "seen anywhere in history".
     """
     schema = T.StructType(
         [
@@ -322,7 +383,13 @@ def documents_ingest_stream(
         ]
     )
     stream = (
-        _file_stream(spark, src_dir, schema, archive_dir=archive_dir)
+        _file_stream(
+            spark,
+            src_dir,
+            schema,
+            archive_dir=archive_dir,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         .withColumn("ts_utc", F.to_timestamp("ts"))
         .drop("ts")
         # Pipeline observability (Spark-native, no extra pass): per
@@ -341,16 +408,58 @@ def documents_ingest_stream(
             .observe("docs_kept", F.count(F.lit(1)).alias("n_docs_kept"))
         )
         assert not set(METRIC_COLS) & set(stream.columns)
+    static_index = None
+    if corpus_index_dir is not None:
+        from ..operators.corpus_index import (
+            append_corpus_keys,
+            load_corpus_index,
+        )
+
+        static_index = load_corpus_index(spark, corpus_index_dir)
     deduped = near_dedup_stream(
-        stream, event_time="ts_utc", watermark=watermark, keep_text=True
+        stream,
+        event_time="ts_utc",
+        watermark=watermark,
+        keep_text=True,
+        static_index=static_index,
     )
 
     def process(band_batch: DataFrame, batch_id: int) -> None:
         if band_batch.isEmpty():
             return
-        near_dedup_survivors(band_batch).write.mode("overwrite").parquet(
+        survivors = near_dedup_survivors(band_batch)
+        if corpus_index_dir is None:
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            return
+        token = f"batch_{batch_id}"
+        live = load_corpus_index(
+            spark, corpus_index_dir, exclude_token=token
+        )
+        keyed = band_batch.where(F.col("band") >= 0).select(
+            "doc_id", "band", "band_sig"
+        )
+        if live is not None:
+            hits = (
+                keyed.join(
+                    live.select("band", "band_sig").distinct(),
+                    ["band", "band_sig"],
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        # pin: survivors feeds both the corpus write and the key
+        # append — one compute, and the hygiene knob applies
+        survivors = pin(survivors, eager=True)
+        survivors.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
+        accepted_keys = keyed.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).select("band", "band_sig")
+        append_corpus_keys(spark, corpus_index_dir, accepted_keys, token)
 
     writer = deduped.writeStream.option("checkpointLocation", checkpoint_dir)
     writer = writer.foreachBatch(process)

@@ -189,6 +189,8 @@ HEADLINE = [
     "retrieval_ndcg_mrr",
     # round-15 registrations (implemented r14, queued for window budget)
     "retrieval_rank_overlap_rbo",
+    # round-15 addition: full-history ingest dedup, batch twin
+    "dedup_against_corpus_index",
     # llm_judge_calibration is registry-gated but not benched: it is a
     # driver-side bucket fold off the SAME single (winner, loser)-grain
     # contraction llm_judge_bradley_terry already times — zero new
