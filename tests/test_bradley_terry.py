@@ -135,3 +135,108 @@ def test_calibration_invariants(spark):
     assert sum(r["n_comparisons"] for r in rows) * 2 == sum(
         r["n_comparisons"] for r in bt
     )
+
+
+def test_position_bias_matches_duckdb_oracle(spark):
+    """llm_judge_position_bias vs its DuckDB oracle, bit-exact on every
+    column — exercised in-suite ahead of its r16 registration (the r15
+    window is exactly full; see the function's registry note)."""
+    import duckdb
+    import numpy as np
+
+    from ai_powered_e_commerce_analytics_spark.plans.profiling import (
+        _bt_position_bias_sql,
+        llm_judge_position_bias,
+    )
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        sdf = llm_judge_position_bias(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        odf = con.execute(_bt_position_bias_sql()).df()
+        cols = sorted(sdf.columns)
+        a = sdf[cols].sort_values(cols).reset_index(drop=True)
+        b = odf[cols].sort_values(cols).reset_index(drop=True)
+        assert a.shape == b.shape and a.shape[0] >= 3, sf_dir
+        for c in cols:
+            assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), (
+                sf_dir, c,
+            )
+
+
+def test_position_bias_consistent_with_bt_fold(spark):
+    """The monitor re-derives the (winner, loser) contraction and the
+    MM scores from its slot-preserving grain; both must equal
+    _bt_collect_fold's on the same corpus (the audit cannot
+    desynchronize from the judgments it audits), and its comparison
+    totals must conserve against the calibration fold's pair counts."""
+    from ai_powered_e_commerce_analytics_spark.plans.profiling import (
+        _bt_collect_fold,
+        _bt_slot_judgments,
+        llm_judge_position_bias,
+    )
+    import pyspark.sql.functions as F
+
+    wl_ref, _, und_ref, _, _, _ = _bt_collect_fold(spark, SF_DIR)
+    rows = (
+        _bt_slot_judgments(spark, SF_DIR)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a_won").cast("long")).alias("n_a_wins"),
+        )
+        .collect()
+    )
+    wl = {}
+    for r in rows:
+        aw, bw = int(r["n_a_wins"]), int(r["n"]) - int(r["n_a_wins"])
+        if aw:
+            wl[(r["src_a"], r["src_b"])] = (
+                wl.get((r["src_a"], r["src_b"]), 0) + aw
+            )
+        if bw:
+            wl[(r["src_b"], r["src_a"])] = (
+                wl.get((r["src_b"], r["src_a"]), 0) + bw
+            )
+    assert wl == wl_ref
+    out = llm_judge_position_bias(spark, SF_DIR).collect()
+    got_pairs = {(r.s_lo, r.s_hi): r.n_comparisons for r in out}
+    assert got_pairs == und_ref
+    for r in out:
+        assert 0 <= r.n_first_wins <= r.n_comparisons
+        assert 0.0 <= r.predicted <= 1.0 and 0.0 <= r.observed <= 1.0
+
+
+def test_position_bias_neutral_on_planted_alternating_tournament(
+    spark, tmp_path
+):
+    """Exactness check with a known answer: sources S (always longer)
+    and T alternate slots, S wins every judgment. BT then puts ALL
+    strength on S (a never-winner scores exactly zero on the micro
+    grid), so the predicted first-slot wins are exactly the judgments
+    where S sat in slot A — predicted == observed, a perfectly
+    position-neutral reading, with no tolerance needed."""
+    from ai_powered_e_commerce_analytics_spark.plans.profiling import (
+        llm_judge_position_bias,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "ST"[i % 2], 100 if i % 2 == 0 else 50)
+            for i in range(11)
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = llm_judge_position_bias(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.s_lo, r.s_hi) == ("S", "T")
+    assert r.n_comparisons == 10
+    # S sits in slot A in the 5 even-start pairs and wins all of them
+    assert r.n_first_wins == 5
+    assert r.pred_first_micro == 5_000_000
+    assert r.predicted == r.observed == 0.5
