@@ -167,11 +167,56 @@ def main(argv: list[str] | None = None) -> int:
         "cost, which is linear in Q on top of the corpus scan",
     )
 
+    c = sub.add_parser(
+        "corpus-index",
+        help="persisted band-key corpus index lifecycle (full-history "
+        "ingest near-dedup, operators/corpus_index.py): init (create, "
+        "optionally seeding keys from an existing corpus), ingest "
+        "(run the deployable documents_ingest_stream with the index "
+        "wired in: static pre-filter + live per-batch check + "
+        "idempotent key append), compact (fold append residue into "
+        "one distinct generation behind the manifest swap), sweep "
+        "(delete tombstoned generations once readers drained), stats "
+        "(generation/tokens/key counts + the largest key bucket — "
+        "the skew observability a re-bucketing decision reads)",
+    )
+    c.add_argument(
+        "--action", required=True,
+        choices=("init", "ingest", "compact", "sweep", "stats"),
+    )
+    c.add_argument("--index", required=True, help="index artifact dir")
+    c.add_argument(
+        "--seed-dir",
+        help="init: seed the index with band keys of <dir>/documents"
+        ".parquet (the already-accepted corpus)",
+    )
+    c.add_argument(
+        "--buckets", type=int, default=None,
+        help="init: key-bucket count for the partitioned layout "
+        "(default N_KEY_BUCKETS; production guidance in the module "
+        "docstring)",
+    )
+    c.add_argument("--src", help="ingest: incoming JSON docs dir")
+    c.add_argument("--corpus-out", help="ingest: corpus parquet dir")
+    c.add_argument("--checkpoint", help="ingest: stream checkpoint dir")
+    c.add_argument("--watermark", default="2 hours")
+    c.add_argument(
+        "--quality-gate", action="store_true",
+        help="ingest: apply the batch quality-rule battery before dedup",
+    )
+
     args = p.parse_args(argv)
 
     # per-action required args (ADVICE r12): fail at the parser with a
     # usage message instead of an opaque downstream error (build without
     # --table previously passed table=None into saveAsTable)
+    if args.cmd == "corpus-index" and args.action == "ingest" and not (
+        args.src and args.corpus_out and args.checkpoint
+    ):
+        p.error(
+            "corpus-index --action ingest requires --src, --corpus-out "
+            "and --checkpoint"
+        )
     if args.cmd == "ann-index":
         if args.action == "build" and not (args.sf_dir and args.table):
             p.error("ann-index --action build requires --sf-dir and --table")
@@ -219,6 +264,8 @@ def _run(spark, args) -> dict:
         return _audit(spark, args)
     if args.cmd == "ann-index":
         return _ann_index(spark, args)
+    if args.cmd == "corpus-index":
+        return _corpus_index(spark, args)
     if args.cmd == "compact-sketches":
         from .streaming.jobs import WSAMPLE_STREAM_K
         from .streaming.sketch_store import (
@@ -359,6 +406,72 @@ def _ann_index(spark, args) -> dict:
         spark, args.out, queries, base.select("vec_id", "emb"),
         recall_floor=args.recall_floor,
     )
+
+
+def _corpus_index(spark, args) -> dict:
+    """CLI surface of the operators/corpus_index.py lifecycle plus the
+    deployable index-backed ingest job (streaming/jobs.py
+    documents_ingest_stream with corpus_index_dir wired)."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus_index import (
+        N_KEY_BUCKETS,
+        compact_corpus_index,
+        init_corpus_index,
+        load_corpus_index,
+        sweep_corpus_index,
+    )
+
+    if args.action == "init":
+        docs = None
+        if args.seed_dir:
+            docs = spark.read.parquet(
+                f"{args.seed_dir}/documents.parquet"
+            ).select("doc_id", "text")
+        return init_corpus_index(
+            spark, args.index, docs,
+            n_key_buckets=args.buckets or N_KEY_BUCKETS,
+        )
+    if args.action == "ingest":
+        from .streaming.jobs import documents_ingest_stream
+
+        q = documents_ingest_stream(
+            spark, args.src, args.corpus_out, args.checkpoint,
+            watermark=args.watermark,
+            quality_gate=args.quality_gate,
+            corpus_index_dir=args.index,
+        )
+        q.awaitTermination()
+        n_docs = spark.read.parquet(args.corpus_out).count()
+        return {"corpus_docs": n_docs}
+    if args.action == "compact":
+        return compact_corpus_index(spark, args.index)
+    if args.action == "sweep":
+        return {"swept": sweep_corpus_index(args.index)}
+    # stats
+    from .sources.manifest import load_json_manifest
+
+    manifest = load_json_manifest(args.index, "_corpus_index.json")
+    if manifest is None:
+        raise ValueError(f"no corpus index at {args.index}")
+    idx = load_corpus_index(spark, args.index)
+    out = dict(manifest)
+    if idx is None:
+        out.update(n_keys=0, n_distinct_keys=0, max_bucket=0)
+        return out
+    agg = idx.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("band", "band_sig").alias("d"),
+    ).collect()[0]
+    top = (
+        idx.groupBy("kb").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    out.update(
+        n_keys=int(agg["n"]),
+        n_distinct_keys=int(agg["d"]),
+        max_bucket=int(top[0]["count"]) if top else 0,
+    )
+    return out
 
 
 def _audit(spark, args) -> dict:

@@ -181,3 +181,74 @@ def test_cli_ann_index_lifecycle_and_drift(spark, tmp_path):
         with pytest.raises(SystemExit) as e:
             main(argv)
         assert e.value.code == 2
+
+
+def test_cli_corpus_index_lifecycle(spark, tmp_path):
+    """The corpus-index subcommand's lifecycle composes end-to-end:
+    init (seeded from the fixture corpus) -> ingest (a near-dup of a
+    seeded doc is rejected, a fresh doc lands) -> stats -> compact ->
+    sweep, plus parser-level arg validation for ingest."""
+    import pytest
+
+    from ai_powered_e_commerce_analytics_spark.__main__ import main
+    from conftest import SF_DIR
+
+    idx = str(tmp_path / "idx")
+
+    def ns(action, **kw):
+        base = dict(
+            cmd="corpus-index", action=action, index=idx, seed_dir=None,
+            buckets=None, src=None, corpus_out=None, checkpoint=None,
+            watermark="2 hours", quality_gate=False,
+        )
+        base.update(kw)
+        return _ns(**base)
+
+    inited = _run(spark, ns("init", seed_dir=SF_DIR, buckets=32))
+    assert inited["generation"] == 0 and inited["n_key_buckets"] == 32
+
+    stats0 = _run(spark, ns("stats"))
+    assert stats0["n_keys"] > 0 and stats0["max_bucket"] >= 1
+
+    # ingest: doc 900000 reuses a seeded document's text (near-dup of
+    # history -> rejected by the static pre-filter); doc 900001 is new
+    seeded_text = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("doc_id = 1 and text is not null")
+        .collect()[0]["text"]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (900000, seeded_text, "2024-01-01 00:00:00"),
+            (900001,
+             "an entirely novel document about manifest retention grace "
+             "and bucket pruned key probes at ingest time",
+             "2024-01-01 00:00:01"),
+        ],
+        "doc_id long, text string, ts string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    out = _run(
+        spark,
+        ns(
+            "ingest", src=src, corpus_out=str(tmp_path / "corpus"),
+            checkpoint=str(tmp_path / "ck"),
+        ),
+    )
+    assert out["corpus_docs"] == 1
+    got = spark.read.parquet(str(tmp_path / "corpus")).collect()
+    assert [r.doc_id for r in got] == [900001]
+
+    stats1 = _run(spark, ns("stats"))
+    assert stats1["n_keys"] > stats0["n_keys"]
+
+    compacted = _run(spark, ns("compact"))
+    assert compacted["generation"] == 1 and compacted["tokens"] == ["base"]
+    swept = _run(spark, ns("sweep"))
+    assert swept["swept"]
+    stats2 = _run(spark, ns("stats"))
+    assert stats2["n_distinct_keys"] == stats2["n_keys"]
+
+    with pytest.raises(SystemExit) as e:
+        main(["corpus-index", "--action", "ingest", "--index", idx])
+    assert e.value.code == 2
