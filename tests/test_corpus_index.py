@@ -310,3 +310,108 @@ def test_ingest_without_index_admits_past_watermark_dup(spark, tmp_path):
     )
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 5, 3}
+
+
+def _py_band_keys(text):
+    """Pure-Python THIRD implementation of the shared band-key chain
+    (tokens → 3-word shingles → md5-prefix hash mod 2^30 → 12
+    universal-hash minhashes mod 2^61-1 → 3 concat band sigs) — written
+    from the documented contract, not from either engine's expression
+    tree. Spark and the DuckDB oracle share literal constants, so their
+    agreement alone cannot catch an error baked into the shared
+    derivation; this replay can (the retrieval-eval independent-replay
+    pattern)."""
+    import hashlib
+    import re
+
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        _MH_A,
+        _MH_B,
+        LSH_BANDS,
+        MERSENNE61,
+        MINHASH_HASHES,
+        SHINGLE_K,
+    )
+
+    if text is None or not text.strip():
+        return []
+    toks = re.split(r"\s+", text.strip())
+    n = len(toks)
+    shingles = {
+        " ".join(toks[i:i + SHINGLE_K])
+        for i in range(max(n - SHINGLE_K + 1, 0))
+    }
+    if not shingles:
+        return []
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 30)
+        for s in shingles
+    ]
+    mh = [
+        min((_MH_A[j] * h + _MH_B[j]) % MERSENNE61 for h in hs)
+        for j in range(MINHASH_HASHES)
+    ]
+    rows = MINHASH_HASHES // LSH_BANDS
+    return [
+        (b, "_".join(str(mh[b * rows + r]) for r in range(rows)))
+        for b in range(LSH_BANDS)
+    ]
+
+
+def test_band_keys_match_pure_python_replay(spark, sf_dir):
+    """Every (doc_id, band, band_sig) Spark emits over the fixture
+    corpus equals the independent Python recomputation — and therefore
+    so do the stream's and the index's keys (all route through
+    doc_band_keys' helpers)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {}
+    for r in doc_band_keys(docs).collect():
+        got.setdefault(r.doc_id, set()).add((r.band, r.band_sig))
+    raw = {r.doc_id: r.text for r in docs.collect() if r.doc_id is not None}
+    want = {
+        did: set(_py_band_keys(text))
+        for did, text in raw.items()
+        if _py_band_keys(text)
+    }
+    assert got == want
+    assert len(want) >= 400  # the fixture is not trivially short-doc
+
+
+def test_accept_decision_matches_pure_python_replay(spark, sf_dir):
+    """The oracle-gated twin's accept/reject per incoming doc equals
+    the brute-force Python decision (any band key present in the
+    recomputed history key set) — closing the loop on the matching
+    semantics with an implementation that shares NOTHING with Spark or
+    DuckDB."""
+    from ai_powered_e_commerce_analytics_spark.plans.textops import (
+        CORPUS_INDEX_NEW_MOD,
+        dedup_against_corpus_index,
+    )
+
+    raw = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r.doc_id is not None
+    }
+    hist_keys = set()
+    for did, text in raw.items():
+        if did % CORPUS_INDEX_NEW_MOD != 0:
+            hist_keys.update(_py_band_keys(text))
+    expect = {}
+    for did, text in raw.items():
+        if did % CORPUS_INDEX_NEW_MOD == 0:
+            hits = {
+                b for (b, sig) in _py_band_keys(text)
+                if (b, sig) in hist_keys
+            }
+            expect[did] = (len(hits), len(hits) == 0)
+    got = {
+        r.doc_id: (r.n_band_hits, r.accepted)
+        for r in dedup_against_corpus_index(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(not acc for _, acc in expect.values())
