@@ -204,6 +204,13 @@ def main(argv: list[str] | None = None) -> int:
         "--quality-gate", action="store_true",
         help="ingest: apply the batch quality-rule battery before dedup",
     )
+    c.add_argument(
+        "--compact-every", type=int, default=None,
+        help="ingest: fold the index's append residue into a fresh "
+        "generation whenever this many token dirs have accumulated "
+        "(bounds manifest size and file-listing cost on long streams; "
+        "tombstoned generations still need a post-stream sweep)",
+    )
 
     args = p.parse_args(argv)
 
@@ -440,6 +447,7 @@ def _corpus_index(spark, args) -> dict:
             watermark=args.watermark,
             quality_gate=args.quality_gate,
             corpus_index_dir=args.index,
+            index_compact_every=args.compact_every,
         )
         q.awaitTermination()
         n_docs = spark.read.parquet(args.corpus_out).count()

@@ -84,6 +84,16 @@ def _publish(out_dir: str, manifest: dict) -> None:
     publish_json_manifest(out_dir, _MANIFEST, manifest)
 
 
+def corpus_index_manifest(out_dir: str) -> dict:
+    """The published manifest (generation, n_key_buckets, tokens,
+    tombstoned) — the cheap read maintenance policies key off (e.g.
+    the ingest stream's compaction cadence counts ``tokens``)."""
+    manifest = _load(out_dir)
+    if manifest is None:
+        raise ValueError(f"no corpus index at {out_dir} — init first")
+    return manifest
+
+
 def init_corpus_index(
     spark: SparkSession,
     out_dir: str,

@@ -320,6 +320,7 @@ def documents_ingest_stream(
     available_now: bool = True,
     quality_gate: bool = False,
     corpus_index_dir: str | None = None,
+    index_compact_every: int | None = None,
     max_files_per_trigger: int | None = None,
 ):
     """Deployable ingestion job for a document corpus: stream JSON files
@@ -374,6 +375,16 @@ def documents_ingest_stream(
     The index must exist (operators/corpus_index.init_corpus_index).
     In-window duplicates are still the stateful operator's job; the
     index only answers "seen anywhere in history".
+
+    ``index_compact_every=N`` bounds append residue on a long-running
+    stream: when N token directories have accumulated, the batch first
+    folds them into a fresh distinct generation (compaction is safe
+    in-stream because foreachBatch serialization makes every prior
+    token checkpoint-committed; a replayed batch — own token already
+    recorded — skips compaction so the exclude-token replay shield
+    keeps working). Tombstoned generations are left for a CLI sweep
+    after the stream stops, since the stream-start static frame may
+    still read them.
     """
     schema = T.StructType(
         [
@@ -412,6 +423,8 @@ def documents_ingest_stream(
     if corpus_index_dir is not None:
         from ..operators.corpus_index import (
             append_corpus_keys,
+            compact_corpus_index,
+            corpus_index_manifest,
             load_corpus_index,
         )
 
@@ -434,6 +447,25 @@ def documents_ingest_stream(
             )
             return
         token = f"batch_{batch_id}"
+        if index_compact_every:
+            manifest = corpus_index_manifest(corpus_index_dir)
+            # Cadence compaction keeps the token-directory count (and
+            # with it manifest size + file-listing cost) bounded on a
+            # long-running stream. Only COMMITTED batches' tokens may
+            # fold: foreachBatch runs serially after the previous
+            # batch's checkpoint commit, so every recorded token except
+            # possibly THIS batch's (a crash replay) is committed.
+            # Skip on replay — folding the uncommitted token into the
+            # base would defeat the exclude_token replay shield and
+            # the replayed batch would drop all its docs as
+            # self-duplicates. Tombstoned generations are NOT swept
+            # here: the stream-start static frame may still read them
+            # (sweep from the CLI once the stream is stopped).
+            if (
+                token not in manifest["tokens"]
+                and len(manifest["tokens"]) >= index_compact_every
+            ):
+                compact_corpus_index(spark, corpus_index_dir)
         live = load_corpus_index(
             spark, corpus_index_dir, exclude_token=token
         )

@@ -415,3 +415,102 @@ def test_accept_decision_matches_pure_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert any(not acc for _, acc in expect.values())
+
+
+def test_ingest_compaction_cadence_preserves_history(spark, tmp_path):
+    """index_compact_every folds token dirs mid-stream without losing
+    history: four fresh docs through one-file batches at cadence 2,
+    then a LATER RUN presents a near-dup of the very first doc — it
+    must still be rejected (its keys live in the compacted base), and
+    the token count stays bounded."""
+    from ai_powered_e_commerce_analytics_spark.operators.corpus_index import (
+        corpus_index_manifest,
+    )
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    init_corpus_index(spark, idx)
+
+    def run():
+        _await(
+            documents_ingest_stream(
+                spark, src, out, ckpt,
+                watermark="10 seconds", corpus_index_dir=idx,
+                index_compact_every=2, max_files_per_trigger=1,
+            )
+        )
+
+    fresh = [TEXT_A, TEXT_B, TEXT_C, TEXT_D]
+    for i, text in enumerate(fresh):
+        _write_doc_file(
+            spark, src, [(i + 1, text, f"2024-01-01 0{i}:00:00")]
+        )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        1, 2, 3, 4,
+    }
+    m = corpus_index_manifest(idx)
+    assert m["generation"] >= 1, "cadence compaction never ran"
+    assert len(m["tokens"]) <= 3
+    assert m["tombstoned"], "old generations should await a CLI sweep"
+    # all 4 docs' keys survived the folds
+    assert load_corpus_index(spark, idx).count() == 4 * LSH_BANDS
+
+    _write_doc_file(
+        spark, src, [(9, TEXT_A_NEAR, "2024-01-02 00:00:00")]
+    )
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3, 4}, "compacted history failed to reject a dup"
+
+
+def test_ingest_replay_with_compaction_enabled(spark, tmp_path):
+    """Crash replay (lost commit marker) with the cadence enabled: the
+    replayed batch must skip compaction (its own token is already
+    recorded) and rewrite identical state — no self-drop, no duplicate
+    corpus rows, no key loss."""
+    import os
+
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    init_corpus_index(spark, idx)
+
+    def run():
+        _await(
+            documents_ingest_stream(
+                spark, src, out, ckpt,
+                watermark="10 seconds", corpus_index_dir=idx,
+                index_compact_every=1, max_files_per_trigger=1,
+            )
+        )
+
+    _write_doc_file(spark, src, [(1, TEXT_A, "2024-01-01 00:00:00")])
+    _write_doc_file(spark, src, [(2, TEXT_B, "2024-01-01 01:00:00")])
+    run()
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    n_keys = load_corpus_index(spark, idx).count()
+
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == first
+    assert load_corpus_index(spark, idx).count() == n_keys
