@@ -205,6 +205,13 @@ def main(argv: list[str] | None = None) -> int:
         help="ingest: apply the batch quality-rule battery before dedup",
     )
     c.add_argument(
+        "--no-static-prefilter", action="store_true",
+        help="ingest: skip the stream-start static index pre-filter "
+        "(which re-reads O(index) per micro-batch and only buys "
+        "leaner LSH state) and rely on the per-batch DPP-probed live "
+        "check alone — the right trade once the index is very large",
+    )
+    c.add_argument(
         "--compact-every", type=int, default=None,
         help="ingest: fold the index's append residue into a fresh "
         "generation whenever this many token dirs have accumulated "
@@ -448,6 +455,7 @@ def _corpus_index(spark, args) -> dict:
             quality_gate=args.quality_gate,
             corpus_index_dir=args.index,
             index_compact_every=args.compact_every,
+            static_prefilter=not args.no_static_prefilter,
         )
         q.awaitTermination()
         n_docs = spark.read.parquet(args.corpus_out).count()

@@ -321,6 +321,7 @@ def documents_ingest_stream(
     quality_gate: bool = False,
     corpus_index_dir: str | None = None,
     index_compact_every: int | None = None,
+    static_prefilter: bool = True,
     max_files_per_trigger: int | None = None,
 ):
     """Deployable ingestion job for a document corpus: stream JSON files
@@ -359,7 +360,13 @@ def documents_ingest_stream(
 
     1. **Static pre-filter** (in-plan, before the stateful dedup):
        the index as of stream START anti-joins each doc's band keys —
-       known-historical dups never enter LSH state.
+       known-historical dups never enter LSH state. COST NOTE: a
+       stream-static join re-evaluates the static side per micro-batch
+       and cannot use the broadcast-probe/DPP path (the probe is the
+       stream), so this layer re-reads O(index) each batch. It buys
+       LEANER STATE, not correctness — the live check below is the
+       complete history check on probe economics — so on a very large
+       index set ``static_prefilter=False`` and let layer 2 carry it.
     2. **Live check** (foreachBatch): each batch's surviving band rows
        anti-join the index at its CURRENT manifest — catches dups of
        docs accepted by THIS run's earlier batches after their
@@ -425,10 +432,13 @@ def documents_ingest_stream(
             append_corpus_keys,
             compact_corpus_index,
             corpus_index_manifest,
+            index_hits,
+            key_bucket,
             load_corpus_index,
         )
 
-        static_index = load_corpus_index(spark, corpus_index_dir)
+        if static_prefilter:
+            static_index = load_corpus_index(spark, corpus_index_dir)
     deduped = near_dedup_stream(
         stream,
         event_time="ts_utc",
@@ -473,15 +483,25 @@ def documents_ingest_stream(
             "doc_id", "band", "band_sig"
         )
         if live is not None:
-            hits = (
-                keyed.join(
-                    live.select("band", "band_sig").distinct(),
-                    ["band", "band_sig"],
-                )
-                .select("doc_id")
-                .distinct()
+            # the operator's probe economics, not a naive join: the
+            # batch's keys broadcast with the layout's kb bucket in
+            # the join key, so the index scan is DPP-pruned to the
+            # buckets this batch touches — O(batch x matching
+            # buckets) per micro-batch, never an O(index) shuffle
+            n_kb = corpus_index_manifest(corpus_index_dir)[
+                "n_key_buckets"
+            ]
+            probe = keyed.select(
+                "doc_id",
+                key_bucket(
+                    F.col("band"), F.col("band_sig"), n_kb
+                ).alias("kb"),
+                "band",
+                "band_sig",
             )
-            survivors = survivors.join(hits, "doc_id", "left_anti")
+            survivors = survivors.join(
+                index_hits(live, probe), "doc_id", "left_anti"
+            )
         # pin: survivors feeds both the corpus write and the key
         # append — one compute, and the hygiene knob applies
         survivors = pin(survivors, eager=True)

@@ -200,6 +200,7 @@ def test_cli_corpus_index_lifecycle(spark, tmp_path):
             cmd="corpus-index", action=action, index=idx, seed_dir=None,
             buckets=None, src=None, corpus_out=None, checkpoint=None,
             watermark="2 hours", quality_gate=False, compact_every=None,
+            no_static_prefilter=False,
         )
         base.update(kw)
         return _ns(**base)

@@ -514,3 +514,43 @@ def test_ingest_replay_with_compaction_enabled(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == first
     assert load_corpus_index(spark, idx).count() == n_keys
+
+
+def test_ingest_live_check_alone_covers_history(spark, tmp_path):
+    """static_prefilter=False (the very-large-index trade): the
+    three-RUN past-watermark scenario from the static test, but with
+    layer 1 disabled — the per-batch DPP-probed live check must carry
+    the full-history guarantee by itself."""
+    from ai_powered_e_commerce_analytics_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    init_corpus_index(spark, idx)
+
+    def run():
+        _await(
+            documents_ingest_stream(
+                spark, src, out, ckpt,
+                watermark="10 seconds", corpus_index_dir=idx,
+                static_prefilter=False,
+            )
+        )
+
+    _write_doc_file(spark, src, [(1, TEXT_A, "2024-01-01 00:00:00")])
+    run()
+    _write_doc_file(spark, src, [(2, TEXT_B, "2024-01-01 05:00:00")])
+    run()
+    _write_doc_file(spark, src, [(5, TEXT_D, "2024-01-01 06:00:00")])
+    run()
+    _write_doc_file(
+        spark, src,
+        [(3, TEXT_A_NEAR, "2024-01-01 10:00:00"),
+         (4, TEXT_C, "2024-01-01 10:00:01")],
+    )
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 5, 4}
