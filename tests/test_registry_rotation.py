@@ -67,3 +67,34 @@ def test_plan_touched_queries_lead_next_window():
 def test_window_orders_by_staleness():
     keys = [registry._staleness(q) for q in registry.QUERIES]
     assert keys == sorted(keys)
+
+
+def test_r15_window_composition_and_band_structure():
+    """The round-15 handoff, pinned: the upcoming driver window is
+    exactly the 3 r15 registrations (never driver-checked) plus the
+    entire 47-row r11 band, so after r15 no row's evidence predates
+    r12 — and the post-r15 band structure (r12:50, r13:46, r14:50,
+    plus the 50 checked this round) means the r12 band ALONE fills a
+    future 50-row window: the saturation fact the r16 budget decision
+    must start from (see the llm_judge_position_bias queue comment)."""
+    from collections import Counter
+
+    names = [q.name for q in registry.QUERIES]
+    assert len(names) == 196
+    window = names[:WINDOW]
+    rounds = Counter(
+        registry._last_verified_round(n) for n in window
+    )
+    assert rounds == {0: 3, 11: 47}
+    assert {
+        "llm_judge_calibration",
+        "retrieval_rank_overlap_rbo",
+        "dedup_against_corpus_index",
+    } <= set(window)
+    # no r11-or-older evidence survives outside the window
+    assert all(
+        registry._last_verified_round(n) >= 12 for n in names[WINDOW:]
+    )
+    # band sizes the r16 plan reasons from
+    all_rounds = Counter(registry._last_verified_round(n) for n in names)
+    assert all_rounds[12] == 50 and all_rounds[13] == 46
