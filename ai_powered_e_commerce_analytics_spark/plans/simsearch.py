@@ -1522,8 +1522,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", lambda x: F.round(x.cast("double") * COV_FP, 0).cast("long")
     )
     e = t(spark, sf_dir, "embeddings").select(xfp.alias("xfp"))
-    sums = (
-        covariance_partials(e)
+    # Pin the 2,145-row aggregated sums: covariance_from_sums reads the
+    # frame through FOUR key-filtered references (pairs, si, sj, n) and
+    # Catalyst pushes each grouping-key filter below the aggregate —
+    # past the exchange, onto the (opaque) partial subtree — so the
+    # four exchange subtrees differ and ReusedExchange never fires:
+    # the executed plan re-ran the corpus scan + fan-out four times at
+    # ANY scale (verified in plans/r15/embedding_covariance_before.txt,
+    # 4× Scan parquet). The eager checkpoint is one extra tiny job and
+    # makes the corpus pass execute exactly once (r15 optimization).
+    sums = pin(
+        covariance_partials_batched(e)
         .groupBy("i", "j")
         .agg(F.sum("v").alias("v"))
     )
@@ -1567,6 +1576,62 @@ def covariance_partials(e: DataFrame) -> DataFrame:
         F.lit(1).cast("long").alias("v"),
     )
     return pairs.unionByName(dims).unionByName(cnt)
+
+
+def covariance_partials_batched(e: DataFrame) -> DataFrame:
+    """Vectorized twin of :func:`covariance_partials` under the SAME
+    additive contract — (i, j, v) rows whose per-key SUM reconstructs
+    the exact covariance — emitting ONE partial row set per Arrow
+    batch instead of 2,145 rows per input row (guide §4.2: hand whole
+    batches to native code). Per batch the pair sums are a single
+    exact int64 matmul ``Xᵀ·X`` (NumPy integer matmul — no float
+    path), the per-dim sums an int64 column fold, so every emitted
+    value is the exact long the in-row fan-out would have summed to;
+    long addition is associative, so ``groupBy(i, j).sum(v)`` over the
+    batch partials lands on bit-identical totals under any batching or
+    partitioning. Overflow headroom per batch: |xfp| ≤ COV_FP·max|x|
+    (~2^23 for |x| ≤ 8) squared times the ≤10k-row Arrow batch stays
+    under 2^60 — far inside int64; the corpus-total bound is the
+    documented DECIMAL(38,0) swap in :func:`embedding_covariance`.
+
+    Kept separate from ``covariance_partials`` (row-grain) because the
+    streaming twin and the compaction tests exercise the row-grain
+    mergeability contract directly; the batch query only needs the
+    aggregated totals, where this form removes the 2,080-struct
+    interpreted HOF build and the corpus×2,145-row Generate from the
+    executed plan (BatchEvalPython replaces Generate; exchange shape
+    unchanged)."""
+
+    def _fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = np.triu_indices(EMBED_DIM)
+        i_out = np.concatenate(
+            [iu, np.arange(EMBED_DIM), [-1]]
+        ).astype("int32")
+        j_out = np.concatenate(
+            [ju, np.full(EMBED_DIM, -1), [-1]]
+        ).astype("int32")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(r, dtype=np.int64) for r in pdf["xfp"]]
+            )
+            s_pair = (x.T @ x)[iu, ju]
+            s_dim = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": i_out,
+                    "j": j_out,
+                    "v": np.concatenate(
+                        [s_pair, s_dim, [len(pdf)]]
+                    ).astype("int64"),
+                }
+            )
+
+    return e.select("xfp").mapInPandas(_fold, schema="i int, j int, v long")
 
 
 def covariance_from_sums(sums: DataFrame) -> DataFrame:
@@ -1907,19 +1972,21 @@ def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction (associative long sums); corr = cov/sqrt(v_i·v_j) and
     Δ are IEEE expressions on identical operands, micro-rounded once.
 
-    Plan (VERDICT r13 finding #1 closed): ONE corpus scan, ONE
-    shuffle. The pair explosion carries BOTH coordinates (xi, xj), so
-    a single groupBy(grp, i, j) yields sxy, si, sj, sxx, sjj, n — cov
-    AND both variances per pair with zero joins. The previous shape
-    (two ``covariance_partials`` contractions, one per group filter)
-    scanned the corpus twice; a post-agg grp filter would not have
-    fixed it because Catalyst pushes grouping-key predicates below the
-    Aggregate and re-splits the scan, and the join-based
-    ``covariance_from_sums``/``_corr_frame`` derivation defeats
-    exchange reuse the same way (each of its ~8 references to the sums
-    frame carries a different pushed key filter, so every reference
-    re-scans). The ref/cur split therefore happens in a conditional
-    pivot aggregate over the 4,160 already-contracted corr rows —
+    Plan (VERDICT r13 finding #1 closed; pair stage vectorized r15):
+    ONE corpus scan, ONE shuffle. Per Arrow batch and per group a
+    single exact int64 matmul inside a ``mapInPandas`` island emits
+    one (grp, i, j, sxy, si, sj, sxx, sjj, n) partial row set (the
+    ``covariance_partials_batched`` pattern — the earlier in-row
+    2,080-struct interpreted-HOF explosion pushed corpus×2,080 rows
+    through the aggregate); a groupBy(grp, i, j) sums the partials —
+    all six are associative long sums, so the totals are bit-identical
+    to the fan-out form under any batching/partitioning. The r13→r14
+    one-scan lesson still binds: a post-agg grp filter re-splits the
+    scan (Catalyst pushes grouping-key predicates below the
+    Aggregate), and the join-based ``covariance_from_sums`` /
+    ``_corr_frame`` derivation defeats exchange reuse the same way.
+    The ref/cur split therefore happens in a conditional pivot
+    aggregate over the 4,160 already-contracted corr rows —
     max(when(grp=…)) over exactly one row per (grp, i, j) is the
     identity, so the doubles reach the Δ expression bit-unchanged.
 
@@ -1936,26 +2003,59 @@ def embedding_corr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 2).alias("grp"), xfp.alias("xfp")
     )
-    # SQL-expression lambdas, not nested Python-lambda HOFs (the
-    # covariance_partials capture pitfall); array[] is 0-based.
-    prods = F.expr(f"""
-        flatten(transform(sequence(0, {EMBED_DIM - 1}), i ->
-            transform(sequence(i, {EMBED_DIM - 1}), j ->
-                struct(cast(i as int) as i, cast(j as int) as j,
-                       xfp[i] as xi, xfp[j] as xj))))
-    """)
-    pairs = e.select("grp", F.explode(prods).alias("t")).select(
-        "grp",
-        F.col("t.i").alias("i"), F.col("t.j").alias("j"),
-        F.col("t.xi").alias("xi"), F.col("t.xj").alias("xj"),
+    # Vectorized per-batch partials (r15 optimization, the
+    # covariance_partials_batched pattern): the old shape built 2,080
+    # interpreted-HOF structs per row and pushed corpus×2,080
+    # (grp, i, j, xi, xj) rows through the aggregate. All six sums are
+    # exact int64 folds, so per Arrow batch and per group ONE integer
+    # matmul Xᵀ·X yields sxy (and sxx = its diagonal at i, sjj at j),
+    # a column fold yields si/sj, and n is the batch group size; the
+    # final groupBy(grp, i, j) sums one partial row per batch per key —
+    # long addition is associative, totals bit-identical to the in-row
+    # fan-out under any batching or partitioning.
+    def _grp_fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = np.triu_indices(EMBED_DIM)
+        for pdf in batches:
+            for grp in sorted(pdf["grp"].unique()):
+                rows = pdf[pdf["grp"] == grp]
+                if not len(rows):
+                    continue
+                x = np.vstack(
+                    [np.asarray(r, dtype=np.int64) for r in rows["xfp"]]
+                )
+                s_mat = x.T @ x
+                s_dim = x.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "grp": np.full(len(iu), int(grp), dtype=np.int64),
+                        "i": iu.astype("int32"),
+                        "j": ju.astype("int32"),
+                        "sxy": s_mat[iu, ju],
+                        "si": s_dim[iu],
+                        "sj": s_dim[ju],
+                        "sxx": s_mat[iu, iu],
+                        "sjj": s_mat[ju, ju],
+                        "n": np.full(len(iu), len(rows), dtype=np.int64),
+                    }
+                )
+
+    partials = e.mapInPandas(
+        _grp_fold,
+        schema=(
+            "grp long, i int, j int, sxy long, si long, sj long, "
+            "sxx long, sjj long, n long"
+        ),
     )
-    sums = pairs.groupBy("grp", "i", "j").agg(
-        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
-        F.sum("xi").alias("si"),
-        F.sum("xj").alias("sj"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("xj") * F.col("xj")).alias("sjj"),
-        F.count(F.lit(1)).alias("n"),
+    sums = partials.groupBy("grp", "i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sjj").alias("sjj"),
+        F.sum("n").alias("n"),
     )
     fp = float(COV_FP)
     mean_i = (F.col("si").cast("double") / F.col("n")) / F.lit(fp)
