@@ -2890,48 +2890,81 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the cluster assignment reuses the exact fixed-point
     Lloyd rounds of ``kmeans_lloyd_clusters`` (associative long sums →
     any partitioning, both engines agree bit-exactly), so the only new
-    work is the WITHIN-CLUSTER pair join — a cid-equi self-join whose
-    cost is Σ|cluster|², not N². In production K grows with the corpus
-    (SemDeDup uses K ≈ N/10k), holding cluster size — and therefore
-    per-key join fan-out — constant as the corpus scales; skewed
-    clusters split by re-clustering, not salting, because the centroid
-    refinement IS the splitter. The witness agg is one narrow
-    pair-grain groupBy.
+    work is the WITHIN-CLUSTER pairing — one applyInPandas task per
+    cluster folding the Σ|cluster|² (never N²) cosines in native code
+    (r15; bit-equivalence argued at the fold below). In production K
+    grows with the corpus (SemDeDup uses K ≈ N/10k), holding cluster
+    size — and therefore per-task memory — constant as the corpus
+    scales; skewed clusters split by re-clustering, not salting,
+    because the centroid refinement IS the splitter.
     """
     e, cents = _lloyd_state(spark, sf_dir)
-    # Materialize the assignment once: it feeds BOTH self-join sides and
-    # the final left join, and the argmin is a K×dim expression per row —
-    # without the checkpoint the corpus scan + assignment runs 3×
-    # (measured 5.6 s -> 3.1 s at sf0.1). Routed through ``pin`` (r12)
-    # so the reliable-checkpoint knob covers it like the CC/PageRank
-    # iterations.
+    # Materialize the assignment once: it feeds the witness pass and
+    # the final left join, and the argmin is a K×dim expression per
+    # row. Routed through ``pin`` (r12) so the reliable-checkpoint
+    # knob covers it like the CC/PageRank iterations.
     assigned = e.select(
         "vec_id",
         _argmin_struct(cents)["cid"].alias("cluster_id"),
         "emb",
-        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
     ).transform(pin)
-    # Few-key parallelism note: the cid join key has only K=8 values,
-    # but a left-side-by-vec_id salt (tried, measured) buys nothing
-    # here — AQE broadcasts the small build side, so pair enumeration
-    # already parallelizes by PROBE partition, and the cost is the raw
-    # HOF dot products over Σ|cluster|² pairs. At production K (∝
-    # corpus / 10k) the key count alone saturates any cluster.
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb"))
-        / (F.col("a.norm") * F.col("b.norm")),
-        6,
-    )
+    # Witness pass vectorized (r15 optimization): the earlier
+    # cid-equi self-join evaluated the interpreted-HOF dot on every
+    # same-cluster (a < b) pair — Σ|cluster|² lambda folds (~2 s of
+    # the query at sf0.1). Each cluster's pairs now fold inside ONE
+    # applyInPandas task (the SemDeDup paper's per-cluster matrix
+    # form): per dimension d the update ``C += outer(X[:,d], X[:,d])``
+    # adds the exact product a_d·b_d to every pair's accumulator in
+    # the SAME left-to-right order as ``aggregate(zip_with(...))``
+    # (both start at +0.0), norms fold the same way, and
+    # cos = dot/(norm_a·norm_b) is the identical IEEE expression — so
+    # every pair's cosine double is BIT-IDENTICAL to the join form's.
+    # The predicate ``round(cos, 6) >= 0.4`` is exactly equivalent to
+    # the double comparison ``cos >= 0.3999995`` (HALF_UP on the
+    # shortest-decimal repr: round(D(x), 6) >= 0.4 ⟺ D(x) >= 0.3999995
+    # ⟺ x >= double(0.3999995), since the shortest repr of
+    # double(0.3999995) is 0.3999995 itself and shortest reprs are
+    # strictly monotone over doubles) — no Python-side rounding
+    # semantics enter. Scale contract unchanged: SemDeDup grows K with
+    # the corpus (K ≈ N/10k) holding cluster size — and so per-task
+    # memory (|cluster|×dim plus one |cluster|² cosine block) —
+    # constant; skewed clusters split by re-clustering, because the
+    # centroid refinement IS the splitter.
+    tau_lo = 0.3999995  # round(x, 6) >= SEMDEDUP_TAU ⟺ x >= this double
+    assert SEMDEDUP_TAU == 0.4  # the threshold the constant encodes
+
+    def _witnesses(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "dup_of": pd.Series([], dtype="int64")}
+            )
+        x = np.vstack([np.asarray(r, dtype=np.float64) for r in pdf["emb"]])
+        dots = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for d in range(x.shape[1]):  # exact left-fold order per pair
+            col = x[:, d]
+            dots += np.outer(col, col)
+            nrm2 += col * col
+        norm = np.sqrt(nrm2)
+        cos = dots / np.outer(norm, norm)
+        mask = cos >= tau_lo
+        mask[np.tril_indices(n)] = False  # keep a < b (vec_id-sorted)
+        hit = mask.any(axis=0)
+        first = mask.argmax(axis=0)  # smallest row index = min vec_id
+        js = np.nonzero(hit)[0]
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_id": ids[js], "dup_of": ids[first[js]]})
+
     witnesses = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= SEMDEDUP_TAU)
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+        assigned.select("cluster_id", "vec_id", "emb")
+        .groupBy("cluster_id")
+        .applyInPandas(_witnesses, schema="vec_id long, dup_of long")
     )
     return (
         assigned.select("vec_id", "cluster_id")
