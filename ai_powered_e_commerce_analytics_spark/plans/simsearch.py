@@ -698,22 +698,100 @@ def _argmin_struct(cents_list) -> Column:
     return F.least(*structs)
 
 
+def _assign_batched(
+    df: DataFrame,
+    vec_col: str,
+    carry_cols: "list[tuple[str, str]]",
+    cents_for,
+    m_col: str | None = None,
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Bit-exact vectorized nearest-centroid assignment (r15
+    optimization, guide §4.2): one ``mapInPandas`` island replaces the
+    per-row ``least((sqdist, cid) structs)`` expression, whose
+    ``aggregate(zip_with(...))`` distance folds are interpreted
+    (CodegenFallback) lambda applications — K × dim per input row.
+
+    Exactness is by construction, no rounding involved anywhere:
+    the per-dimension accumulation ``D += (x_d − c_d)²`` performs the
+    identical IEEE subtract/multiply/add chain in the identical
+    left-to-right dimension order as ``_sqdist``'s fold (both start at
+    +0.0), so every distance double is bit-identical; NumPy ``argmin``
+    returns the FIRST minimum over the ascending-cid centroid columns —
+    exactly ``least``'s (d, cid) struct order with cid breaking exact
+    ties. Callers that need a rounded quantity (inertia micro-units,
+    fixed-point sums) keep that rounding in Spark expressions on the
+    bit-identical doubles this island returns.
+
+    ``carry_cols``: [(name, spark_type)] passed through unchanged
+    (Arrow round-trips doubles/longs/strings exactly). ``cents_for``:
+    the sorted (cid, vec) list, or — when ``m_col`` names a subspace
+    column — a dict keyed by subspace. ``dist_col``: also emit the
+    argmin distance double.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{n} {t_}" for n, t_ in carry_cols]
+        + ["cid long"]
+        + ([f"{dist_col} double"] if dist_col else [])
+    )
+    names = [n for n, _ in carry_cols]
+
+    def _one(rows: "pd.DataFrame", cent_list) -> "pd.DataFrame":
+        cids = np.array([c for c, _ in cent_list], dtype=np.int64)
+        cmat = np.array([v for _, v in cent_list], dtype=np.float64)
+        x = np.vstack([np.asarray(r, dtype=np.float64) for r in rows[vec_col]])
+        dist = np.zeros((len(rows), len(cids)))
+        for d in range(x.shape[1]):  # _sqdist's left-fold dim order
+            diff = x[:, d : d + 1] - cmat[:, d]
+            dist += diff * diff
+        amin = np.argmin(dist, axis=1)  # first min = lowest cid
+        out = {n: rows[n].to_numpy() for n in names}
+        out["cid"] = cids[amin]
+        if dist_col:
+            out[dist_col] = dist[np.arange(len(rows)), amin]
+        return pd.DataFrame(out)
+
+    def _gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if m_col is None:
+                yield _one(pdf, cents_for)
+            else:
+                for m in sorted(pdf[m_col].unique()):
+                    yield _one(pdf[pdf[m_col] == m], cents_for[int(m)])
+
+    cols = list(dict.fromkeys(names + [vec_col] + ([m_col] if m_col else [])))
+    return df.select(*cols).mapInPandas(_gen, schema=out_schema)
+
+
 def _lloyd_update(e: DataFrame, cents) -> DataFrame:
-    """ONE Lloyd centroid-update round: fixed-point assignment agg whose
+    """ONE Lloyd centroid-update round: vectorized bit-exact assignment
+    (:func:`_assign_batched`) + a fixed-point partial-sum agg whose
     map-side combine contracts each task to <= K x dim rows before the
     shuffle — the per-round frame the driver collects (O(K x dim)
-    scalars). Shared by the iteration loop and the plan-audit probe
-    (plans/probes.py) so the audited shape IS the executed shape."""
-    assigned = e.withColumn("cid", _argmin_struct(cents)["cid"])
+    scalars). The 2^20-grid quantization stays a SPARK expression
+    (``round`` is HALF_UP over the shortest-decimal repr — not
+    reproducible by float-only vectorized code at exact-tie inputs),
+    evaluated per row before the island. Shared by the iteration loop
+    and the plan-audit probe (plans/probes.py) so the audited shape IS
+    the executed shape."""
+    src = e.select(
+        "emb",
+        F.transform(
+            "emb", lambda x: F.round(x * KMEANS_FP, 0).cast("long")
+        ).alias("xfp"),
+    )
+    assigned = _assign_batched(
+        src, "emb", [("xfp", "array<long>")], cents
+    )
     return (
         assigned.select(
             "cid",
-            F.posexplode(
-                F.transform(
-                    "emb",
-                    lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
-                )
-            ).alias("dim", "v_fp"),
+            F.posexplode("xfp").alias("dim", "v_fp"),
         )
         .groupBy("cid", "dim")
         .agg(F.sum("v_fp").alias("s"), F.count("*").alias("n"))
@@ -786,12 +864,18 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the corpus itself never shuffles, at any scale.
     """
     e, cents = _lloyd_state(spark, sf_dir)
-    m = _argmin_struct(cents)
-    final = e.select(
+    # Vectorized bit-exact assignment (r15): the island returns the
+    # argmin cid AND the bit-identical distance double; the micro-unit
+    # rounding stays a Spark expression on that double (HALF_UP
+    # semantics — see _assign_batched's docstring).
+    final = _assign_batched(
+        e, "emb", [("vec_id", "long"), ("label", "int")], cents,
+        dist_col="d",
+    ).select(
         "vec_id",
         "label",
-        m["cid"].alias("cid"),
-        F.round(m["d"] * _INERTIA_GRID, 0).cast("long").alias("d_micro"),
+        "cid",
+        F.round(F.col("d") * _INERTIA_GRID, 0).cast("long").alias("d_micro"),
     )
     sizes = final.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -978,19 +1062,28 @@ def _pq_update(sub: DataFrame, cents) -> DataFrame:
     """ONE PQ centroid-update round for ALL subspaces in a single
     distributed agg (groupBy (m, cid, dim) with map-side combine — each
     task contracts to <= M x K x subdim rows before the shuffle).
-    Shared by the training loop and the plan-audit probe
-    (plans/probes.py) so the audited shape IS the executed shape."""
-    assigned = sub.withColumn("cid", _pq_argmin(cents)["cid"])
+    Assignment is the vectorized bit-exact island
+    (:func:`_assign_batched`, per-subspace codebooks via ``m_col``);
+    the 2^20-grid quantization stays a Spark ``round`` expression per
+    the HALF_UP note there. Shared by the training loop and the
+    plan-audit probe (plans/probes.py) so the audited shape IS the
+    executed shape."""
+    src = sub.select(
+        "m",
+        "semb",
+        F.transform(
+            "semb", lambda x: F.round(x * KMEANS_FP, 0).cast("long")
+        ).alias("sfp"),
+    )
+    assigned = _assign_batched(
+        src, "semb", [("m", "int"), ("sfp", "array<long>")],
+        cents, m_col="m",
+    )
     return (
         assigned.select(
             "m",
             "cid",
-            F.posexplode(
-                F.transform(
-                    "semb",
-                    lambda x: F.round(x * KMEANS_FP, 0).cast("long"),
-                )
-            ).alias("dim", "v_fp"),
+            F.posexplode("sfp").alias("dim", "v_fp"),
         )
         .groupBy("m", "cid", "dim")
         .agg(F.sum("v_fp").alias("s"), F.count("*").alias("n"))
@@ -1099,14 +1192,16 @@ def _pq_codes_frame(sub: DataFrame, cents) -> DataFrame:
     """Per-vector codes + exact micro-unit reconstruction error from a
     trained codebook (shared by :func:`embedding_pq_codebook` and the
     OPQ rotated-vs-unrotated recon comparison in tests)."""
-    m_assign = _pq_argmin(cents)
-    fin = sub.select(
+    # Vectorized bit-exact per-subspace assignment (r15); micro-unit
+    # rounding stays in Spark on the bit-identical distance double.
+    fin = _assign_batched(
+        sub, "semb", [("vec_id", "long"), ("m", "int")],
+        cents, m_col="m", dist_col="d",
+    ).select(
         "vec_id",
         "m",
-        m_assign["cid"].alias("cid"),
-        F.round(m_assign["d"] * _INERTIA_GRID, 0)
-        .cast("long")
-        .alias("d_micro"),
+        "cid",
+        F.round(F.col("d") * _INERTIA_GRID, 0).cast("long").alias("d_micro"),
     )
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("cid")))
@@ -1239,9 +1334,9 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str, *, k: int) -> DataFrame:
     :func:`simsearch_ivfpq_rerank`, which widens ``k`` to its candidate
     budget R before the exact re-rank)."""
     sub, cents = _pq_state(spark, sf_dir)
-    codes = sub.select(
-        "vec_id", "m", _pq_argmin(cents)["cid"].alias("pq_cid")
-    )
+    codes = _assign_batched(
+        sub, "semb", [("vec_id", "long"), ("m", "int")], cents, m_col="m"
+    ).select("vec_id", "m", F.col("cid").alias("pq_cid"))
     base = _emb(spark, sf_dir)
     cent = _ivf_centroids(base)
     assign = ivf_assignment(spark, sf_dir)
@@ -2903,11 +2998,11 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final left join, and the argmin is a K×dim expression per
     # row. Routed through ``pin`` (r12) so the reliable-checkpoint
     # knob covers it like the CC/PageRank iterations.
-    assigned = e.select(
-        "vec_id",
-        _argmin_struct(cents)["cid"].alias("cluster_id"),
-        "emb",
-    ).transform(pin)
+    assigned = (
+        _assign_batched(e, "emb", [("vec_id", "long"), ("emb", "array<double>")], cents)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "emb")
+        .transform(pin)
+    )
     # Witness pass vectorized (r15 optimization): the earlier
     # cid-equi self-join evaluated the interpreted-HOF dot on every
     # same-cluster (a < b) pair — Σ|cluster|² lambda folds (~2 s of

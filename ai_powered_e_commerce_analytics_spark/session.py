@@ -50,6 +50,16 @@ def get_spark(
         # -- Adaptive execution: runtime coalescing, skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true). The size-respecting setting Spark's config reference
+        # suggests (false) was A/B-measured on the full r15 bench:
+        # broad ~0.3 s/query wins, but byte-based coalescing collapsed
+        # the small-BYTES l_orderkey basket shuffle to ONE partition and
+        # serialized the CPU-heavy in-basket pair explosion behind it —
+        # the whole copurchase family regressed (pagerank 5.3 → 9.5 s,
+        # pairs 1.5 → 3.2 s; OPTIMIZATION_r15.md). Byte-sized
+        # coalescing is blind to downstream CPU amplification, which is
+        # a real hazard at any scale, so parallelism keeps the floor.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- Shuffle sizing: starting point; AQE coalesces down at runtime.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
