@@ -166,6 +166,38 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def unordered_pair_rows(
+    df: DataFrame, arr_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Expand each row's distinct-element array into its unordered
+    ``(a, b)`` pairs with ``a < b`` — the in-bucket pairing step shared
+    by the co-purchase basket family, PMI collocations, and the LSH /
+    Hamming band buckets. Emits ONLY the two pair columns; every
+    consumer aggregates or distincts the pair stream, so enumeration
+    order is immaterial.
+
+    Form (optimization r15, guide §4.1): ``sort_array`` once per row,
+    then ``posexplode`` + ``slice`` enumerate exactly the pairs with
+    ``a`` before ``b`` in sort order through two whole-stage-codegen
+    Generate stages. The previous ``transform×transform`` + ``filter``
+    spelling built |set|² structs per row in the INTERPRETED lambda
+    evaluator (higher-order functions are CodegenFallback); on the
+    sf0.1 copurchase basket frame the swap measured 1.34 → 0.91 s with
+    a bit-identical pair multiset (both forms enumerate
+    {(a, b) : a, b ∈ set, a < b}; elements are distinct by contract —
+    collect_set / array_distinct / per-bucket-distinct upstream).
+    """
+    s = df.select(F.sort_array(arr_col).alias("__ps"))
+    return s.select(
+        F.posexplode("__ps").alias("__i", a_name), "__ps"
+    ).select(
+        a_name,
+        F.explode(
+            F.slice("__ps", F.col("__i") + F.lit(2), F.size("__ps"))
+        ).alias(b_name),
+    )
+
+
 #: Session conf key opting iterative-state pinning into RELIABLE
 #: checkpoints (see :func:`pin`). Unset/empty -> localCheckpoint.
 RELIABLE_CHECKPOINT_CONF = "spark.graft.checkpointDir"

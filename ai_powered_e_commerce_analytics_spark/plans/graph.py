@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import pin
+from ..functions.core import pin, unordered_pair_rows
 from .spec import QuerySpec, t
 
 MIN_SUPPORT = 2   # co-order count floor for a co-purchase edge
@@ -49,23 +49,8 @@ def _supported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("parts"),
-                    lambda x: F.transform(
-                        F.col("parts"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
     return (
-        baskets.select(pair.alias("p"))
-        .select(F.col("p.a").alias("x"), F.col("p.b").alias("y"))
+        unordered_pair_rows(baskets, "parts", "x", "y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= MIN_SUPPORT)

@@ -62,14 +62,16 @@ def _pagerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").alias("w"),
         )
     )
-    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    edges_w = edges.join(deg.hint("shuffle_hash"), "src")
-    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    ndeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg")).select(
+        F.col("src").alias("nsrc"), "wdeg"
+    )
     # literal init/teleport: their VALUES need the node count (a driver
     # scalar), but the plan shape is identical for any long literal
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    ranks = ndeg.select(
+        F.col("nsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
     return _pr_round(
-        edges_w, nodes, ranks, F.lit(150_000).cast("long")
+        edges, ndeg, ranks, F.lit(150_000).cast("long")
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
-from ..functions.core import pin
+from ..functions.core import pin, unordered_pair_rows
 from .spec import (
     QuerySpec,
     cents,
@@ -834,32 +834,19 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE shuffle on ``l_orderkey`` (groupBy + collect_set), then
     in-basket pair expansion — the same no-self-join bucket-pairing
-    shape as the LSH dedup plans. Baskets are small (≤ a few dozen
-    parts), so per-group expansion is O(basket²) tiny; a self-join on
-    orderkey would shuffle the table twice and hit the same pairs. The
-    count groupBy shuffles only pair rows.
+    shape as the LSH dedup plans, via the codegen posexplode+slice
+    helper (``unordered_pair_rows``, optimization r15 — the old
+    transform×transform HOF ran interpreted). Baskets are small (≤ a
+    few dozen parts), so per-group expansion is O(basket²) tiny; a
+    self-join on orderkey would shuffle the table twice and hit the
+    same pairs. The count groupBy shuffles only pair rows.
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("parts"),
-                    lambda x: F.transform(
-                        F.col("parts"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
     return (
-        baskets.select(pair.alias("p"))
-        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        unordered_pair_rows(baskets, "parts", "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
@@ -886,15 +873,26 @@ _PR_GRID = 1_000_000   # micro-rank units: exact long mass accumulation
 
 
 def _pr_round(
-    edges_w: DataFrame, nodes: DataFrame, ranks: DataFrame, teleport
+    edges: DataFrame, ndeg: DataFrame, ranks: DataFrame, teleport
 ) -> DataFrame:
     """ONE PageRank round (route mass along edges, damped node update)
     — the pre-checkpoint round body, shared by the iteration loop and
     the plan-audit probe (plans/probes.py) so the audited shape IS the
     executed shape. shuffle_hash hints per the AQE-broadcast-OOM note
-    in :func:`copurchase_pagerank`."""
-    contribs = edges_w.join(
-        ranks.hint("shuffle_hash"), edges_w["src"] == ranks["node"]
+    in :func:`copurchase_pagerank`.
+
+    ``wdeg`` attaches at NODE grain (optimization r15): ranks pick up
+    their out-degree through a node-grain mini-join, then route along
+    the plain (src, dst, w) edges — the old shape materialized an
+    edge-grain ``edges ⋈ deg`` frame first, paying a 2.2M-row join and
+    a wider pinned edge list for operands that are per-``src``
+    constants anyway. ``round(r·w/wdeg)`` sees identical operands
+    either way, so every routed-mass long is unchanged."""
+    ranks_w = ranks.join(
+        ndeg.hint("shuffle_hash"), ranks["node"] == ndeg["nsrc"]
+    ).select("node", "r", "wdeg")
+    contribs = edges.join(
+        ranks_w.hint("shuffle_hash"), edges["src"] == ranks_w["node"]
     ).select(
         "dst",
         F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
@@ -902,6 +900,7 @@ def _pr_round(
         .alias("c"),
     )
     insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+    nodes = ndeg.select(F.col("nsrc").alias("node"))
     return (
         nodes.join(
             insum.hint("shuffle_hash"),
@@ -965,21 +964,33 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2M-row sf0.1 edge side and OOM'd the driver build), and at cluster
     # scale the node dimension itself outgrows a broadcast. Node-keyed
     # shuffle joins are the canonical distributed-PageRank shape.
-    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    edges_w = pin(
-        edges.join(deg.hint("shuffle_hash"), "src"), eager=True
+    #
+    # Pin layout (optimization r15): the SYMMETRIZED edge list is pinned
+    # pre-partitioned on ``src`` — every round's routing join and the
+    # degree aggregation then read it exchange-free (localCheckpoint
+    # preserves the physical partitioning). The old shape instead pinned
+    # an edge-grain ``edges ⋈ deg`` frame, paying a 2.2M-row hash join
+    # and a per-round ``distinct`` for the node table; node-grain
+    # ``ndeg`` (one exchange-free agg off the pinned edges, itself
+    # pinned — it is read ~3x per round) now serves as degree table AND
+    # node table (``groupBy src`` emits each node exactly once).
+    edges = pin(edges.repartition("src"), eager=True)
+    ndeg = pin(
+        edges.groupBy("src").agg(F.sum("w").alias("wdeg")).select(
+            F.col("src").alias("nsrc"), "wdeg"
+        ),
+        eager=True,
     )
-    nodes = edges_w.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()  # O(1) driver scalar, like the CC convergence
+    n_nodes = ndeg.count()  # O(1) driver scalar, like the CC convergence
 
     init = F.round(F.lit(float(_PR_GRID)) / F.lit(n_nodes), 0).cast("long")
     teleport = F.round(
         F.lit((1.0 - PAGERANK_DAMPING) * _PR_GRID) / F.lit(n_nodes), 0
     ).cast("long")
-    ranks = nodes.select("node", init.alias("r"))
+    ranks = ndeg.select(F.col("nsrc").alias("node"), init.alias("r"))
     for _ in range(PAGERANK_ITERS):
         ranks = pin(
-            _pr_round(edges_w, nodes, ranks, teleport), eager=True
+            _pr_round(edges, ndeg, ranks, teleport), eager=True
         )
     return (
         ranks.select(

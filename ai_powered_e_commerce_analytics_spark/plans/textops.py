@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import jaccard, portable_hash64, tokens, word_shingles
-from ..functions.core import pin, portable_hash64_sql
+from ..functions.core import pin, portable_hash64_sql, unordered_pair_rows
 from .spec import QuerySpec, t
 
 STOPWORDS = ("the", "a", "of", "and", "in")
@@ -407,25 +407,9 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.transform(
-                        F.col("ids"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
-    cand = (
-        buckets.select(pair.alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
-    )
+    cand = unordered_pair_rows(
+        buckets, "ids", "doc_a", "doc_b"
+    ).distinct()
     verified = (
         cand.join(
             hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -921,23 +905,8 @@ def hamming_band_pairs(
     buckets = guarded.groupBy("band", "band_val").agg(
         F.collect_list("__sig").alias("sigs")
     )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("sigs"),
-                    lambda x: F.transform(
-                        F.col("sigs"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
     verified = (
-        buckets.select(pair.alias("p"))
-        .select(F.col("p.a").alias("s_a"), F.col("p.b").alias("s_b"))
+        unordered_pair_rows(buckets, "sigs", "s_a", "s_b")
         .distinct()
         .select(
             "s_a",
@@ -1760,23 +1729,8 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("dt"),
-                    lambda x: F.transform(
-                        F.col("dt"),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-    )
     pairs = (
-        dt.select(pair.alias("p"))
-        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        unordered_pair_rows(dt, "dt", "term_a", "term_b")
         .groupBy("term_a", "term_b")
         .agg(F.count("*").alias("df_ab"))
         .where(F.col("df_ab") >= PMI_MIN_PAIR_DOCS)

@@ -338,3 +338,39 @@ def test_simhash64_radius3_pair_always_shares_a_band(sig, flip_bits):
     for b in flip_bits:
         other ^= 1 << b
     assert set(_bands60(sig)) & set(_bands60(other))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(1 << 40), max_value=1 << 40),
+            max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_unordered_pair_rows_matches_python(spark, sets):
+    # The codegen posexplode+slice expansion (optimization r15) must
+    # emit exactly the {(a, b) : a, b in set, a < b} multiset the old
+    # interpreted transform x transform + filter spelling produced —
+    # including empty and singleton arrays (no rows).
+    from collections import Counter
+
+    from ai_powered_e_commerce_analytics_spark.functions.core import (
+        unordered_pair_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(s,) for s in sets], "parts array<long>"
+    )
+    got = Counter(
+        (r["a"], r["b"])
+        for r in unordered_pair_rows(df, "parts", "a", "b").collect()
+    )
+    want = Counter(
+        (a, b) for s in sets for a in s for b in s if a < b
+    )
+    assert got == want
