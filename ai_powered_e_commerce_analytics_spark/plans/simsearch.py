@@ -310,31 +310,95 @@ def _ivf_centroids(base: DataFrame) -> DataFrame:
     )
 
 
+def _cos_candidates_batched(df: DataFrame, cent_rows) -> DataFrame:
+    """(vec_id, cid, cos) for every input vector × centroid — the
+    corpus-side coarse-quantizer scoring as an Arrow-batched island
+    (optimization r15, guide §4.2), replacing the broadcast-join whose
+    per-pair ``_dot`` HOF ran interpreted (CodegenFallback — measured
+    ~1.0 s of ``ivf_assignment``'s 1.25 s at sf0.1).
+
+    Bit-exactness by construction, same discipline as
+    :func:`_assign_batched`: the per-dimension accumulation
+    ``acc += x_d · c_d`` performs the identical IEEE multiply/add chain
+    in the identical left-to-right dimension order as ``_dot``'s
+    ``aggregate(zip_with(...), 0.0, acc+x)`` (both start at +0.0);
+    ``cos = dot / (norm · c_norm)`` is the same expression tree on the
+    same doubles (``c_norm`` values are COLLECTED from the Spark frame,
+    not recomputed). The micro-grid ``round(cos, 6)`` and the
+    max_by/tiebreak stay SPARK expressions on the bit-identical
+    doubles this island returns (round is HALF_UP over the
+    shortest-decimal repr — not reproducible by float-only vectorized
+    code at exact-tie inputs).
+
+    ``cent_rows``: sorted (cid, vec, norm) driver-side list.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c for c, _, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v, _ in cent_rows], dtype=np.float64)
+    cnrm = np.array([n for _, _, n in cent_rows], dtype=np.float64)
+
+    def _gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(r, dtype=np.float64) for r in pdf["emb"]]
+            )
+            nrm = pdf["norm"].to_numpy(dtype=np.float64)
+            dot = np.zeros((len(pdf), len(cids)))
+            for d in range(x.shape[1]):  # _dot's left-fold dim order
+                dot += x[:, d : d + 1] * cmat[:, d]
+            cos = dot / (nrm[:, None] * cnrm[None, :])
+            yield pd.DataFrame({
+                "vec_id": np.repeat(
+                    pdf["vec_id"].to_numpy(dtype=np.int64), len(cids)
+                ),
+                "cid": np.tile(cids, len(pdf)),
+                "cos": cos.ravel(),
+            })
+
+    return df.select("vec_id", "emb", "norm").mapInPandas(
+        _gen, schema="vec_id long, cid long, cos double"
+    )
+
+
 def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb, norm, cid): each corpus vector assigned to its
     nearest centroid's inverted list. Compute ONCE and persist bucketed
     by ``cid`` (sources.bucketing.write_bucketed) — steady-state probes
     then read only the nprobe matching buckets (bucket pruning), no
     corpus shuffle per query. The bucketed-probe path is tested in
-    tests/test_misc_ops.py."""
+    tests/test_misc_ops.py.
+
+    Scoring runs in the :func:`_cos_candidates_batched` island (its
+    docstring carries the bit-exactness argument); the centroid table
+    is dimension-sized by contract, so collecting it driver-side is the
+    same O(nlist) traffic the broadcast build already paid. Rounded
+    cosine + lowest-cid tiebreak == the oracle's ORDER BY, evaluated in
+    Spark on the island's bit-identical doubles; the emb/norm columns
+    re-attach via a vec_id equi-join against the same base frame that
+    previously carried them through the aggregate."""
     base = _emb(spark, sf_dir)
-    cent = _ivf_centroids(base)
-    c_cos = F.round(
-        _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")), 6
+    cent_rows = sorted(
+        (int(r["cid"]), list(r["c_emb"]), float(r["c_norm"]))
+        for r in _ivf_centroids(base).collect()
     )
-    # Rounded cosine + lowest-cid tiebreak == the oracle's ORDER BY.
-    return (
-        base.join(F.broadcast(cent))
-        .select("vec_id", "emb", "norm", "cid", c_cos.alias("c_cos"))
+    best = (
+        _cos_candidates_batched(base, cent_rows)
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg"))
+                "cid",
+                F.struct(
+                    F.round(F.col("cos"), 6).alias("c_cos"),
+                    (-F.col("cid")).alias("neg"),
+                ),
             ).alias("cid"),
-            F.first("emb").alias("emb"),
-            F.first("norm").alias("norm"),
         )
     )
+    return best.join(base, "vec_id").select("vec_id", "emb", "norm", "cid")
 
 
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
