@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 
@@ -364,7 +365,97 @@ def _cos_candidates_batched(df: DataFrame, cent_rows) -> DataFrame:
     )
 
 
-def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_cent_rows(base: DataFrame) -> list:
+    """Sorted (cid, c_emb, c_norm) centroid rows, collected driver-side
+    — dimension-sized by contract (O(nlist)), the same traffic the old
+    broadcast build paid. Shared by :func:`ivf_assignment` and the
+    driver-side probe selection so one collect serves the whole IVF
+    chain (optimization r15)."""
+    return sorted(
+        (int(r["cid"]), list(r["c_emb"]), float(r["c_norm"]))
+        for r in _ivf_centroids(base).collect()
+    )
+
+
+def _round6_half_up(x: float) -> float:
+    """Driver replica of Spark's ``round(double, 6)``: HALF_UP over the
+    SHORTEST-decimal representation (java ``BigDecimal.valueOf`` /
+    ``Double.toString``, which Python's ``repr`` reproduces — both emit
+    the shortest decimal that round-trips, so the Decimal operand is
+    identical) — the same argument the SemDeDup gate rewrite rests on
+    (semantic_dedup_semdedup, optimization r15). HALF_UP ties round
+    away from zero in both engines."""
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _probe_rows(q_rows: list, cent_rows: list) -> list:
+    """Driver-side probe selection: for each query, its IVF_NPROBE
+    nearest centroids by (rounded cosine DESC, cid ASC) — the identical
+    total order the old ``row_number`` window evaluated, on bit-identical
+    doubles (the dot is ``_dot``'s left-fold in the same dimension
+    order; norms are COLLECTED values, not recomputed; the round is
+    :func:`_round6_half_up`). Both operand tables are already
+    driver-side (queries for the ADC LUT, centroids via
+    :func:`_ivf_cent_rows`), so this replaces a corpus-subtree
+    broadcast + window exchange with O(Q × nlist) driver math — bounded
+    by contract at any corpus scale (optimization r15).
+
+    ``q_rows``: [(query_id, q_emb, q_norm)]. Returns
+    [(query_id, q_emb, q_norm, cid)], nprobe rows per query.
+    """
+    out = []
+    for qid, qemb, qnorm in q_rows:
+        scored = []
+        for cid, cvec, cnorm in cent_rows:
+            acc = 0.0
+            for a, b in zip(qemb, cvec):  # _dot's left-fold order
+                acc += a * b
+            scored.append((-_round6_half_up(acc / (qnorm * cnorm)), cid))
+        scored.sort()
+        out.extend(
+            (qid, qemb, qnorm, cid) for _neg, cid in scored[:IVF_NPROBE]
+        )
+    return out
+
+
+def _ivf_driver_state(base: DataFrame) -> "tuple[list, list]":
+    """(cent_rows, q_rows) in ONE collect — the centroid table
+    (O(nlist) by contract) and the query vectors (O(Q)) fused into a
+    single driver job via a disjunctive filter, then split driver-side.
+    Job-count parity matters more than DAG size at the bounded grains
+    involved: a separate query collect measurably COSTS more than the
+    probe-subtree removal saves (isolated A/B, optimization r15), so
+    the chain pays exactly one collect — the same count the old
+    broadcast build paid. Row values are identical to the per-frame
+    collects (same scan, same columns)."""
+    rows = (
+        base.where(
+            (F.col("vec_id") % CENT_STEP == 0)
+            | (F.col("vec_id") < KNN_QUERIES)
+        )
+        .select("vec_id", "emb", "norm")
+        .collect()
+    )
+    cent_rows = sorted(
+        (int(r["vec_id"]), list(r["emb"]), float(r["norm"]))
+        for r in rows
+        if int(r["vec_id"]) % CENT_STEP == 0
+    )
+    q_rows = sorted(
+        (int(r["vec_id"]), list(r["emb"]), float(r["norm"]))
+        for r in rows
+        if int(r["vec_id"]) < KNN_QUERIES
+    )
+    return cent_rows, q_rows
+
+
+def ivf_assignment(
+    spark: SparkSession, sf_dir: str, cent_rows: list | None = None
+) -> DataFrame:
     """(vec_id, emb, norm, cid): each corpus vector assigned to its
     nearest centroid's inverted list. Compute ONCE and persist bucketed
     by ``cid`` (sources.bucketing.write_bucketed) — steady-state probes
@@ -379,12 +470,13 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + lowest-cid tiebreak == the oracle's ORDER BY, evaluated in
     Spark on the island's bit-identical doubles; the emb/norm columns
     re-attach via a vec_id equi-join against the same base frame that
-    previously carried them through the aggregate."""
+    previously carried them through the aggregate.
+
+    ``cent_rows``: pass :func:`_ivf_cent_rows`'s result to share one
+    centroid collect across the IVF chain (topk/ADC callers)."""
     base = _emb(spark, sf_dir)
-    cent_rows = sorted(
-        (int(r["cid"]), list(r["c_emb"]), float(r["c_norm"]))
-        for r in _ivf_centroids(base).collect()
-    )
+    if cent_rows is None:
+        cent_rows = _ivf_cent_rows(base)
     best = (
         _cos_candidates_batched(base, cent_rows)
         .groupBy("vec_id")
@@ -407,33 +499,25 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their IVF_NPROBE nearest lists, so exact cosine runs on ~nprobe/nlist
     of the corpus instead of all of it.
 
-    Scale shape: the centroid table is tiny and broadcast twice (assignment
-    + probe) — the corpus is scored against it map-side, then reduced to
-    one (vec_id, cid) assignment with a map-side-combinable ``max_by``; the
-    only corpus-wide exchange is that single groupBy. At 100 TB compute
-    :func:`ivf_assignment` once and persist it bucketed by cid, making
-    every subsequent query a bucket-pruned scan.
+    Scale shape: the corpus is scored against the (dimension-sized,
+    driver-collected) centroid table map-side, then reduced to one
+    (vec_id, cid) assignment with a map-side-combinable ``max_by``; the
+    only corpus-wide exchange is that single groupBy. The probe side is
+    DRIVER math (optimization r15, :func:`_probe_rows`): queries and
+    centroids are both bounded collects the chain already pays, so the
+    old probe subtree — a second corpus scan feeding a centroid
+    broadcast plus a row_number window exchange — collapses to a
+    Q × nprobe literal frame with the bit-identical (rounded cosine,
+    cid) ordering. At 100 TB compute :func:`ivf_assignment` once and
+    persist it bucketed by cid, making every subsequent query a
+    bucket-pruned scan.
     """
     base = _emb(spark, sf_dir)
-    cent = _ivf_centroids(base)
-    assign = ivf_assignment(spark, sf_dir)
-    q_cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), "cid")
-    probe = (
-        base.where(F.col("vec_id") < KNN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
-        .join(F.broadcast(cent))
-        .select("query_id", "q_emb", "q_norm", "cid", q_cos.alias("p_cos"))
-        .withColumn("prn", F.row_number().over(pw))
-        .where(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "q_norm", "cid")
+    cent_rows, q_rows = _ivf_driver_state(base)
+    assign = ivf_assignment(spark, sf_dir, cent_rows)
+    probe = spark.createDataFrame(
+        _probe_rows(q_rows, cent_rows),
+        "query_id long, q_emb array<double>, q_norm double, cid long",
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
@@ -1402,37 +1486,23 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str, *, k: int) -> DataFrame:
         sub, "semb", [("vec_id", "long"), ("m", "int")], cents, m_col="m"
     ).select("vec_id", "m", F.col("cid").alias("pq_cid"))
     base = _emb(spark, sf_dir)
-    cent = _ivf_centroids(base)
-    assign = ivf_assignment(spark, sf_dir)
-    q_cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), "cid")
-    probe = (
-        base.where(F.col("vec_id") < KNN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
-        .join(F.broadcast(cent))
-        .select("query_id", "q_emb", "q_norm", "cid", q_cos.alias("p_cos"))
-        .withColumn("prn", F.row_number().over(pw))
-        .where(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "cid")
+    # ONE fused collect (:func:`_ivf_driver_state`) serves the
+    # assignment, the probe (driver math, :func:`_probe_rows` —
+    # replaces the old corpus-subtree broadcast + row_number window),
+    # and the ADC LUT (optimization r15). All consumers are bounded by
+    # contract: O(nlist), O(Q × nlist), O(Q × M × K).
+    cent_rows, q_full = _ivf_driver_state(base)
+    assign = ivf_assignment(spark, sf_dir, cent_rows)
+    probe = spark.createDataFrame(
+        [(qid, cid) for qid, _e, _n, cid in _probe_rows(q_full, cent_rows)],
+        "query_id long, cid long",
     )
     # LUT driver-side: Q x M x K exact micro-unit longs. The fold
     # is the same left-to-right (q[i]-c[i])^2 accumulation the oracle's
     # list_reduce performs, on identical doubles (query embeddings +
     # the trained codebook), floor(x+0.5) = round-half-up like both
     # engines' round() on the non-negative distances.
-    q_rows = [
-        (int(r["vec_id"]), list(r["emb"]))
-        for r in base.where(F.col("vec_id") < KNN_QUERIES)
-        .select("vec_id", "emb")
-        .collect()
-    ]
+    q_rows = [(qid, qemb) for qid, qemb, _n in q_full]
     lut = spark.createDataFrame(
         adc_lut_rows(q_rows, cents),
         "query_id long, m int, pq_cid long, lut_micro long",
@@ -2789,10 +2859,11 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative fixed point, kmeans-family discipline: each round scores
     every vector's min squared L2 distance to the selected set (the
-    selected vectors are inlined as literals — a pure per-row map, no
-    join), quantizes each PAIR distance to micro-unit longs (same
-    left-fold + round the oracle replays), takes min over the selected
-    set on exact longs, and argmaxes via ``orderBy(...).limit(1)`` —
+    selected vectors ride into the ``_assign_batched`` island's
+    closure — a pure per-row map, no join), quantizes the min distance
+    to micro-unit longs (same left-fold + round the oracle replays;
+    round-of-min == min-of-rounds by monotonicity, see the round-body
+    comment), and argmaxes via ``orderBy(...).limit(1)`` —
     ``TakeOrderedAndProject``, per-partition 1-row heaps. The driver
     sees ONE row per round; per-round cost is one corpus scan with a
     K-term expression, no shuffle at all. Deterministic: seed = lowest
@@ -2838,19 +2909,39 @@ def kcenter_coreset(
     def pair_micro(emb: Column, sel_emb: Column) -> Column:
         return F.round(_sqdist(emb, sel_emb) * _INERTIA_GRID, 0).cast("long")
 
-    def min_dist_inline() -> Column:
-        cols = [
-            pair_micro(F.col("emb"), F.array(*[F.lit(v) for v in vec]))
-            for _vid, vec in selected
-        ]
-        return F.least(*cols) if len(cols) > 1 else cols[0]
-
     for r in range(2, k + 1):
         sel_ids = [vid for vid, _ in selected]
         cand = e.where(~F.col("vec_id").isin(sel_ids))
         if len(selected) <= inline_threshold:
-            scored = cand.select(
-                "vec_id", "emb", min_dist_inline().alias("md")
+            # Small-K path, vectorized (optimization r15, guide §4.2):
+            # the old inlined least(round(_sqdist·GRID)) evaluated
+            # |selected| interpreted HOF folds per row per round —
+            # Σr ≈ K²/2 corpus-×-dim interpreted lambda chains over the
+            # trace. The :func:`_assign_batched` island returns the
+            # bit-identical argmin DISTANCE (same IEEE per-dimension
+            # fold order as ``_sqdist``, see its docstring), and the
+            # micro-quantization stays a Spark expression on that
+            # double. Equivalence of least-of-rounds to round-of-min:
+            # x·GRID (positive factor) and round-HALF-UP are both
+            # monotone non-decreasing in x, so
+            # least_i(round(d_i·GRID)) == round((min_i d_i)·GRID) — the
+            # md long is unchanged, as is the (md, vec_id) argmax. The
+            # >threshold broadcast-join path below keeps the HOF form:
+            # tests/test_kcenter_paths.py's trace-parity assertion then
+            # cross-checks the island against an independent
+            # implementation of the same math.
+            scored = _assign_batched(
+                cand,
+                "emb",
+                [("vec_id", "long"), ("emb", "array<double>")],
+                [(i, vec) for i, (_vid, vec) in enumerate(selected)],
+                dist_col="__md_raw",
+            ).select(
+                "vec_id",
+                "emb",
+                F.round(F.col("__md_raw") * _INERTIA_GRID, 0)
+                .cast("long")
+                .alias("md"),
             )
         else:
             # broadcast-join form: the selected set is a tiny frame;
