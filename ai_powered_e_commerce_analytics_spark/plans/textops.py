@@ -1330,7 +1330,8 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     applies both a propagation step and a path-doubling step, just under
     a single shuffle-to-id barrier. Invariant unchanged: labels only
     ever DECREASE and label(x) <= x, so a stable global sum(label)
-    proves a fixpoint (one scalar collect per round, no change-join).
+    proves a fixpoint (an observe() metric riding the round's pin job —
+    zero extra jobs, no change-join).
 
     Scale: every round shuffles (node, label) pairs keyed by id — O(dup
     docs), not the corpus. Each round's label frame is materialized with
@@ -1351,18 +1352,36 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     never re-exchanges the edges (Catalyst recognizes the cached
     hash-partitioning and only shuffles the label side).
     """
+    from pyspark.sql import Observation
+
     # Persist the symmetrized edge list: it is joined every round, and
     # without materialization each round's job would recompute the whole
     # upstream pair pipeline (for MinHash edges that's the full
     # shingle/hash/band/verify chain — measured 7.7 s -> 3.4 s at sf0.1).
+    #
+    # Convergence sums ride observe()/CollectMetrics on the pin job
+    # itself (optimization r15): the eager checkpoint already
+    # materializes every row, so the per-round agg-and-collect job the
+    # old form paid just to read sum(label) is pure stage latency.
+    # Verified to fire on BOTH pin paths (localCheckpoint and reliable
+    # checkpoint); the sum is the same associative exact-long fold over
+    # the same rows, so the fixpoint test sees identical values.
     edges = _cc_edges(pairs).repartition("dst").persist()
-    labels = pin(_cc_seed(edges), eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    seed_obs = Observation()
+    labels = pin(
+        _cc_seed(edges).observe(seed_obs, F.sum("label").alias("s")),
+        eager=True,
+    )
+    prev_sum = seed_obs.get["s"]
     for _ in range(20):  # >= log2(diameter) rounds; dup clusters are shallow
+        obs = Observation()
         new_labels = pin(
-            _cc_round(edges, labels), eager=True  # truncate lineage
+            _cc_round(edges, labels).observe(
+                obs, F.sum("label").alias("s")
+            ),
+            eager=True,  # truncate lineage
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:  # labels are monotone non-increasing
             break

@@ -94,6 +94,15 @@ def get_spark(
         # -- Keep driver logs quiet in tests/bench.
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # spark.sql.join.preferSortMergeJoin stays at its default (true).
+    # A full-suite r15 A/B with false (global shuffled-hash preference)
+    # lost probe-normalized ground: the quantile-helper and copurchase
+    # families regressed +0.3-0.9 s/query on a FASTER host while the
+    # apparent dedup/KPI wins tracked host state (OPTIMIZATION_r15.md,
+    # Measured and rejected). Where a hash join is provably right the
+    # plans already hint shuffle_hash explicitly (PageRank), which also
+    # keeps the SHJ build-side-fits-memory risk scoped instead of
+    # global.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

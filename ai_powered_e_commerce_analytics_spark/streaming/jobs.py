@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-from ..functions.core import pin
+from ..functions.core import pin, unordered_pair_rows
 from ..operators.enrich import (
     StubLLMClient,
     assign_item_ids,
@@ -2208,14 +2208,16 @@ def copurchase_counts_stream(
         b = batch.where(
             F.col("parts").isNotNull() & (F.size("parts") > 0)
         ).select(F.array_sort(F.array_distinct("parts")).alias("__ps"))
-        pair_structs = F.expr("""
-            flatten(transform(__ps, (x, ix) ->
-                transform(slice(__ps, ix + 2, size(__ps) - ix - 1), y ->
-                    struct(cast(x as bigint) as i, cast(y as bigint) as j,
-                           cast(1 as bigint) as v))))
-        """)
-        pairs = b.select(F.explode(pair_structs).alias("t")).select(
-            "t.i", "t.j", "t.v"
+        # In-basket pair expansion via the shared codegen
+        # posexplode+slice helper (optimization r15) — the batch
+        # copurchase family's form; the previous transform×transform
+        # struct build ran in the interpreted lambda evaluator.
+        # Identical (i < j, v=1) pair multiset; the groupBy below is
+        # order-insensitive.
+        pairs = unordered_pair_rows(b, "__ps", "i", "j").select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.lit(1).cast("long").alias("v"),
         )
         degs = b.select(F.explode("__ps").alias("i")).select(
             F.col("i").cast("long").alias("i"),
