@@ -114,22 +114,30 @@ def _kcenter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one representative selection round: the full-corpus min-distance
     # scoring scan + TakeOrderedAndProject argmax against the seed (the
     # returned query frame is the driver-built trace, which audits as
-    # an empty plan)
-    from .simsearch import _INERTIA_GRID, _sqdist, t
+    # an empty plan). Scoring rides the same _assign_batched island the
+    # round body executes (optimization r15) so the audited shape IS
+    # the executed shape.
+    from .simsearch import _INERTIA_GRID, _assign_batched, t
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     seed = e.orderBy("vec_id").limit(1).collect()[0]
-    md = F.round(
-        _sqdist(F.col("emb"), F.array(*[F.lit(v) for v in seed["emb"]]))
-        * _INERTIA_GRID,
-        0,
-    ).cast("long")
     return (
-        e.where(F.col("vec_id") != int(seed["vec_id"]))
-        .select("vec_id", md.alias("md"))
+        _assign_batched(
+            e.where(F.col("vec_id") != int(seed["vec_id"])),
+            "emb",
+            [("vec_id", "long")],
+            [(0, list(seed["emb"]))],
+            dist_col="__md_raw",
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("__md_raw") * _INERTIA_GRID, 0)
+            .cast("long")
+            .alias("md"),
+        )
         .orderBy(F.desc("md"), "vec_id")
         .limit(1)
     )
