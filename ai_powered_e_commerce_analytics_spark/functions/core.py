@@ -186,6 +186,19 @@ def unordered_pair_rows(
     a bit-identical pair multiset (both forms enumerate
     {(a, b) : a, b ∈ set, a < b}; elements are distinct by contract —
     collect_set / array_distinct / per-bucket-distinct upstream).
+
+    DISTINCT-ELEMENTS CONTRACT (ADVICE r15): with a duplicated element
+    the posexplode+slice form emits (x, x) self-pairs and inflated
+    multiplicities that the old ``a < b`` filter excluded — a caller
+    passing ``collect_list`` output gets wrong pairs. Every current
+    call site feeds collect_set / array_distinct / per-bucket-distinct
+    arrays; an in-helper ``array_distinct`` guard was measured at +7%
+    on the isolated sf0.1 ``copurchase_pairs`` (1.08 → 1.16 s — a pure
+    tax across 16 consumers whose inputs are already distinct), so the
+    contract is enforced by tests instead:
+    tests/test_functions.py::test_unordered_pair_rows_requires_distinct_elements
+    pins the duplicate-input divergence loudly so a future caller
+    cannot mistake it for the filtered semantics.
     """
     s = df.select(F.sort_array(arr_col).alias("__ps"))
     return s.select(

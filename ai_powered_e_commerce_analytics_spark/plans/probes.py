@@ -68,7 +68,9 @@ def _pagerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal init/teleport: their VALUES need the node count (a driver
     # scalar), but the plan shape is identical for any long literal
     ranks = ndeg.select(
-        F.col("nsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+        F.col("nsrc").alias("node"),
+        F.lit(1_000_000).cast("long").alias("r"),
+        "wdeg",
     )
     return _pr_round(
         edges, ndeg, ranks, F.lit(150_000).cast("long")

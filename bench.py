@@ -408,6 +408,22 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
+    # Per-query map AGAIN as chunked SHORT lines (VERDICT r15 #1): the
+    # single detail line above is ~5 KB and the driver's tail capture
+    # truncated it mid-dict in BOTH r14 and r15, leaving PERF with
+    # n_common=0 and no per-query round-over-round comparison. Each
+    # chunk line is self-identifying and ~350 bytes, so whatever tail
+    # window the driver keeps yields parseable per-query entries
+    # (latest chunks survive even a very short tail). Additions only —
+    # the compact final-line contract below is unchanged.
+    names_sorted = sorted(timings)
+    n_chunks = max(1, (len(names_sorted) + 9) // 10)
+    for ci in range(n_chunks):
+        chunk = names_sorted[ci * 10 : (ci + 1) * 10]
+        print(json.dumps({
+            "bench_queries_part": f"{ci + 1}/{n_chunks}",
+            "queries": {n: timings[n] for n in chunk},
+        }))
     # The compact summary MUST be the final line: the driver parses the
     # tail of stdout and long lines get truncated (lost BENCH_r05).
     print(json.dumps(summary))

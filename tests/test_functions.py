@@ -374,3 +374,34 @@ def test_unordered_pair_rows_matches_python(spark, sets):
         (a, b) for s in sets for a in s for b in s if a < b
     )
     assert got == want
+
+
+def test_unordered_pair_rows_requires_distinct_elements(spark):
+    # ADVICE r15, pinned divergence: the posexplode+slice form emits
+    # (x, x) self-pairs and inflated multiplicities when the input
+    # array has duplicates — NOT the old a < b filter's semantics.
+    # Every production call site satisfies the distinct-elements
+    # contract (collect_set / array_distinct / distinct-sig buckets);
+    # an in-helper array_distinct guard was measured at +7% on the
+    # isolated copurchase_pairs and rejected (r16). This test exists so
+    # a future caller reaching for collect_list output hits a
+    # documented, asserted divergence instead of a silent wrong answer:
+    # if this test ever FAILS, the helper's duplicate behavior changed
+    # and both this test and the docstring must be revisited.
+    from collections import Counter
+
+    from ai_powered_e_commerce_analytics_spark.functions.core import (
+        unordered_pair_rows,
+    )
+
+    df = spark.createDataFrame(
+        [([3, 1, 3],)], "parts array<long>"
+    )
+    got = Counter(
+        (r["a"], r["b"])
+        for r in unordered_pair_rows(df, "parts", "a", "b").collect()
+    )
+    # sorted [1, 3, 3] enumerates (1,3), (1,3), (3,3): the (3,3)
+    # self-pair and the doubled (1,3) are exactly what the distinct
+    # contract exists to exclude.
+    assert got == Counter({(1, 3): 2, (3, 3): 1})
