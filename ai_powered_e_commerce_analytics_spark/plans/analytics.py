@@ -403,15 +403,27 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (priority, price) distinct-value contraction is checkpointed
     once and feeds (1) the per-group median, (2) the deviation
     contraction ``|price - median|`` — contraction-sized, NOT a second
-    fact scan — whose median is the MAD, and (3) the final fold, where
-    the two 5-row cutoff frames broadcast back onto the contraction
-    and outlier counts fold from multiplicities. The facts are scanned
-    once and never re-shuffled.
+    fact scan — whose median is the MAD, and (3) the final fold, which
+    runs over the DEVIATION contraction itself (optimization r16: the
+    outlier test only ever uses |price - median|, which IS ``dev_c``,
+    and the median rides the contraction as a per-group constant — so
+    the old third pass over the price contraction plus its ``med``
+    broadcast join folded away). MeanAD comes out of the MAD helper
+    call's own subtotal fold (``mean_col``), deleting the separate
+    MeanAD aggregation job, and ``med``/``mad`` are each consumed by
+    exactly one downstream action, so neither needs its own
+    checkpoint job anymore. The facts are scanned once and never
+    re-shuffled; job count fell 28 → ~19 for the identical values.
 
     Determinism: prices are exact integer cents; the medians
     interpolate at frac 0/0.5 (exact in double), so deviations and the
     modified z evaluate the identical IEEE chain in both engines —
-    the raw-z threshold comparison is bit-stable cross-engine.
+    the raw-z threshold comparison is bit-stable cross-engine. The
+    final fold's ``0.6745·dev_c/mad_c > 3.5`` equals the oracle's
+    ``abs(0.6745·(price-med)/mad) > 3.5`` bit-for-bit because IEEE
+    multiplication and division carry the sign bit separately from the
+    magnitude: |a·b/c| = |a|·|b|/c for c > 0, and |price - med| is
+    ``dev_c`` by construction.
     """
     x = cents("o_totalprice")
     dv = (
@@ -420,19 +432,15 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .transform(pin)
     )
-    # each cutoff frame is O(groups) rows but its helper SUBTREE is
-    # contraction-sized; med is consumed twice (deviations + final
-    # fold) and an uncheckpointed reference would clone the whole
-    # subtree into the plan — eager-checkpoint the 5-row results so
-    # each helper pass executes exactly once
     med = exact_percentiles_scalable(
         dv, "price_c", (0.5,), ("med_c",), ("o_orderpriority",),
         counts_col="cnt",
-    ).transform(pin)
+    )
     devs = (
         dv.join(F.broadcast(med), "o_orderpriority")
         .select(
             "o_orderpriority",
+            "med_c",
             F.abs(F.col("price_c").cast("double") - F.col("med_c")).alias(
                 "dev_c"
             ),
@@ -440,43 +448,38 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # re-contract: median±d collide on the same deviation value,
         # and the helper's counts_col contract is one row per
-        # (group, value)
+        # (group, value); med_c is a per-group constant, so max() just
+        # carries it through to the final fold
         .groupBy("o_orderpriority", "dev_c")
-        .agg(F.sum("cnt").alias("cnt"))
-        .transform(pin)  # feeds the MAD fold AND MeanAD
+        .agg(F.sum("cnt").alias("cnt"), F.max("med_c").alias("med_c"))
+        .transform(pin)  # feeds the MAD fold AND the final fold
     )
-    mad = exact_percentiles_scalable(
-        devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
-        counts_col="cnt",
-    ).transform(pin)
     # Degenerate-group fallback (code review r9, Iglewicz-Hosmer's
     # published prescription): when >=50% of a group shares one exact
     # price, MAD = 0 and the MAD-scaled z is undefined — but
     # flag-nothing there would mask exactly the grossly-contaminated
     # groups this report exists for. The fallback scale is the MEAN
-    # absolute deviation (modified z = (x - med) / (1.253314*MeanAD)).
-    # Determinism of the MeanAD sum: every |x - med| is a multiple of
-    # 0.5 cents (median interpolates at frac 0/0.5 on integer cents)
-    # and the weighted sums stay far below 2^53, so double addition is
-    # EXACT in any fold order in both engines. A group with MeanAD = 0
-    # too is constant — genuinely nothing to flag.
-    meanad = devs.groupBy("o_orderpriority").agg(
-        (
-            F.sum(F.col("dev_c") * F.col("cnt")) / F.sum("cnt")
-        ).alias("meanad_c")
+    # absolute deviation (modified z = (x - med) / (1.253314*MeanAD)),
+    # delivered by the helper's mean_col output (the quantiles.py
+    # mean_col exactness contract holds here: every |x - med| is a
+    # multiple of 0.5 cents — the median interpolates at frac 0/0.5 on
+    # integer cents — and the weighted sums stay far below 2^53, so
+    # double addition is EXACT in any fold order in both engines). A
+    # group with MeanAD = 0 too is constant — genuinely nothing to
+    # flag.
+    mad = exact_percentiles_scalable(
+        devs, "dev_c", (0.5,), ("mad_c",), ("o_orderpriority",),
+        counts_col="cnt", mean_col="meanad_c",
     )
-    centered = F.col("price_c").cast("double") - F.col("med_c")
-    zmod = F.lit(0.6745) * centered / F.col("mad_c")
-    zmod_fb = centered / (F.lit(MAD_MEANAD_B) * F.col("meanad_c"))
+    zmag = F.lit(0.6745) * F.col("dev_c") / F.col("mad_c")
+    zmag_fb = F.col("dev_c") / (F.lit(MAD_MEANAD_B) * F.col("meanad_c"))
     is_outlier = F.when(
-        F.col("mad_c") > 0, F.abs(zmod) > MAD_Z_THRESHOLD
+        F.col("mad_c") > 0, zmag > MAD_Z_THRESHOLD
     ).when(
-        F.col("meanad_c") > 0, F.abs(zmod_fb) > MAD_Z_THRESHOLD
+        F.col("meanad_c") > 0, zmag_fb > MAD_Z_THRESHOLD
     ).otherwise(F.lit(False))
     return (
-        dv.join(F.broadcast(med), "o_orderpriority")
-        .join(F.broadcast(mad), "o_orderpriority")
-        .join(F.broadcast(meanad), "o_orderpriority")
+        devs.join(F.broadcast(mad), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
             F.sum("cnt").alias("n_orders"),

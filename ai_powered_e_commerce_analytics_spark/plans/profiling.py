@@ -1057,7 +1057,13 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_c",
         (F.lit(_PARETO_BUCKETS) - n_below).cast("long").alias("decile"),
     )
-    total = bucketed.agg(F.sum("spend_c").alias("total_c"))
+    # total over CUST, not bucketed (optimization r16): the crossJoin
+    # with the always-one-row cuts frame is row-preserving, so the two
+    # sums fold the identical long multiset — but summing `bucketed`
+    # re-executed the whole cuts subtree (rank walk + broadcast + agg)
+    # a second time inside the total branch (plan: 2x MapInPandas),
+    # while `cust` is already checkpointed.
+    total = cust.agg(F.sum("spend_c").alias("total_c"))
     return (
         bucketed.groupBy("decile")
         .agg(

@@ -71,6 +71,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.core import pin
 from .pincache import PinnedPlanCache
 
 # Each call pins its arranged frame + rank-base broadcast for the life
@@ -120,6 +121,7 @@ def exact_percentiles_scalable(
     max_driver_subtotals: int = 1_000_000,
     strategy: str = "auto",
     count_col: str | None = None,
+    mean_col: str | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -145,6 +147,21 @@ def exact_percentiles_scalable(
 
     ``max_driver_subtotals``: cap on the O(partitions x groups) rank-
     base rows the driver collects for the range path.
+
+    ``mean_col``: name of an extra DOUBLE output column carrying each
+    group's mean value ``Σ value·cnt / Σ cnt``. Both regimes piggyback
+    it on state they already materialize (the range path's per-(pid,
+    group) subtotal fold gains one weighted-sum column riding the SAME
+    collect; the window path adds one more window constant on the SAME
+    window partition) — zero extra jobs, where the caller would
+    otherwise pay a separate corpus aggregation plus a join
+    (optimization r16: ``order_value_mad_outliers``' MeanAD fallback
+    scale). Exactness is the CALLER's contract, exactly like the
+    interpolated outputs: when every ``value·cnt`` product and every
+    running sum is exactly representable in double (integer cents,
+    half-cent deviations — the current consumers), partial-sum order
+    cannot change the result, so the driver-side fold and a
+    corpus-grain aggregation are bit-identical.
 
     ``strategy``: ``"auto"`` (default) runs the range-arrangement plan
     and spills to the per-group window plan when a cap overflow is
@@ -176,23 +193,99 @@ def exact_percentiles_scalable(
 
     if strategy == "window":
         return _windowed_percentiles(
-            dv, value_col, qs, out_names, gc, count_col=count_col
+            dv, value_col, qs, out_names, gc, count_col=count_col,
+            mean_col=mean_col,
         )
 
     # -- 2. range arrangement (partition = contiguous value slice) -----
-    arranged = (
+    # Pinned via eager checkpoint, not .persist() (optimization r16):
+    # a cached plan keeps the exchange's RAW partition count
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+    # false by default), so the arrangement froze at
+    # spark.sql.shuffle.partitions — 32 near-empty partitions at bench
+    # scale, each a Python task in the rank walk and a task in every
+    # downstream stage. The checkpoint materializes the AQE FINAL plan,
+    # so the range exchange coalesces by bytes like every other
+    # exchange: partition count now scales with the contraction's size
+    # instead of a constant (guide §2 — scale-adaptive partitioning;
+    # AQE coalescing merges only ADJACENT partitions, so each partition
+    # stays a contiguous (group, value) range and the rank math is
+    # untouched). pin() also honours the reliable-checkpoint knob.
+    arranged = pin(
         dv.repartitionByRange(*gc, value_col)
         .sortWithinPartitions(*gc, value_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .withColumn("__pid", F.spark_partition_id()),
+        eager=True,
     )
 
     # -- 3a. per-(pid, group) subtotals -> per-partition rank bases ----
     # limit(cap+1) bounds what ever reaches the driver: an over-cap
     # grain raises BEFORE building a huge local list, not after.
-    subtotal_frame = arranged.groupBy("__pid", *gc).agg(
-        F.sum("__cnt").alias("__sub")
+    #
+    # The subtotals fold PER PARTITION in a mapInPandas pass instead of
+    # a groupBy("__pid", gc) aggregate (optimization r16): every
+    # partition holds exactly one __pid by construction, so the
+    # "aggregation" is partition-local — the groupBy form still planned
+    # a full exchange + second agg stage (one extra job per helper
+    # call) only to move rows that were already grouped. Sums are the
+    # identical exact int64 folds; the optional weighted sums are
+    # float64 (pandas' pairwise summation == any other order under the
+    # mean_col exactness contract). Output stays O(groups) per
+    # partition — the same bound the aggregate had.
+    import pandas as pd
+
+    dv_types = dict(dv.dtypes)
+
+    def _key_of(k):
+        if not isinstance(k, tuple):
+            k = (k,)
+        return tuple(None if pd.isna(v) else v for v in k)
+
+    def _subtotal_fold(batches):
+        # Per-row work stays vectorized (guide §4.2): each batch folds
+        # through ONE pandas groupby; Python touches only the per-batch
+        # GROUP totals (O(groups), small by the helper's own regime).
+        pid = None
+        subs: dict[tuple, int] = {}
+        wsubs: dict[tuple, float] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            cols = {"__cnt": pdf["__cnt"]}
+            if mean_col is not None:
+                cols["__w"] = pdf[value_col].astype("float64") * pdf["__cnt"]
+            bf = pd.DataFrame(cols)
+            if gc:
+                gsum = bf.groupby(
+                    [pdf[g] for g in gc], sort=False, dropna=False
+                ).sum()
+                for k, row in gsum.iterrows():
+                    nk = _key_of(k)
+                    subs[nk] = subs.get(nk, 0) + int(row["__cnt"])
+                    if mean_col is not None:
+                        wsubs[nk] = wsubs.get(nk, 0.0) + float(row["__w"])
+            else:
+                subs[()] = subs.get((), 0) + int(bf["__cnt"].sum())
+                if mean_col is not None:
+                    wsubs[()] = wsubs.get((), 0.0) + float(bf["__w"].sum())
+        if pid is None:
+            return
+        out = {"__pid": [pid] * len(subs)}
+        for i, g in enumerate(gc):
+            out[g] = [k[i] for k in subs]
+        out["__sub"] = list(subs.values())
+        if mean_col is not None:
+            out["__wsub"] = [wsubs[k] for k in subs]
+        yield pd.DataFrame(out)
+
+    sub_schema = ", ".join(
+        ["__pid int"]
+        + [f"{g} {dv_types[g]}" for g in gc]
+        + ["__sub long"]
+        + (["__wsub double"] if mean_col is not None else [])
     )
+    subtotal_frame = arranged.mapInPandas(_subtotal_fold, schema=sub_schema)
     subtotals = subtotal_frame.limit(max_driver_subtotals + 1).collect()
     def _gkey(row):
         return tuple(row[g] for g in gc)
@@ -251,7 +344,8 @@ def exact_percentiles_scalable(
                 arranged.drop("__pid"), value_col, qs, out_names, gc,
                 count_col=count_col,
             )
-        arranged.unpersist()
+        # arranged is an eager checkpoint: its blocks are reclaimed by
+        # RDD GC / the bench's persistent-RDD sweep, not unpersist()
         raise ValueError(
             f"exact_percentiles_scalable: grain {gc} produced "
             f"{total_rows} (partition x group) subtotal rows, over the "
@@ -272,6 +366,7 @@ def exact_percentiles_scalable(
         )
 
     running: dict[tuple, int] = {}
+    wsum: dict[tuple, float] = {}
     base_map: dict[tuple, int] = {}
     # pid order IS value order within a group (range partitioner), so a
     # pid-sorted fold yields each partition's base rank — `running` is
@@ -283,6 +378,8 @@ def exact_percentiles_scalable(
         k = _gkey(row)
         base_map[(row["__pid"], *k)] = running.get(k, 0)
         running[k] = running.get(k, 0) + row["__sub"]
+        if mean_col is not None:
+            wsum[k] = wsum.get(k, 0.0) + row["__wsub"]
     bc = spark.sparkContext.broadcast(base_map)
     _ARRANGED_CACHE.pin(arranged, bc)
 
@@ -291,10 +388,13 @@ def exact_percentiles_scalable(
     # carries per-group running counts across Arrow batches exactly like
     # pack_sequences_greedy's offset pass. NaN-safe group keys: pandas
     # surfaces NULL group values as NaN/None — normalize to None so the
-    # key matches the collected subtotal rows.
-    import pandas as pd
-
-    dv_types = dict(dv.dtypes)
+    # key matches the collected subtotal rows. Per-ROW work is fully
+    # vectorized (optimization r16 — the old walk built a Python key
+    # tuple and dict update per value-run, guide §4.2): Python now
+    # touches only each batch's O(groups) first-appearance keys; the
+    # base/carry attach is one numpy gather over the groupby ordinals,
+    # and the reordered carry additions are exact int64 arithmetic.
+    import numpy as np
 
     def _ranked_walk(batches):
         carry: dict[tuple, int] = {}
@@ -302,31 +402,32 @@ def exact_percentiles_scalable(
             if not len(pdf):
                 continue
             pid = int(pdf["__pid"].iloc[0])
-
-            def _key(row_vals):
-                return tuple(
-                    None if pd.isna(v) else v for v in row_vals
-                )
-
             if gc:
-                local_before = (
-                    pdf.groupby(gc, sort=False, dropna=False)["__cnt"]
-                    .cumsum()
-                    - pdf["__cnt"]
-                )
-                keys = [
-                    _key(vals)
-                    for vals in zip(*(pdf[g] for g in gc))
+                gb = pdf.groupby(gc, sort=False, dropna=False)
+                local_before = gb["__cnt"].cumsum() - pdf["__cnt"]
+                gids = gb.ngroup().to_numpy()
+                first = pdf.loc[~pd.Series(gids).duplicated().to_numpy()]
+                norm_keys = [
+                    _key_of(vals) for vals in zip(*(first[g] for g in gc))
                 ]
+                gtotals = pdf["__cnt"].groupby(gids).sum().sort_index()
             else:
                 local_before = pdf["__cnt"].cumsum() - pdf["__cnt"]
-                keys = [()] * len(pdf)
-            bases = [
-                bc.value.get((pid, *k), 0) + carry.get(k, 0) for k in keys
-            ]
-            start = pd.Series(bases, index=pdf.index) + local_before
-            for k, cnt in zip(keys, pdf["__cnt"]):
-                carry[k] = carry.get(k, 0) + int(cnt)
+                gids = np.zeros(len(pdf), dtype="int64")
+                norm_keys = [()]
+                gtotals = pd.Series([int(pdf["__cnt"].sum())])
+            base_per_gid = np.array(
+                [
+                    bc.value.get((pid, *k), 0) + carry.get(k, 0)
+                    for k in norm_keys
+                ],
+                dtype="int64",
+            )
+            start = pd.Series(base_per_gid[gids], index=pdf.index) + (
+                local_before
+            )
+            for k, tot in zip(norm_keys, gtotals):
+                carry[k] = carry.get(k, 0) + int(tot)
             out = pdf.assign(
                 __start=start, __end=start + pdf["__cnt"] - 1
             )
@@ -347,13 +448,23 @@ def exact_percentiles_scalable(
         for qi, q in enumerate(qs):
             p = float(q) * (n - 1)
             lo = math.floor(p)
-            tgt_rows.append((*k, qi, lo, math.ceil(p), p - lo, n))
+            row = (*k, qi, lo, math.ceil(p), p - lo, n)
+            if mean_col is not None:
+                row += (wsum[k] / n,)
+            tgt_rows.append(row)
     tgt_schema = ", ".join(
         [f"__t_{g} {dv_types[g]}" for g in gc]
         + ["__qi int", "__lo long", "__hi long", "__frac double",
            "__n_total long"]
+        + (["__mean double"] if mean_col is not None else [])
     )
-    tgt = spark.createDataFrame(tgt_rows, schema=tgt_schema)
+    # ONE slice: the bare createDataFrame(list) parallelizes these few
+    # rows across defaultParallelism slices, so the broadcast build ran
+    # a 32-empty-task job per helper call (optimization r16 — measured
+    # ~0.5-2 s of pure task dispatch in order_value_mad_outliers)
+    tgt = spark.createDataFrame(
+        spark.sparkContext.parallelize(tgt_rows, 1), schema=tgt_schema
+    )
     cond = F.lit(True)
     for g in gc:
         cond = cond & F.col(g).eqNullSafe(F.col(f"__t_{g}"))
@@ -379,6 +490,11 @@ def exact_percentiles_scalable(
     aggs = [_q(i).alias(out_names[i]) for i in range(len(qs))]
     if count_col is not None:
         aggs.append(F.max("__n_total").alias(count_col))
+    if mean_col is not None:
+        # per-group constant on every tgt row; each group has >= 1 hit
+        # (rank __lo always falls inside some value-run), so max = the
+        # value
+        aggs.append(F.max("__mean").alias(mean_col))
     return hits.groupBy(*gc).agg(*aggs)
 
 
@@ -389,6 +505,7 @@ def _windowed_percentiles(
     out_names: Sequence[str],
     gc: list[str],
     count_col: str | None = None,
+    mean_col: str | None = None,
 ) -> DataFrame:
     """Per-group window fold over the distinct-value contraction ``dv``.
 
@@ -421,6 +538,16 @@ def _windowed_percentiles(
         .withColumn("__start", F.col("__end") - F.col("__cnt") + 1)
         .withColumn("__n", F.sum("__cnt").over(w_all))
     )
+    if mean_col is not None:
+        # one more constant on the SAME window partition — no new
+        # exchange (mean_col caller contract: exact weighted sums)
+        ranked = ranked.withColumn(
+            "__mean",
+            F.sum(F.col(value_col).cast("double") * F.col("__cnt")).over(
+                w_all
+            )
+            / F.col("__n"),
+        )
     v = F.col(value_col).cast("double")
     aggs = []
     for i, q in enumerate(qs):
@@ -438,4 +565,6 @@ def _windowed_percentiles(
         )
     if count_col is not None:
         aggs.append(F.max("__n").alias(count_col))  # per-group constant
+    if mean_col is not None:
+        aggs.append(F.max("__mean").alias(mean_col))  # per-group constant
     return ranked.groupBy(*gc).agg(*aggs)

@@ -244,10 +244,15 @@ def test_interleaved_helper_calls_keep_both_persists(spark):
     got_a = exact_percentiles_scalable(a, "v", QS, NAMES)  # build A
     got_b = exact_percentiles_scalable(b, "v", QS, NAMES)  # build B
     assert len(Q._ARRANGED_CACHE) == 2
-    assert all(
-        df.storageLevel.useMemory or df.storageLevel.useDisk
-        for df, _ in Q._ARRANGED_CACHE.snapshot()
-    )
+    # optimization r16: the arranged frame is an eager CHECKPOINT (so
+    # AQE sizes its partitions), not a .persist() — storageLevel on the
+    # returned frame reads NONE, but the materialization guarantee is
+    # strictly stronger: the plan root is the already-computed RDD
+    # itself, so call A's arrangement can never be silently re-run
+    for df, _ in Q._ARRANGED_CACHE.snapshot():
+        assert df._jdf.queryExecution().analyzed().toString().startswith(
+            "LogicalRDD"
+        )
     # consume A AFTER B was built — its persist must still be live
     _assert_same(got_a, _exact(a, "v"))
     _assert_same(got_b, _exact(b, "v"))
