@@ -361,29 +361,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. per-row map: shingles, ONE md5 hash per shingle, then the 12
          minhashes via universal-hash integer derivations (A*h+B mod
          2^61-1) — md5 is the expensive part, so it runs once per
-         shingle, not once per (shingle, seed). The ``repartition`` is a
-         deliberate exchange barrier: HOF lambdas are codegen-fallback
-         and CollapseProject would otherwise inline the shingle+hash
-         construction into every downstream transform (measured ~10x
-         blowup); ReuseExchange also dedupes the three downstream
-         references (signature + both verify probes) into ONE compute.
+         shingle, not once per (shingle, seed). The shingle+hash frame
+         is PINNED (eager checkpoint, optimization r16): the old
+         ``repartition`` barrier intended ReuseExchange to dedupe the
+         three downstream references (signature + both verify probes),
+         but column pruning specializes each reference's subtree (the
+         signature prunes ``sh``, the probes prune ``hs``), the
+         exchanges stop being equal, and the executed plan re-ran the
+         shingle scan THREE times (measured: 3 documents FileScans,
+         zero ReusedExchange — the covariance-family 4x-scan defect
+         pattern). The checkpoint makes the corpus pass execute exactly
+         once per query at any scale; its block footprint is the same
+         frame the exchange already wrote to shuffle disk.
       2. explode to LSH_BANDS narrow (band, sig, doc_id) rows — no
          arrays carried through the shuffle.
       3. bucket pairs via groupBy(band, sig) + collect_list — one
          shuffle on the bucket key and NO self-join. LSH bucket sizes
          are O(dups), so per-bucket pair expansion is tiny.
       4. exact-Jaccard verify on distinct candidate pairs, probing the
-         reused exchange twice.
+         pinned frame twice (join-key partitioning preserved through
+         the checkpoint, so the probes add no hashed-side exchange).
     """
     verified = _lsh_verified_pairs(spark, sf_dir)
     return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All LSH candidate pairs with their exact Jaccard (pre-threshold)
-    — shared by dedup_minhash_lsh (thresholds it) and
-    lsh_candidate_efficiency (measures the generator)."""
-    hashed = (
+def _lsh_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle+hash corpus pass, pinned so every consumer inside ONE
+    query plan reads the same materialization (see dedup_minhash_lsh's
+    plan-shape note; no cross-query reuse — each query constructs and
+    pays its own pin)."""
+    return pin(
         _doc_shingles(t(spark, sf_dir, "documents"))
         .where(F.size("sh") > 0)
         .select(
@@ -393,8 +401,21 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sh"), lambda x: F.pmod(portable_hash64(x), F.lit(1 << 30))
             ).alias("hs"),
         )
-        .repartition("doc_id")
+        .repartition("doc_id"),
+        eager=True,
     )
+
+
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
+) -> DataFrame:
+    """All LSH candidate pairs with their exact Jaccard (pre-threshold)
+    — shared by dedup_minhash_lsh (thresholds it) and
+    lsh_candidate_efficiency (measures the generator). ``hashed`` lets a
+    caller that needs its own shingle probes (dedup_containment) share
+    one pinned corpus pass instead of re-shingling."""
+    if hashed is None:
+        hashed = _lsh_hashed(spark, sf_dir)
     sig = hashed.select("doc_id", *minhash_band_sig_cols("hs"))
     bands = sig.select(
         "doc_id",
@@ -1468,16 +1489,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline uses to classify pair type — near-identical (both
     high) vs containment (one high, one low).
 
-    Plan: the O(dups) verified pair list probes the shingle exchange
-    twice (same ReuseExchange as the LSH verify itself); all scores are
-    exact integer ratios, so the driver hash gate proves the values.
+    Plan: ONE pinned shingle pass (``_lsh_hashed`` — optimization r16:
+    the query previously built its OWN shingle frame next to the LSH
+    chain's, so the corpus was shingled FIVE times; now the chain and
+    both containment probes read the same checkpoint) feeds the LSH
+    verify and the two containment probes; all scores are exact integer
+    ratios, so the driver hash gate proves the values.
     """
-    hashed = (
-        _doc_shingles(t(spark, sf_dir, "documents"))
-        .where(F.size("sh") > 0)
-        .repartition("doc_id")
-    )
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    hashed = _lsh_hashed(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir, hashed).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
         pairs.join(
