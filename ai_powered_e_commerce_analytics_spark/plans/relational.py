@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
-from ..functions.core import pin, unordered_pair_rows
+from ..functions.core import unordered_pair_rows
 from .spec import (
     QuerySpec,
     cents,
@@ -934,14 +934,14 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, micro-exact across engines — no float tolerance in
     the gate.
 
-    Plan: edges + degrees build once (pinned via ``pin`` — part-grain,
-    tiny next to lineitem) with ONE l_orderkey shuffle from the basket
-    expansion; each iteration is an edges⋈ranks hash join on ``src``
-    plus a ``dst`` partial-agg — node-keyed shuffles of edge-grain
-    rows, the canonical distributed-PageRank shape (pre-partitioning
-    edges by src makes the per-round join exchange-free at cluster
-    scale). Top-K via TakeOrderedAndProject; ``node`` breaks exact
-    rank ties.
+    Plan: edges + degrees build once (cached pre-partitioned on the
+    node key — part-grain, tiny next to lineitem) with ONE l_orderkey
+    shuffle from the basket expansion; each iteration is an edges⋈ranks
+    hash join on ``src`` plus a ``dst`` partial-agg. Both per-round
+    joins read co-partitioned cached sides, so the only per-round
+    exchange is the edge-grain contribs agg — the canonical
+    distributed-PageRank shape (see the pin-layout note in the body).
+    Top-K via TakeOrderedAndProject; ``node`` breaks exact rank ties.
     """
     pairs = copurchase_pairs(spark, sf_dir)
     edges = (
@@ -964,25 +964,33 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale the node dimension itself outgrows a broadcast. Node-keyed
     # shuffle joins are the canonical distributed-PageRank shape.
     #
-    # Pin layout (optimization r15): the SYMMETRIZED edge list is pinned
-    # pre-partitioned on ``src`` — every round's routing join and the
-    # degree aggregation then read it exchange-free (localCheckpoint
-    # preserves the physical partitioning). The old shape instead pinned
-    # an edge-grain ``edges ⋈ deg`` frame, paying a 2.2M-row hash join
-    # and a per-round ``distinct`` for the node table; node-grain
-    # ``ndeg`` (one exchange-free agg off the pinned edges, itself
-    # pinned) now serves as degree table AND node table (``groupBy
-    # src`` emits each node exactly once), and since r16 the ranks
-    # frame carries ``wdeg`` so each round reads ndeg exactly once
-    # (the damped-update join) — see _pr_round.
-    edges = pin(edges.repartition("src"), eager=True)
-    ndeg = pin(
+    # Pin layout (optimization r16, correcting the r15 claim): the
+    # SYMMETRIZED edge list pins pre-partitioned on ``src`` via
+    # .persist(), NOT localCheckpoint — a checkpointed frame comes back
+    # as a LogicalRDD reporting UnknownPartitioning under AQE (measured:
+    # every executed round re-exchanged edges AND ndeg, 4 exchanges +
+    # 2 ShuffledHashJoin rebuilds per round, at any scale), while a
+    # cached plan KEEPS its hashpartitioning because
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # defaults false. With edges/ndeg/each round's ranks all cached on
+    # their node key, the routing join and the damped-update join are
+    # co-partitioned on BOTH sides and the only per-round exchange left
+    # is the inherent edge-grain contribs groupBy(dst) (measured: 4
+    # exchanges -> 1 per executed round). Persist is safe here where
+    # the CC/BPE loops need true lineage truncation: PAGERANK_ITERS is
+    # a fixed 2, so the logical plan grows linearly over two rounds,
+    # and a lost executor recovers cached partitions via lineage.
+    # Node-grain ``ndeg`` (one exchange-free agg off the pinned edges)
+    # serves as degree table AND node table (``groupBy src`` emits each
+    # node exactly once), and the ranks frame carries ``wdeg`` so each
+    # round reads ndeg exactly once — see _pr_round.
+    edges = edges.repartition("src").persist()
+    ndeg = (
         edges.groupBy("src").agg(F.sum("w").alias("wdeg")).select(
             F.col("src").alias("nsrc"), "wdeg"
-        ),
-        eager=True,
-    )
-    n_nodes = ndeg.count()  # O(1) driver scalar, like the CC convergence
+        )
+    ).persist()
+    n_nodes = ndeg.count()  # O(1) driver scalar; materializes both pins
 
     init = F.round(F.lit(float(_PR_GRID)) / F.lit(n_nodes), 0).cast("long")
     teleport = F.round(
@@ -994,9 +1002,9 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nsrc").alias("node"), init.alias("r"), "wdeg"
     )
     for _ in range(PAGERANK_ITERS):
-        ranks = pin(
-            _pr_round(edges, ndeg, ranks, teleport), eager=True
-        )
+        # persist, not checkpoint: keeps hashpartitioning(node) visible
+        # to the next round's routing join (see the pin-layout note)
+        ranks = _pr_round(edges, ndeg, ranks, teleport).persist()
     return (
         ranks.select(
             F.col("node").alias("part_key"),
