@@ -362,7 +362,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          minhashes via universal-hash integer derivations (A*h+B mod
          2^61-1) — md5 is the expensive part, so it runs once per
          shingle, not once per (shingle, seed). The shingle+hash frame
-         is PINNED (eager checkpoint, optimization r16): the old
+         is CACHED (.persist(), optimization r16): the old
          ``repartition`` barrier intended ReuseExchange to dedupe the
          three downstream references (signature + both verify probes),
          but column pruning specializes each reference's subtree (the
@@ -370,28 +370,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          exchanges stop being equal, and the executed plan re-ran the
          shingle scan THREE times (measured: 3 documents FileScans,
          zero ReusedExchange — the covariance-family 4x-scan defect
-         pattern). The checkpoint makes the corpus pass execute exactly
-         once per query at any scale; its block footprint is the same
-         frame the exchange already wrote to shuffle disk.
+         pattern). Cache substitution happens on the ANALYZED plan,
+         before pruning can specialize anything, so one materialization
+         serves all three references at any scale — and unlike a
+         checkpoint (which resurfaces as UnknownPartitioning under
+         AQE), the cache keeps the repartition's hash(doc_id) visible
+         to the planner.
       2. explode to LSH_BANDS narrow (band, sig, doc_id) rows — no
          arrays carried through the shuffle.
       3. bucket pairs via groupBy(band, sig) + collect_list — one
          shuffle on the bucket key and NO self-join. LSH bucket sizes
          are O(dups), so per-bucket pair expansion is tiny.
       4. exact-Jaccard verify on distinct candidate pairs, probing the
-         pinned frame twice (join-key partitioning preserved through
-         the checkpoint, so the probes add no hashed-side exchange).
+         cached frame twice (the alias-aware hash(doc_id) partitioning
+         satisfies each probe's join key, so the probes add no
+         hashed-side exchange).
     """
     verified = _lsh_verified_pairs(spark, sf_dir)
     return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def _lsh_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shingle+hash corpus pass, pinned so every consumer inside ONE
+    """The shingle+hash corpus pass, cached so every consumer inside ONE
     query plan reads the same materialization (see dedup_minhash_lsh's
-    plan-shape note; no cross-query reuse — each query constructs and
-    pays its own pin)."""
-    return pin(
+    plan-shape note; no cross-query reuse — the bench unpersists all
+    blocks between queries, so each query run recomputes and pays its
+    own pass)."""
+    return (
         _doc_shingles(t(spark, sf_dir, "documents"))
         .where(F.size("sh") > 0)
         .select(
@@ -401,8 +406,8 @@ def _lsh_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sh"), lambda x: F.pmod(portable_hash64(x), F.lit(1 << 30))
             ).alias("hs"),
         )
-        .repartition("doc_id"),
-        eager=True,
+        .repartition("doc_id")
+        .persist()
     )
 
 
