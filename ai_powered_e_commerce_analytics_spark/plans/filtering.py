@@ -334,8 +334,18 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .repartition("doc_id")
+        # cached (optimization r16): bg feeds the LM contraction AND
+        # the per-doc scoring join, but the consumers prune different
+        # columns, so the repartition barrier's exchanges diverged and
+        # the tokenize+zip_with explode ran twice (measured: 3
+        # documents FileScans; cache substitution is pre-pruning). The
+        # cache holds the same rows the barrier's shuffle already
+        # wrote, MEMORY_AND_DISK.
+        .persist()
     )
-    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # freq likewise feeds ctx AND the lp join with divergent pruning —
+    # vocab²-grain contraction, cheap to cache
+    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c")).persist()
     ctx = freq.groupBy("w1").agg(F.sum("c").alias("c1"))
     lp = freq.join(ctx, "w1").select(
         "w1",

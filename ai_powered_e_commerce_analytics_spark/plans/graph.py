@@ -54,6 +54,13 @@ def _supported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= MIN_SUPPORT)
+        # cached (optimization r16): association_rules references the
+        # edge list twice (the directional union), which re-ran the
+        # whole basket-expansion chain — supported edges are pair-grain
+        # tiny, so the cache is cheap for every consumer and collapses
+        # the duplicate corpus pass (measured: 5 -> 3 lineitem
+        # FileScans there; single-reference consumers are unaffected)
+        .persist()
     )
 
 
@@ -192,12 +199,17 @@ def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("part_b"),
         F.col("c").alias("n_both"),
     )
+    # cached (optimization r16): item-grain, referenced by BOTH degree
+    # attaches — without the cache each attach re-ran the corpus
+    # distinct contraction (measured: 3 -> 2 lineitem FileScans; the
+    # remaining two are the basket pass and this one)
     deg = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_partkey")
         .agg(F.count("*").alias("n_orders"))
+        .persist()
     )
     da = deg.select(
         F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("deg_a")
@@ -271,7 +283,9 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    # item-grain degree table cached: referenced by both rule-direction
+    # attaches (see copurchase_item_similarity's note)
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()
     total = d.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_total_orders")
     )
@@ -358,7 +372,9 @@ def copurchase_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    # item-grain degree table cached: referenced by both endpoint
+    # attaches (see copurchase_item_similarity's note)
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()
     total = d.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_baskets")
     )

@@ -1275,7 +1275,14 @@ def _uni_model(spark: SparkSession, sf_dir: str):
     (piece, seed_count, lp micro-nats) and ``viterbi`` is the per-word
     frame (w, freq, n, sp, dp, ps) carrying the DP table and backtrace
     spans. Construction is documented on :func:`unigram_lm_em_round`."""
-    words = _uni_words(spark, sf_dir)
+    # cached (optimization r16): the word contraction is the chain's
+    # ONLY corpus-sized pass, but it was re-executed per reference —
+    # spans feeds both the seed aggregation and the span-collect, and
+    # lp's subtree replays seed -> spans -> words at each of ITS two
+    # references (measured: 8 documents FileScans in
+    # unigram_lm_em_round's executed plan, 5 in doc_unigram_perplexity;
+    # caching words + lp collapses each query to its intrinsic scans)
+    words = _uni_words(spark, sf_dir).persist()
     spans = words.select(
         "w", "freq", "n", F.explode(F.expr(_UNI_SPANS_EXPR)).alias("s")
     ).select(
@@ -1301,7 +1308,7 @@ def _uni_model(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("lp"),
         )
-    )
+    ).persist()  # vocab-grain; 2 references (span attach + EM output)
     word_sp = (
         spans.join(F.broadcast(lp.select("piece", "lp")), "piece")
         .groupBy("w", "freq", "n")

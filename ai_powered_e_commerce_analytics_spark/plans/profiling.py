@@ -1558,9 +1558,14 @@ def sentiment_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_label_expr(pb, nb, _tok_count_sql_spark)).alias("label_b"),
         )
     )
+    # cached (optimization r16): cells is a <= 9-row contraction
+    # referenced FOUR times (row/col marginals, the kappa scalars, the
+    # final join) — without the cache each reference re-ran the corpus
+    # scan + CASE labeling (measured: 6 documents FileScans in the
+    # executed plan; cache substitution collapses them to one)
     cells = lab.groupBy("label_a", "label_b").agg(
         F.count("*").cast("long").alias("n")
-    )
+    ).persist()
     rowt = cells.groupBy("label_a").agg(F.sum("n").alias("row_total"))
     colt = cells.groupBy("label_b").agg(F.sum("n").alias("col_total"))
     # pe_num = Σ_c row_c * col_c over classes present on BOTH sides (a

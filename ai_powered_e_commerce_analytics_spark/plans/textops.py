@@ -865,21 +865,33 @@ def hamming_band_pairs(
 
     Guard cost adjudication (ADVICE r14 #3): ``bands`` feeds both the
     count-only ``sizes`` agg and the guard join with no exchange
-    barrier of its own, so the band EXPLODE runs twice. Measured in
-    the final AQE plan (dedup_simhash64, this session): the corpus
-    FileScan appears ONCE and the distinct-signature exchange is
-    ReusedExchange'd by both consumers — the duplicated work is only
-    the post-exchange Generate over the compact distinct-sig frame
-    (``n_bands`` narrow rows per distinct signature, map-side, no
-    shuffle, no scan). A repartition("band", "band_val") barrier would
-    trade that cheap re-map for a REAL extra exchange on the band rows
-    and a touched-plan re-verification of two driver-green queries —
-    cost exceeds benefit at 4 bands; revisit if n_bands grows enough
-    that the explode dominates the bucket shuffle it feeds. §3a10
-    re-anchored both consumers post-guard with no regression."""
+    barrier of its own, so the band EXPLODE runs twice. The duplicated
+    work is only the post-exchange Generate over the compact
+    distinct-sig frame (``n_bands`` narrow rows per distinct
+    signature, map-side, no shuffle, no scan). A
+    repartition("band", "band_val") barrier would trade that cheap
+    re-map for a REAL extra exchange on the band rows; cost exceeds
+    benefit at 4 bands; revisit if n_bands grows enough that the
+    explode dominates the bucket shuffle it feeds.
+
+    Signature-pass dedup (optimization r16): the r14 note above used
+    to claim the corpus FileScan appears once with the
+    distinct-signature exchange reused — TRUE for the usig-side
+    consumers (sizes/guard/self_pairs share one canonical subtree) but
+    FALSE for the two expansion probes ``da``/``db``, which read a
+    different column set (id + sig vs sig alone), so pruning
+    specialized their subtrees and the executed plan re-ran the
+    caller's signature map up to three more times (measured: 5
+    documents FileScans in dedup_simhash64's final plan — the
+    tokenize + 60-bit vote aggregation each time; the phash consumer
+    re-ran the image decode). The signature frame is therefore CACHED
+    here — lazy persist, (id, sig) longs only, populated by whichever
+    stage reads it first and dropped by the bench's per-query sweep —
+    so every consumer of ONE query's plan reads one materialization.
+    """
     docs = items.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
-    )
+    ).persist()
     usig = docs.select("__sig").distinct()
     bands = _band_rows(usig, band_bits, n_bands)
     # Guard ordering matters: the size check must complete BEFORE any
@@ -1231,16 +1243,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    # The term-repartition is an exchange barrier: tf feeds BOTH the df
-    # aggregation and the join probe; without it each consumer replans
-    # the scan+explode+aggregate subtree (two full tokenizations — the
-    # regex split is the expensive part). With it, ReuseExchange serves
-    # both from one computed tf, and the df groupBy needs no further
-    # exchange (already hash-partitioned by term).
+    # The term-repartition barrier + CACHE (optimization r16): tf feeds
+    # BOTH the df aggregation and the join probe. The barrier alone
+    # relied on ReuseExchange, which never fired — the df side prunes
+    # doc_id/tf below the exchange, the subtrees diverge, and the
+    # executed plan re-ran the scan + tokenization twice (measured: 3
+    # documents FileScans). The cache substitutes on the analyzed plan
+    # (pre-pruning), so one tokenization serves both consumers, and it
+    # keeps the repartition's hash(term) visible: the df groupBy and
+    # the join still need no further exchange of this side.
     tf = (
         terms.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .repartition("term")
+        .persist()
     )
     df_ = (
         tf.groupBy("term")
