@@ -1328,6 +1328,11 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
         .select("p_partkey", "p_retailprice", "p_size")
     )
+    # cached (optimization r16): the price contraction feeds the range
+    # aggregate, the in-bucket window AND the cross-bucket prefix —
+    # without the cache each reference re-ran the part scan + groupBy
+    # (census: 5 executing part scans). Price-domain-bounded (~200k
+    # rows at any SF), so the cache is trivially small.
     pts = (
         p.select(
             cents("p_retailprice").alias("price_c"),
@@ -1335,6 +1340,7 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("price_c")
         .agg(F.max("size").alias("max_size"))
+        .persist()
     )
     rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
     b = pts.crossJoin(F.broadcast(rng)).withColumn(
@@ -1469,10 +1475,19 @@ def part_price_size_date_skyline(
             cents("p_retailprice").alias("price_c"),
             F.col("p_size").cast("long").alias("size"),
         )
+        # cached (optimization r16): base feeds the (price, size)
+        # contraction AND the final semi-join back — as bare references
+        # the lineitem max-shipdate agg + part join re-executed per
+        # consumer (census: 5 part + 5 lineitem scans for ONE query).
+        # Part-key-grain narrow rows.
+        .persist()
     )
     pts = (
         base.groupBy("price_c", "size")
         .agg(F.max("last_ship_day").alias("day"))
+        # contraction-grain (price-domain x size-domain); feeds rng,
+        # the level explode (2 refs) — cached for the same reason
+        .persist()
     )
     rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
     b = pts.crossJoin(F.broadcast(rng)).withColumn(
@@ -1616,10 +1631,15 @@ def _km_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"), F.lit(_KM_EPOCH).cast("timestamp")
     ).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    # cached (optimization r16): the lead-window frame feeds the
+    # censoring max-day aggregate AND the observation emission — as bare
+    # references each re-ran the orders scan + customer window (census:
+    # 2 executing orders scans in both KM consumers). Narrow longs.
     obs = (
         t(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", day.alias("day"))
         .withColumn("next_day", F.lead("day").over(w))
+        .persist()
     )
     max_day = obs.agg(F.max("day").alias("__max_day"))
     return (

@@ -150,14 +150,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task; the exact-count side exists only to VERIFY and would be
     dropped in production.
     """
+    # cached (optimization r16): tok feeds the exact counts AND the
+    # sketch bucket rows, exact feeds the total AND the top-K candidates
+    # — the term barrier's ReuseExchange never fired in the final
+    # adaptive plan (census: 3 executing documents scans), so each
+    # reference re-ran the tokenization.
     tok = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
         .select(F.explode(tokens("text")).alias("term"))
         .repartition("term")
+        .persist()
     )
     bucket_structs = cms_bucket_structs
-    exact = tok.groupBy("term").agg(F.count("*").alias("true_count"))
+    exact = (
+        tok.groupBy("term").agg(F.count("*").alias("true_count")).persist()
+    )
     cms = (
         tok.select(F.explode(bucket_structs(F.col("term"))).alias("b"))
         .select("b.j", "b.bucket")
@@ -282,9 +290,13 @@ def sliding_wau_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     from .spec import event_date
 
+    # cached (optimization r16): day_users feeds the day spine, the
+    # sketch agg AND the exact-WAU verifier — as bare references each
+    # re-ran the events scan (census: 3 executing scans). Narrow
+    # (day, user_id) rows.
     day_users = ev.select(
         event_date(ev).alias("day"), "user_id"
-    ).where(F.col("user_id").isNotNull())
+    ).where(F.col("user_id").isNotNull()).persist()
     spine = day_users.select("day").distinct()
 
     horizon = F.explode(

@@ -230,10 +230,15 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity exponentiates it (libm ulp → round 6 per policy).
     """
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    # cached (optimization r16, the doc_bigram_surprisal pattern): tok
+    # feeds the vocabulary counts AND the per-doc fold, freq feeds the
+    # total AND the ln-p table — the barrier's ReuseExchange never fired
+    # (census: 3 executing documents scans), so each reference re-ran
+    # the tokenization.
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
-    ).repartition("doc_id")
-    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    ).repartition("doc_id").persist()
+    freq = tok.groupBy("term").agg(F.count("*").alias("c")).persist()
     total = freq.agg(F.sum("c").alias("n_total"))
     lp = freq.crossJoin(F.broadcast(total)).select(
         "term",
@@ -567,10 +572,15 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.length(
         F.conv(F.col("n_chars").cast("string"), 10, 2)
     ).cast("long")
+    # cached (optimization r16): the (source, bucket) contraction is
+    # referenced by the source totals, the corpus rollup AND the scored
+    # join — as bare references each re-ran the documents scan (census:
+    # 4 executing scans). O(sources x 64) rows.
     sb = (
         docs.select("source", bucket.alias("b"))
         .groupBy("source", "b")
         .agg(F.count("*").alias("c_sb"))
+        .persist()
     )
     src_tot = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
     corpus = sb.groupBy("b").agg(F.sum("c_sb").alias("c_b"))

@@ -282,7 +282,19 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_both"),
         )
     )
-    d = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # the distinct (order, part) contraction is cached (optimization
+    # r16, second pass): deg AND the total-orders count both fold over
+    # it, but as two bare references each re-ran the lineitem scan +
+    # (order, part) distinct shuffle (census: 3 executing lineitem
+    # scans; edges' cache build is the third). One materialization now
+    # serves both; the total branch keeps only its intrinsic orderkey
+    # distinct over the cached rows.
+    d = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
     # item-grain degree table cached: referenced by both rule-direction
     # attaches (see copurchase_item_similarity's note)
     deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()
@@ -369,9 +381,14 @@ def copurchase_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-grain. No new corpus pass.
     """
     edges = _supported_edges(spark, sf_dir)
-    d = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # cached for the same two-consumer reason as association_rules:
+    # deg + the basket total both fold over the distinct contraction
+    d = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
     # item-grain degree table cached: referenced by both endpoint
     # attaches (see copurchase_item_similarity's note)
     deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()

@@ -634,6 +634,10 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered SUM whose accumulation order is engine-dependent.
     """
     docs = t(spark, sf_dir, "documents")
+    # cached (optimization r16): the |sources|-row contraction feeds the
+    # total, the α-weighted denominator fold and the final emission — as
+    # bare references each re-ran the corpus tokenization (census: 4
+    # executing documents scans).
     per_source = (
         docs.where(F.col("source").isNotNull())
         .select("source", F.size(tokens("text")).cast("long").alias("n_tok"))
@@ -642,6 +646,7 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("src_tokens"),
         )
+        .persist()
     )
     totals = per_source.agg(F.sum("src_tokens").alias("total_tokens"))
     with_p = per_source.crossJoin(F.broadcast(totals)).select(

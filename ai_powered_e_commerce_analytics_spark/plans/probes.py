@@ -204,3 +204,79 @@ PLAN_PROBES = {
     "kmeans_lloyd_clusters": _lloyd_probe,
     "semantic_dedup_semdedup": _lloyd_probe,
 }
+
+
+def executing_scan_census(df: DataFrame) -> dict:
+    """TRUE executing-scan census of ``df``'s CURRENT physical plan —
+    the count of parquet scans that actually run, not the count printed
+    by ``executedPlan().toString()`` (which re-prints every cached
+    relation's build plan at every ``InMemoryTableScan`` reference and
+    so over-counts; conversely the plain text hides which Exchange
+    subtrees AQE re-planned independently). Call AFTER an action so the
+    AQE plan is final. Walk rules (optimization r16 evidence protocol —
+    see plans/r16/scan_census.py and OPTIMIZATION_r16.md):
+
+    - each physical node object is visited ONCE (AQE stage reuse shares
+      ``QueryStageExec`` instances between parents — a revisit is reuse,
+      not re-execution);
+    - ``AdaptiveSparkPlan`` descends into its current plan, query-stage
+      wrappers into their materialized plans;
+    - ``ReusedExchange`` stops (the subtree runs once at its original
+      site);
+    - ``InMemoryTableScan`` stops, but the cached relation's build plan
+      is walked ONCE per distinct ``CachedRDDBuilder`` (cache blocks
+      materialize once per run regardless of reference count).
+
+    Returns ``{"executing_scans": n, "cached_relations": n,
+    "scan_sources": {file: n}}``.
+    """
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().executedPlan()
+    seen_caches: set[str] = set()
+    seen_nodes: set[int] = set()
+    scans = 0
+    sources: dict[str, int] = {}
+
+    def children(p):
+        seq = p.children()
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def walk(p):
+        nonlocal scans
+        oid = jvm.System.identityHashCode(p)
+        if oid in seen_nodes:
+            return
+        seen_nodes.add(oid)
+        name = p.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(p.plan())
+            return
+        if name == "ReusedExchangeExec":
+            return
+        if name == "InMemoryTableScanExec":
+            rel = p.relation()
+            key = str(jvm.System.identityHashCode(rel.cacheBuilder()))
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(rel.cachedPlan())
+            return
+        if name in ("FileSourceScanExec", "BatchScanExec"):
+            scans += 1
+            try:
+                loc = p.metadata().get("Location").get()
+                src = loc.rsplit("/", 1)[-1].rstrip("]")
+            except Exception:  # noqa: BLE001 - diagnostic label only
+                src = "?"
+            sources[src] = sources.get(src, 0) + 1
+        for c in children(p):
+            walk(c)
+
+    walk(plan)
+    return {
+        "executing_scans": scans,
+        "cached_relations": len(seen_caches),
+        "scan_sources": sources,
+    }

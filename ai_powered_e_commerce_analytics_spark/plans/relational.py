@@ -1319,10 +1319,15 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_distinct_customers shows the verified-bound pattern).
     """
     ev = t(spark, sf_dir, "events")
+    # cached (optimization r16): the distinct (user, day) contraction
+    # feeds the spine bounds AND the band join, and the spine is read
+    # again by the final zero-fill — as bare references each re-ran the
+    # events scan + distinct (census: 3 executing scans).
     activity = (
         ev.where(F.col("user_id").isNotNull())
         .select("user_id", event_date(ev).alias("act_date"))
         .distinct()
+        .persist()
     )
     bounds = activity.agg(
         F.min("act_date").alias("min_d"), F.max("act_date").alias("max_d")

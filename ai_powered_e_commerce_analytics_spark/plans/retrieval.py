@@ -73,22 +73,23 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     docs = t(spark, sf_dir, "documents")
-    # The repartition is an exchange barrier: ``toked`` feeds BOTH the
-    # 1-row stats aggregate and the scoring probe; without it each
-    # consumer replans scan+tokenize (two reads of the wide text
-    # column). With it, ReuseExchange serves both from one tokenization
-    # and the exchange carries only narrow integer rows. For the reuse
-    # to fire the two subtrees must stay structurally IDENTICAL, so the
-    # barrier frame carries exactly (doc_id, dl, tf_*) and the stats agg
-    # counts doc_id (not *) — column pruning then cannot specialize
-    # either side (same rationale as source_mix_rebalance's barrier).
+    # ``toked`` feeds BOTH the 1-row stats aggregate and the scoring
+    # probe; without a shared materialization each consumer replans
+    # scan+tokenize (two reads of the wide text column). The old
+    # repartition barrier relied on ReuseExchange and tried to keep the
+    # two subtrees structurally identical — but the runtime census
+    # (optimization r16) showed the reuse never fired in the FINAL
+    # adaptive plan (pruning/ordering specialized the subtrees; every
+    # _bm25_scored reference executed two tokenization scans, and the
+    # ndcg eval compounded that to 8 documents scans). The frame is now
+    # CACHED: substitution happens on the analyzed plan before pruning,
+    # so one tokenization serves every consumer, the cached rows are the
+    # same narrow integers the barrier's exchange already wrote, and the
+    # hash(doc_id) partitioning stays visible to the planner. The bench
+    # unpersists all blocks between runs — no cross-run reuse.
     # The payload column ``source`` is recovered AFTER the top-K
     # contraction by a K-row broadcast join — payload never rides the
     # corpus pass.
-    # The explicit isnotnull(doc_id) mirrors what the final inner join
-    # infers on its probe side only; applying it BEFORE the barrier
-    # keeps both consumer subtrees canonically identical so the runtime
-    # reuses one shuffle stage instead of tokenizing twice.
     toked = (
         docs.where(F.col("doc_id").isNotNull())
         .select(
@@ -104,6 +105,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .repartition("doc_id")
+        .persist()
     )
     stats = toked.agg(
         F.count("doc_id").cast("double").alias("n"),
@@ -401,18 +403,23 @@ def _retrieval_leg_frames(spark: SparkSession, sf_dir: str):
     cosine frames plus the two top-50 rank lists — rankings identical
     to ``hybrid_search_rrf``'s legs. Shared by the quality eval
     (``retrieval_ndcg_mrr``) and the rank-agreement monitor
-    (``retrieval_rank_overlap_rbo``). Every frame ends in a doc_id
-    repartition barrier whose consumers read the SAME column set, so
-    the exchanges are reused and each corpus pass runs once (the
-    toked-barrier pattern — see the §3a9 note: TakeOrderedAndProject
-    has no exchange for ReuseExchange to match, the barriers restore
-    reusability)."""
+    (``retrieval_rank_overlap_rbo``). Every frame was a doc_id
+    repartition barrier meant to be deduped by ReuseExchange across its
+    consumers — the runtime census (optimization r16) showed NONE of
+    those reuses fired in the final adaptive plan (window/limit
+    consumers specialize ordering and column sets; the eval executed
+    16 corpus scans — 8 documents + 8 embeddings — at any scale). Each
+    frame is now CACHED at its barrier: analysis-time substitution
+    serves every reference from one materialization, the doc_id hash
+    partitioning stays visible for the downstream joins, and the bench
+    unpersists all blocks between runs."""
     from .simsearch import _dot
 
     scored = (
         _bm25_scored(spark, sf_dir)
         .select("doc_id", "score")
         .repartition("doc_id")
+        .persist()
     )
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -429,6 +436,7 @@ def _retrieval_leg_frames(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(q))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
         .repartition("doc_id")
+        .persist()
     )
     lex50 = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
     lex_r = lex50.select(
@@ -437,7 +445,7 @@ def _retrieval_leg_frames(spark: SparkSession, sf_dir: str):
         .over(Window.orderBy(F.desc("score"), "doc_id"))
         .cast("long")
         .alias("lex_rank"),
-    ).repartition("doc_id")
+    ).repartition("doc_id").persist()
     sem50 = semall.orderBy(F.desc("cos"), "doc_id").limit(BM25_TOP_K)
     sem_r = sem50.select(
         "doc_id",
@@ -445,7 +453,7 @@ def _retrieval_leg_frames(spark: SparkSession, sf_dir: str):
         .over(Window.orderBy(F.desc("cos"), "doc_id"))
         .cast("long")
         .alias("sem_rank"),
-    ).repartition("doc_id")
+    ).repartition("doc_id").persist()
     return scored, semall, lex_r, sem_r
 
 
@@ -463,13 +471,16 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer literals; DCG/IDCG are order-free long sums; nDCG and MRR
     are ONE exactly-rounded division each on identical operands.
 
-    Plan: the BM25 corpus pass (toked exchange reused between the
-    scoring probe and the top-K leg), one embeddings scan vs a 1-row
-    broadcast query, TakeOrderedAndProject per leg, then every window
-    and join downstream runs on bounded frames (≤ 50-row legs, ≤ 30
-    judged leg rows, 10-row ideal) — nothing after the two corpus
-    passes is data-sized. IDCG's ideal top-10 is its own
-    TakeOrderedAndProject over the judged frame.
+    Plan: ONE cached BM25 corpus pass (toked) and ONE cached embeddings
+    pass (plus the 1-row query's pushed-filter scan) serve every leg —
+    3 executing corpus scans total, pinned by
+    tests/test_retrieval.py::test_ndcg_executes_three_scans (the old
+    barrier form re-executed 16 scans at any scale; optimization r16).
+    TakeOrderedAndProject per leg, then every window and join
+    downstream runs on bounded frames (≤ 50-row legs, ≤ 30 judged leg
+    rows, 10-row ideal) — nothing after the two corpus passes is
+    data-sized. IDCG's ideal top-10 is its own TakeOrderedAndProject
+    over the cached judged frame.
 
     Empty-judgment guard (ADVICE r14 #2): if NO document clears the
     AND-relevance thresholds (possible on a new corpus — REL_* are
@@ -484,13 +495,11 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure mode this note rules out. (Documented rather than wrapped
     in F.when: a when-guard would alter the executed plan of a
     driver-verified query for an error path ANSI already covers.)"""
-    # Exchange barriers (the toked-barrier pattern, see _bm25_scored):
-    # scored feeds the judgment join AND the lexical top-K, semall the
-    # judgment join AND the dense top-K, each rank frame the legrows
-    # union AND the fuse — every pair of consumers reads the IDENTICAL
-    # column set, so the repartition exchanges are reused at runtime
-    # and each corpus pass executes once. The barriers double as the
-    # join partitioning (doc_id), so the judgment SMJ adds no exchange.
+    # Cached frames (see _retrieval_leg_frames): scored feeds the
+    # judgment join AND the lexical top-K, semall the judgment join AND
+    # the dense top-K, each rank frame the legrows union AND the fuse.
+    # The caches double as the join partitioning (doc_id), so the
+    # judgment SMJ adds no exchange.
     scored, semall, lex_r, sem_r = _retrieval_leg_frames(spark, sf_dir)
     # Judgments: corpus-wide, LEFT join so the query doc itself (no
     # dense candidate by the leg contract) judges rel=0 — both engines.
@@ -505,9 +514,12 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("int")
     )
+    # judged is consumed twice (the per-leg DCG fold and the IDCG
+    # ideal top-10); cached so the corpus-grain judgment join runs
+    # once — narrow (doc_id, rel) rows
     judged = scored.join(semall, "doc_id", "left").select(
         "doc_id", rel.alias("rel")
-    )
+    ).persist()
     term = lambda c: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(c).cast("double")),
         F.lit(0.0),

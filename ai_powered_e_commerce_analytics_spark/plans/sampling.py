@@ -369,11 +369,17 @@ def weighted_sample_allocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & (F.col("n_chars") > 0)
     )
+    # cached (optimization r16): the source-grain stats contraction
+    # feeds the Neyman weights, whose frame is referenced again by the
+    # total / leftover folds and the allocation — as bare references
+    # each downstream re-ran the corpus aggregation (census: 5
+    # executing documents scans). The allocation itself is cached too:
+    # it is consumed by the max_k driver collect AND the final join.
     st = docs.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").alias("s"),
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
-    )
+    ).persist()
     wt = st.select(
         "source",
         F.round(
@@ -402,6 +408,7 @@ def weighted_sample_allocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .select("source", "k_alloc")
+        .persist()
     )
     max_k = int(alloc.agg(F.max("k_alloc")).collect()[0][0] or 0)
 

@@ -711,7 +711,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions usually need one exemplar per group, not the pair list).
     The md5-once / vote-once barriers live in :func:`_simhash_docs`.
     """
-    docs = _simhash_docs(t(spark, sf_dir, "documents"))
+    # cached (optimization r16): the signature frame feeds the distinct
+    # pairing AND both expansion sides — as bare references each re-ran
+    # the tokenize + bit-vote aggregation (census: 4 executing documents
+    # scans). Doc-grain (doc_id, simhash) longs.
+    docs = _simhash_docs(t(spark, sf_dir, "documents")).persist()
     usig = docs.select("simhash").distinct()
     a, b = usig.alias("a"), usig.alias("b")
     sig_pairs = (
@@ -1763,9 +1767,12 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence: PMI(a,b) = ln(df_ab * N / (df_a * df_b)) — the
     collocation score a phrase/topic miner starts from.
 
-    Plan: one doc_id-barrier tokenization serves the doc count, the
-    per-term marginals, and the pair counts (ReuseExchange — same
-    pattern as source_mix_rebalance). Pairs come from IN-ROW expansion
+    Plan: ONE cached tokenization pass serves the doc count, the
+    per-term marginals, and the pair counts (the repartition barrier's
+    ReuseExchange never fired in the final adaptive plan — census: 4
+    executing documents scans; optimization r16 caches the token frame
+    and the vocabulary-sized marginals, which the two PMI joins read
+    twice). Pairs come from IN-ROW expansion
     of each doc's sorted distinct-token array (the copurchase_pairs
     no-self-join shape): O(distinct²) per doc, bounded by per-doc
     vocabulary, never a corpus self-join. Marginals are vocabulary-
@@ -1784,12 +1791,14 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(tokens("text"))).alias("dt"),
         )
         .repartition("doc_id")
+        .persist()
     )
     total = dt.agg(F.count("doc_id").alias("n_docs"))
     marg = (
         dt.select(F.explode("dt").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
+        .persist()
     )
     pairs = (
         unordered_pair_rows(dt, "dt", "term_a", "term_b")

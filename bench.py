@@ -246,6 +246,7 @@ def _isolate_one(name: str) -> None:
         ).save()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
+        spark.catalog.clearCache()
         release_arranged_cache()
 
     try:
@@ -339,6 +340,16 @@ def main() -> None:
         # consumption is complete.
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
+        # Cache hygiene (optimization r16): the in-plan .persist()
+        # contractions register CacheManager entries keyed on the
+        # LOGICAL plan. The RDD sweep above already drops their blocks
+        # (no data survives between runs — every iteration recomputes
+        # from parquet), but a surviving ENTRY would substitute an
+        # InMemoryRelation into any LATER query containing an equal
+        # sub-plan, changing that query's plan shape mid-suite vs
+        # isolated. clearCache() drops the entries so each query plans
+        # exactly as it does in a fresh session.
+        spark.catalog.clearCache()
         # Broadcast hygiene (VERDICT r8): the quantile helper pins a
         # rank-base broadcast per call; the RDD loop above covers its
         # persisted frame but not the broadcast, whose driver-side
