@@ -1340,7 +1340,7 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("price_c")
         .agg(F.max("size").alias("max_size"))
-        .persist()
+        .transform(pin)
     )
     rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
     b = pts.crossJoin(F.broadcast(rng)).withColumn(
@@ -1475,19 +1475,23 @@ def part_price_size_date_skyline(
             cents("p_retailprice").alias("price_c"),
             F.col("p_size").cast("long").alias("size"),
         )
-        # cached (optimization r16): base feeds the (price, size)
+        # pinned (optimization r16): base feeds the (price, size)
         # contraction AND the final semi-join back — as bare references
         # the lineitem max-shipdate agg + part join re-executed per
         # consumer (census: 5 part + 5 lineitem scans for ONE query).
-        # Part-key-grain narrow rows.
-        .persist()
+        # Part-key-grain narrow rows; eager checkpoint rather than
+        # .persist() so the materialized layout is the AQE-coalesced
+        # final plan, not the frozen 32-partition pre-AQE shuffle (the
+        # quantiles arrangement lesson — a persist here measured
+        # slower).
+        .transform(pin)
     )
     pts = (
         base.groupBy("price_c", "size")
         .agg(F.max("last_ship_day").alias("day"))
         # contraction-grain (price-domain x size-domain); feeds rng,
-        # the level explode (2 refs) — cached for the same reason
-        .persist()
+        # the level explode (2 refs) — pinned for the same reason
+        .transform(pin)
     )
     rng = pts.agg(F.min("price_c").alias("__lo"), F.max("price_c").alias("__hi"))
     b = pts.crossJoin(F.broadcast(rng)).withColumn(
@@ -1631,17 +1635,19 @@ def _km_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"), F.lit(_KM_EPOCH).cast("timestamp")
     ).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
-    # cached (optimization r16): the lead-window frame feeds the
-    # censoring max-day aggregate AND the observation emission — as bare
-    # references each re-ran the orders scan + customer window (census:
-    # 2 executing orders scans in both KM consumers). Narrow longs.
-    obs = (
-        t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", day.alias("day"))
-        .withColumn("next_day", F.lead("day").over(w))
-        .persist()
+    base = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", day.alias("day")
     )
-    max_day = obs.agg(F.max("day").alias("__max_day"))
+    obs = base.withColumn("next_day", F.lead("day").over(w))
+    # censoring horizon off the PRE-window frame (optimization r16):
+    # the lead window never changes ``day``, so max(day) over obs ==
+    # max(day) over base — the old obs-side aggregate replayed the
+    # whole customer window (+ its exchange and sort) just to take a
+    # max. The branch is now a one-column scan + agg. (Caching obs to
+    # share the window pass was measured and rejected — the
+    # 32-partition cache freeze; OPTIMIZATION_r16.md, Measured and
+    # rejected.)
+    max_day = base.agg(F.max("day").alias("__max_day"))
     return (
         obs.crossJoin(F.broadcast(max_day))
         .select(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokens
+from ..functions.core import pin
 from .spec import QuerySpec, t
 from .textops import _TOKS_SQL
 
@@ -294,9 +295,9 @@ def sliding_wau_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch agg AND the exact-WAU verifier — as bare references each
     # re-ran the events scan (census: 3 executing scans). Narrow
     # (day, user_id) rows.
-    day_users = ev.select(
+    day_users = pin(ev.select(
         event_date(ev).alias("day"), "user_id"
-    ).where(F.col("user_id").isNotNull()).persist()
+    ).where(F.col("user_id").isNotNull()))
     spine = day_users.select("day").distinct()
 
     horizon = F.explode(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokens
+from ..functions.core import pin
 from .spec import QuerySpec, t
 from .textops import STOPWORDS, _STOP_SQL, _TOKS_SQL
 
@@ -235,9 +236,9 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total AND the ln-p table — the barrier's ReuseExchange never fired
     # (census: 3 executing documents scans), so each reference re-ran
     # the tokenization.
-    tok = docs.select(
+    tok = pin(docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
-    ).repartition("doc_id").persist()
+    ))
     freq = tok.groupBy("term").agg(F.count("*").alias("c")).persist()
     total = freq.agg(F.sum("c").alias("n_total"))
     lp = freq.crossJoin(F.broadcast(total)).select(

@@ -54,13 +54,15 @@ def _supported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= MIN_SUPPORT)
-        # cached (optimization r16): association_rules references the
+        # pinned (optimization r16): association_rules references the
         # edge list twice (the directional union), which re-ran the
-        # whole basket-expansion chain — supported edges are pair-grain
-        # tiny, so the cache is cheap for every consumer and collapses
-        # the duplicate corpus pass (measured: 5 -> 3 lineitem
-        # FileScans there; single-reference consumers are unaffected)
-        .persist()
+        # whole basket-expansion chain. Eager checkpoint rather than
+        # .persist(): the pair-grain result is tiny, and a persist
+        # froze the basket pass's pre-AQE 32-partition layout into
+        # every consumer stage — the honest in-suite A/B read the
+        # persist form ~15% SLOWER than r15's recompute, while the
+        # pin materializes the AQE-final coalesced layout once.
+        .transform(pin)
     )
 
 
@@ -199,17 +201,17 @@ def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("part_b"),
         F.col("c").alias("n_both"),
     )
-    # cached (optimization r16): item-grain, referenced by BOTH degree
-    # attaches — without the cache each attach re-ran the corpus
-    # distinct contraction (measured: 3 -> 2 lineitem FileScans; the
-    # remaining two are the basket pass and this one)
-    deg = (
+    # pinned (optimization r16): item-grain, referenced by BOTH degree
+    # attaches — without the pin each attach re-ran the corpus
+    # distinct contraction (census: 3 lineitem scans; now 2 — the
+    # basket pass and this one). Eager checkpoint, not persist — see
+    # _supported_edges' note.
+    deg = pin(
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_partkey")
         .agg(F.count("*").alias("n_orders"))
-        .persist()
     )
     da = deg.select(
         F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("deg_a")
@@ -282,24 +284,26 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_both"),
         )
     )
-    # the distinct (order, part) contraction is cached (optimization
-    # r16, second pass): deg AND the total-orders count both fold over
-    # it, but as two bare references each re-ran the lineitem scan +
-    # (order, part) distinct shuffle (census: 3 executing lineitem
-    # scans; edges' cache build is the third). One materialization now
-    # serves both; the total branch keeps only its intrinsic orderkey
-    # distinct over the cached rows.
-    d = (
+    d = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # the two rule-direction attaches reference deg twice; a pin here
+    # measured as a wash locally (the degree pass is one pruned scan +
+    # agg — cheaper than a checkpoint job at bench scale) and the
+    # duplicate is a narrow column-pruned pass at any scale
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    # total orders straight off the raw scan (optimization r16): the
+    # distinct orderkeys of lineitem ARE the distinct orderkeys of d
+    # (the pair-distinct only collapses duplicate (order, part) rows),
+    # so the total branch reads one pruned column and skips the
+    # (order, part) distinct shuffle it used to replay. (Caching d to
+    # share it with deg was measured and rejected — a .persist()
+    # freezes the pre-AQE 32-partition layout and every downstream
+    # stage pays un-coalesced task dispatch; OPTIMIZATION_r16.md,
+    # Measured and rejected.)
+    total = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        .select("l_orderkey")
         .distinct()
-        .persist()
-    )
-    # item-grain degree table cached: referenced by both rule-direction
-    # attaches (see copurchase_item_similarity's note)
-    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()
-    total = d.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_total_orders")
+        .agg(F.count("*").alias("n_total_orders"))
     )
     da = deg.select(
         F.col("l_partkey").alias("antecedent"),
@@ -381,19 +385,18 @@ def copurchase_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-grain. No new corpus pass.
     """
     edges = _supported_edges(spark, sf_dir)
-    # cached for the same two-consumer reason as association_rules:
-    # deg + the basket total both fold over the distinct contraction
-    d = (
+    d = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    # deg unpinned — see copurchase_association_rules' note
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    # basket total off the raw scan, one pruned column — see
+    # copurchase_association_rules' note (identical argument)
+    total = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        .select("l_orderkey")
         .distinct()
-        .persist()
-    )
-    # item-grain degree table cached: referenced by both endpoint
-    # attaches (see copurchase_item_similarity's note)
-    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders")).persist()
-    total = d.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_baskets")
+        .agg(F.count("*").alias("n_baskets"))
     )
     da = deg.select(
         F.col("l_partkey").alias("x"), F.col("n_orders").alias("n_a")

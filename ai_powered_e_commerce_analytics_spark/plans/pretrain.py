@@ -646,7 +646,7 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("src_tokens"),
         )
-        .persist()
+        .transform(pin)
     )
     totals = per_source.agg(F.sum("src_tokens").alias("total_tokens"))
     with_p = per_source.crossJoin(F.broadcast(totals)).select(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import likeness_score, with_minmax_normalized
-from ..functions.core import unordered_pair_rows
+from ..functions.core import pin, unordered_pair_rows
 from .spec import (
     QuerySpec,
     cents,
@@ -1327,7 +1327,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("user_id").isNotNull())
         .select("user_id", event_date(ev).alias("act_date"))
         .distinct()
-        .persist()
+        .transform(pin)
     )
     bounds = activity.agg(
         F.min("act_date").alias("min_d"), F.max("act_date").alias("max_d")

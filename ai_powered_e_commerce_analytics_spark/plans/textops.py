@@ -711,11 +711,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions usually need one exemplar per group, not the pair list).
     The md5-once / vote-once barriers live in :func:`_simhash_docs`.
     """
-    # cached (optimization r16): the signature frame feeds the distinct
+    # pinned (optimization r16): the signature frame feeds the distinct
     # pairing AND both expansion sides — as bare references each re-ran
     # the tokenize + bit-vote aggregation (census: 4 executing documents
-    # scans). Doc-grain (doc_id, simhash) longs.
-    docs = _simhash_docs(t(spark, sf_dir, "documents")).persist()
+    # scans). Doc-grain (doc_id, simhash) longs; eager checkpoint so the
+    # materialized layout is AQE-coalesced (a persist froze the 32
+    # pre-AQE partitions and measured slower — OPTIMIZATION_r16.md).
+    docs = pin(_simhash_docs(t(spark, sf_dir, "documents")))
     usig = docs.select("simhash").distinct()
     a, b = usig.alias("a"), usig.alias("b")
     sig_pairs = (
@@ -888,14 +890,19 @@ def hamming_band_pairs(
     caller's signature map up to three more times (measured: 5
     documents FileScans in dedup_simhash64's final plan — the
     tokenize + 60-bit vote aggregation each time; the phash consumer
-    re-ran the image decode). The signature frame is therefore CACHED
-    here — lazy persist, (id, sig) longs only, populated by whichever
-    stage reads it first and dropped by the bench's per-query sweep —
-    so every consumer of ONE query's plan reads one materialization.
+    re-ran the image decode). The signature frame is therefore PINNED
+    here — eager checkpoint, (id, sig) longs only, dropped by the
+    bench's per-query sweep — so every consumer of ONE query's plan
+    reads one materialization. Checkpoint rather than .persist(): a
+    persist froze the signature map's pre-AQE 32-partition layout
+    into every consumer stage and read ~15% SLOWER than r15's
+    recompute in the honest in-suite A/B; the pin materializes the
+    AQE-final coalesced layout once (partitioning visibility is not
+    load-bearing here — every consumer re-keys by band or endpoint).
     """
-    docs = items.select(
+    docs = pin(items.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
-    ).persist()
+    ))
     usig = docs.select("__sig").distinct()
     bands = _band_rows(usig, band_bits, n_bands)
     # Guard ordering matters: the size check must complete BEFORE any
@@ -1790,8 +1797,7 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_sort(F.array_distinct(tokens("text"))).alias("dt"),
         )
-        .repartition("doc_id")
-        .persist()
+        .transform(pin)
     )
     total = dt.agg(F.count("doc_id").alias("n_docs"))
     marg = (
