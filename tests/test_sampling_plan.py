@@ -378,6 +378,11 @@ def test_weighted_allocated_corpus_side_stays_contracted(spark, sf_dir):
     import re
 
     plan = _formatted_plan(weighted_sample_allocated(spark, sf_dir))
-    window_nodes = re.findall(r"^\(\d+\) Window", plan, flags=re.M)
+    # Count tree-form nodes ("Window (id)") so windows inside the cached
+    # allocation's printed build plan are seen too (optimization r16:
+    # the O(|sources|) allocation is cached, which nests its subtree
+    # under an InMemoryRelation where the old line-anchored "(id)
+    # Window" detail regex missed it). WindowGroupLimit does not match.
+    window_nodes = re.findall(r"\bWindow \(\d+\)", plan)
     assert len(window_nodes) == 1, plan
     assert "MapInPandas" in plan, plan
